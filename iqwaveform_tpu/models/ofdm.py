@@ -1,0 +1,1147 @@
+"""Cellular OFDM numerology, synchronization, and symbol decoding.
+
+Feature parity: reference ofdm.py (1117 LoC): helper transforms (:16-120),
+5G-NR PSS/SSS sequence generation per 3GPP TS 38.211 (:123-448), PhyOFDM /
+Phy3GPP / Phy802_16 numerology (:451-795), BasebandClockSynchronizer
+(:801-1045), SymbolDecoder (:1048-1117).
+
+TPU-native design notes:
+
+* ``corr_at_indices`` replaces the reference's numba CPU / numba-CUDA
+  gather-MAC kernels (_jit/cpu.py:6-42, _jit/cuda.py:7-43 — C16 in
+  SURVEY.md §2) with an O(N) reformulation: with z[t] = x[t]*conj(x[t+nfft])
+  and cp index rows start_s + arange(ncp),
+
+      out[j] = sum_s sum_c z[start_s + c + j]
+             = sum_s movsum(z, ncp)[start_s + j]
+
+  i.e. one elementwise product, one ncp-wide moving sum (a small real conv
+  the MXU eats for free), and a tiny (n_starts x n_lags) row gather —
+  instead of (nfft+ncp) x n_inds MACs. The same machinery produces the
+  normalization power sums.
+* The clock synchronizer's sklearn LinearRegression (reference ofdm.py:947)
+  is replaced with closed-form weighted least squares; the iterative
+  resample loop stays host-side (data-dependent control flow) while each
+  pass's heavy ops run on device.
+* Numerology classes build their index tables in host numpy at design time;
+  tables become jit constants downstream.
+"""
+
+from __future__ import annotations
+
+import logging
+import typing
+from math import ceil
+from numbers import Number
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import fourier
+from ..utils import array_namespace, isclosetoint, isroundmod, lru_cache, pad_along_axis
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    'BasebandClockSynchronizer',
+    'Phy3GPP',
+    'Phy802_16',
+    'PhyOFDM',
+    'SymbolDecoder',
+    'SyncParams',
+    'corr_at_indices',
+    'correlate_along_axis',
+    'pss_5g_nr',
+    'pss_params',
+    'sss_5g_nr',
+    'sss_params',
+    'subsample_shift',
+]
+
+
+def correlate_along_axis(a, b, axis=0):
+    """cross-correlate `a` and `b` along the specified axis
+    (reference ofdm.py:16-26).
+
+    The reference's python-level vdot loop is replaced by one vectorized
+    reduction: vdot conjugates its first argument, so this is
+    sum(conj(a) * b) over ``axis``.
+    """
+    xp = array_namespace(a)
+    return (xp.conj(a) * b).sum(axis=axis)
+
+
+def indexsum2d(ix, iy):
+    """elements (m,n) = ix[m] + iy[n] (reference ofdm.py:29-33)."""
+    return ix[:, None] + iy[None, :]
+
+
+def call_by_block(func, x, size, *args, **kws):
+    """call func on contiguous same-size chunks of 1-D x and concatenate
+    (reference ofdm.py:36-50)."""
+    xp = array_namespace(x)
+
+    splits = list(range(size, x.shape[0], size))
+    input_chunks = xp.split(x, splits)
+
+    if len(input_chunks[-1]) != len(input_chunks[0]):
+        input_chunks = input_chunks[:-1]
+
+    out_chunks = [func(chunk, *args, **kws) for chunk in input_chunks]
+    return xp.concatenate(out_chunks)
+
+
+def subsample_shift(x, shift):
+    """FFT-based subsample shift (reference ofdm.py:53-61)."""
+    xp = array_namespace(x)
+
+    N = x.shape[0]
+    f = xp.fft.fftshift(xp.arange(N))
+    z = xp.exp((-2j * np.pi * shift / N) * f)
+    return xp.fft.ifft(xp.fft.fft(x) * z.astype('complex64'))
+
+
+def to_blocks(y, size, truncate=False):
+    """last-axis blocking (reference ofdm.py:64-76)."""
+    size = int(size)
+    if not truncate and y.shape[-1] % size != 0:
+        raise ValueError(
+            'last axis size {} is not integer multiple of block size {}'.format(
+                y.shape[-1], size
+            )
+        )
+
+    new_size = size * (y.shape[-1] // size)
+    new_shape = y.shape[:-1] + (y.shape[-1] // size, size)
+
+    return y[..., :new_size].reshape(new_shape)
+
+
+def _index_or_all(x, name, size, xp=np):
+    """(reference ofdm.py:79-94)"""
+    if isinstance(x, str) and x == 'all':
+        if size is None:
+            raise ValueError('must set max to allow "all" value')
+        x = xp.arange(size)
+    elif np.ndim(x) in (0, 1):
+        x = xp.array(x)
+    else:
+        raise ValueError(f'{name} argument must be a flat array of indices or "all"')
+
+    if xp.max(x) > size:
+        raise ValueError(f'{name} value {x} exceeds the maximum {size}')
+    if xp.max(-x) > size:
+        raise ValueError(f'{name} value {x} is below the minimum {-size}')
+
+    return x
+
+
+def _moving_sum(v, width: int, xp):
+    """moving sum of width ``width``: out[t] = sum(v[t:t+width]).
+
+    Real dtype, implemented as a strided conv (local accumulation is
+    numerically better than a cumsum difference at long capture sizes).
+    """
+    if xp is np:
+        c = np.cumsum(np.concatenate([np.zeros(1, v.dtype), v]), dtype='float64')
+        return (c[width:] - c[:-width]).astype(v.dtype)
+
+    kernel = jnp.ones((1, 1, width), dtype=v.dtype)
+    out = jax.lax.conv_general_dilated(
+        v[None, None, :],
+        kernel,
+        window_strides=(1,),
+        padding=[(0, 0)],
+        dimension_numbers=('NCH', 'OIH', 'NCH'),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0, 0]
+
+
+def _corr_at_indices_structured(starts, x, nfft: int, ncp: int, norm: bool):
+    """O(N) cyclic-prefix correlation for contiguous index rows
+    (see module docstring)."""
+    xp = array_namespace(x)
+    n_lags = nfft + ncp
+    N = x.shape[0]
+
+    # elementwise lag product; pad so out-of-bounds contributions are zero,
+    # matching the reference kernel's bounds check (_jit/cpu.py:21-26)
+    a = x[: N - nfft]
+    b = x[nfft:]
+    z = a * xp.conj(b)
+
+    max_idx = int(np.max(starts)) + ncp - 1 + n_lags - 1
+    pad = max(0, max_idx + 1 - z.shape[0])
+    if pad:
+        z = xp.concatenate([z, xp.zeros(pad, dtype=z.dtype)])
+
+    zr = _moving_sum(z.real, ncp, xp)
+    zi = _moving_sum(z.imag, ncp, xp)
+
+    lag_idx = np.arange(n_lags)
+    gather = np.asarray(starts)[:, None] + lag_idx[None, :]
+
+    corr = zr[gather].sum(axis=0) + 1j * zi[gather].sum(axis=0)
+
+    if norm:
+        pa = xp.abs(a) ** 2
+        pb = xp.abs(b) ** 2
+        # zero contributions where the pair is out of bounds
+        if pad:
+            pa = xp.concatenate([pa, xp.zeros(pad, dtype=pa.dtype)])
+            pb = xp.concatenate([pb, xp.zeros(pad, dtype=pb.dtype)])
+        wa = _moving_sum(pa, ncp, xp)
+        wb = _moving_sum(pb, ncp, xp)
+        power_a = wa[gather].sum(axis=0)
+        power_b = wb[gather].sum(axis=0)
+        corr = corr / xp.sqrt(power_a * power_b)
+    else:
+        corr = corr / (starts.shape[0] * ncp)
+
+    return corr
+
+
+def _corr_at_indices_direct(flat_inds, x, nfft: int, ncp: int, norm: bool):
+    """direct-gather fallback matching the reference kernel semantics
+    (_jit/cpu.py:6-42) for arbitrary (unstructured) index sets."""
+    xp = array_namespace(x)
+    n_lags = nfft + ncp
+    N = x.shape[0]
+
+    lag_idx = np.arange(n_lags)
+    flat_inds = np.asarray(flat_inds)
+    ix = flat_inds[None, :] + lag_idx[:, None]  # (n_lags, n_inds)
+    ok = (ix + nfft) < N
+    ix = np.where(ok, ix, 0)
+    ok = xp.asarray(ok)
+
+    a = xp.where(ok, x[ix], 0)
+    b = xp.where(ok, x[ix + nfft], 0)
+
+    corr = (a * xp.conj(b)).sum(axis=1)
+
+    if norm:
+        power_a = (xp.abs(a) ** 2).sum(axis=1)
+        power_b = (xp.abs(b) ** 2).sum(axis=1)
+        corr = corr / xp.sqrt(power_a * power_b)
+    else:
+        corr = corr / flat_inds.shape[0]
+
+    return corr
+
+
+def corr_at_indices(inds, x, nfft: int, norm: bool = True, out=None):
+    """normalized correlation of a waveform against its nfft-shifted self at
+    a cyclic-prefix index set (reference ofdm.py:97-120).
+
+    ``inds`` has shape (..., ncp) where each row indexes the samples of one
+    cyclic prefix. Rows that are contiguous runs (the output of
+    index_cyclic_prefix) take the O(N) moving-sum path; arbitrary index
+    sets fall back to a direct gather.
+
+    Returns:
+        complex correlation sequence of length nfft + ncp
+    """
+    inds_host = np.asarray(inds)
+    ncp = inds_host.shape[-1]
+    starts = inds_host.reshape(-1, ncp)[:, 0]
+
+    expected = starts[:, None] + np.arange(ncp)[None, :]
+    structured = np.array_equal(inds_host.reshape(-1, ncp), expected)
+
+    if structured:
+        result = _corr_at_indices_structured(starts, x, int(nfft), int(ncp), bool(norm))
+    else:
+        result = _corr_at_indices_direct(
+            inds_host.reshape(-1), x, int(nfft), int(ncp), bool(norm)
+        )
+
+    if out is not None and isinstance(out, np.ndarray):
+        out[:] = np.asarray(result)
+        return out
+    return result
+
+
+class SyncParams(typing.NamedTuple):
+    """(reference ofdm.py:123-130)"""
+
+    cp_samples: int
+    frame_size: int
+    slot_count: int
+    corr_size: int
+    frames_per_sync: int
+    duration: float
+    symbol_indexes: list
+
+
+def _pss_m_sequence(N_id2: int) -> list:
+    """M-sequence of the 5G-NR primary synchronization signal
+    (reference ofdm.py:133-151; 3GPP TS 38.211 §7.4.2.2).
+
+    Args:
+        N_id2: one of (0,1,2), the sector portion of the cell ID
+    """
+    x = [0, 1, 1, 0, 1, 1, 1]
+
+    for i in range(7, 127):
+        x.append((x[i - 3] + x[i - 7]) % 2)
+
+    m = [(n + 43 * N_id2) % 127 for n in range(127)]
+
+    return [(1 - 2 * x[_m]) for _m in m]
+
+
+def _sss_m_sequence(N_id: int) -> list:
+    """M-sequence of the 5G-NR secondary synchronization signal
+    (reference ofdm.py:154-188; 3GPP TS 38.211 §7.4.2.3).
+
+    Args:
+        N_id: the cell ID in range(1008)
+    """
+    x_0 = [1, 0, 0, 0, 0, 0, 0]
+    x_1 = [1, 0, 0, 0, 0, 0, 0]
+
+    N_id_1 = N_id // 3
+    N_id_2 = N_id % 3
+
+    for i in range(7, 127):
+        x_0.append((x_0[i - 3] + x_0[i - 7]) % 2)
+        x_1.append((x_1[i - 6] + x_1[i - 7]) % 2)
+
+    m_0 = 15 * (N_id_1 // 112) + 5 * N_id_2
+    m_1 = N_id_1 % 112
+
+    return [
+        (1 - 2 * x_0[(n + m_0) % 127]) * (1 - 2 * x_1[(n + m_1) % 127])
+        for n in range(127)
+    ]
+
+
+def _generate_5g_nr_sync_sequence(
+    seq_func,
+    max_id: int,
+    sample_rate: float,
+    subcarrier_spacing: float,
+    center_frequency=0,
+    pad_cp=True,
+    *,
+    xp=np,
+    dtype='complex64',
+):
+    """frequency-domain placement + DPSS shaping + IFFT of a 5G-NR sync
+    M-sequence set (reference ofdm.py:191-258)."""
+    SC_COUNT = 127  # occupied subcarriers
+
+    if not isroundmod(subcarrier_spacing, 15e3):
+        raise ValueError('subcarrier_spacing must be a multiple of 15000')
+
+    min_sample_rate = SC_COUNT * subcarrier_spacing
+    if sample_rate < min_sample_rate:
+        raise ValueError(f'sample_rate must be at least {min_sample_rate} S/s')
+
+    if isroundmod(sample_rate, subcarrier_spacing):
+        size_out = round(sample_rate / subcarrier_spacing)
+    else:
+        raise ValueError('sample_rate must be a multiple of subcarrier spacing')
+
+    if center_frequency == 0:
+        frequency_offset = 0
+    elif isroundmod(center_frequency, subcarrier_spacing):
+        frequency_offset = round(center_frequency / subcarrier_spacing)
+    else:
+        raise ValueError(
+            'center_frequency must be a whole multiple of subcarrier_spacing'
+        )
+
+    if size_out == SC_COUNT and frequency_offset == 0:
+        pad_lo = 0
+        pad_hi = 0
+    else:
+        # the sequence occupies subcarriers offset by 56 from the SSB edge
+        pad_lo = size_out // 2 - 120 + 56 + frequency_offset
+        pad_hi = size_out - SC_COUNT - pad_lo
+
+    if pad_lo < 0 or pad_hi < 0:
+        raise ValueError(
+            'center_frequency shift pushes M-sequence outside of Nyquist sample rate'
+        )
+
+    m_seqs = np.array([seq_func(i) for i in range(max_id + 1)], dtype=dtype)
+    norm = np.sqrt(np.float32(SC_COUNT))
+    m_seqs = m_seqs * fourier.get_window(('dpss', 0.9), m_seqs.shape[1], xp=np)[None]
+    norm = norm * np.sqrt(np.mean(np.abs(m_seqs) ** 2))
+
+    seq_freq = pad_along_axis(m_seqs / norm, [(pad_lo, pad_hi)], axis=1)
+
+    seq_freq = np.fft.fftshift(seq_freq, axes=1)
+    seq_time = np.fft.ifft(seq_freq, axis=1).astype(dtype)
+
+    # prepend zeros in place of the cyclic prefix
+    if pad_cp:
+        cp_size = round(9 * sample_rate / subcarrier_spacing / 128)
+        seq_time = np.concatenate(
+            [np.zeros_like(seq_time[:, -cp_size:]), seq_time], axis=1
+        )
+
+    return xp.asarray(seq_time)
+
+
+@lru_cache()
+def pss_5g_nr(
+    sample_rate: float,
+    subcarrier_spacing: float,
+    center_frequency=0,
+    pad_cp=True,
+    *,
+    xp=np,
+    dtype='complex64',
+):
+    """PSS correlation sequences at the given sample rate, one per N_id2
+    (reference ofdm.py:261-294).
+
+    Returns:
+        array with dimensions (N_id2 index, PSS sample index)
+    """
+    return _generate_5g_nr_sync_sequence(
+        seq_func=_pss_m_sequence,
+        max_id=2,
+        sample_rate=sample_rate,
+        subcarrier_spacing=subcarrier_spacing,
+        center_frequency=center_frequency,
+        pad_cp=pad_cp,
+        xp=xp,
+        dtype=dtype,
+    )
+
+
+@lru_cache()
+def sss_5g_nr(
+    sample_rate: float,
+    subcarrier_spacing: float,
+    center_frequency=0,
+    pad_cp=True,
+    *,
+    xp=np,
+    dtype='complex64',
+):
+    """SSS correlation sequences at the given sample rate, one per cell ID
+    (reference ofdm.py:297-330).
+
+    Returns:
+        array with dimensions (cell ID index, sync sample index)
+    """
+    return _generate_5g_nr_sync_sequence(
+        seq_func=_sss_m_sequence,
+        max_id=1007,
+        sample_rate=sample_rate,
+        subcarrier_spacing=subcarrier_spacing,
+        center_frequency=center_frequency,
+        pad_cp=pad_cp,
+        xp=xp,
+        dtype=dtype,
+    )
+
+
+@lru_cache()
+def pss_params(
+    *,
+    sample_rate: float = 2 * 7.68e6,
+    subcarrier_spacing: float,
+    discovery_periodicity: float = 20e-3,
+    shared_spectrum: bool = False,
+) -> SyncParams:
+    """PSS burst timing per 3GPP TS 38.213 §4.1 Cases A/C
+    (reference ofdm.py:333-418)."""
+    if not isroundmod(subcarrier_spacing, 15e3):
+        raise ValueError('subcarrier_spacing must be multiple of 15000')
+
+    if isroundmod(sample_rate, 128 * subcarrier_spacing):
+        frame_size = round(10e-3 * sample_rate)
+    else:
+        raise ValueError(
+            f'sample_rate must be a multiple of {128 * subcarrier_spacing}'
+        )
+
+    if np.isclose(subcarrier_spacing, 15e3):
+        # Case A
+        offsets = [2, 8]
+        mult = 14
+        if shared_spectrum:
+            nrange = range(5)
+        else:
+            # below 3 GHz (1.88 GHz unpaired), the upper cases are unused
+            nrange = range(4)
+    elif np.isclose(subcarrier_spacing, 30e3):
+        # treated as "Case C" (reference ofdm.py:378-387; Case B TODO there)
+        offsets = [2, 8]
+        mult = 14
+        if shared_spectrum:
+            nrange = range(10)
+        else:
+            nrange = range(4)
+    else:
+        raise ValueError(
+            'only 15 kHz and 30 kHz SCS (Case A, C) are currently supported (Case A,B,C)'
+        )
+
+    symbol_indexes = []
+    for n in nrange:
+        for offset in offsets:
+            symbol_indexes.append(offset + mult * n)
+
+    slot_count = ceil(symbol_indexes[-1] / 14)
+    slot_duration = 10e-3 / (10 * subcarrier_spacing / 15e3)
+    duration = slot_count * slot_duration
+    corr_size = round(duration * sample_rate)
+
+    if isroundmod(discovery_periodicity, 10e-3):
+        frames_per_sync = round(discovery_periodicity / 10e-3)
+    else:
+        raise ValueError('discovery_periodicity must be a multiple of 10e-3')
+
+    cp_samples = round(9 / 128 * sample_rate / subcarrier_spacing)
+
+    return SyncParams(
+        cp_samples=cp_samples,
+        frame_size=frame_size,
+        slot_count=slot_count,
+        corr_size=corr_size,
+        frames_per_sync=frames_per_sync,
+        symbol_indexes=symbol_indexes,
+        duration=duration,
+    )
+
+
+@lru_cache()
+def sss_params(
+    *,
+    sample_rate: float = 2 * 7.68e6,
+    subcarrier_spacing: float,
+    discovery_periodicity: float = 20e-3,
+    shared_spectrum: bool = False,
+) -> SyncParams:
+    """SSS burst timing: PSS symbol indexes incremented by 2
+    (reference ofdm.py:421-448)."""
+    template = pss_params(
+        sample_rate=sample_rate,
+        subcarrier_spacing=subcarrier_spacing,
+        discovery_periodicity=discovery_periodicity,
+        shared_spectrum=shared_spectrum,
+    )
+
+    indexes = [i + 2 for i in template.symbol_indexes]
+
+    return template._replace(symbol_indexes=indexes)
+
+
+def _instance_method_cache(maxsize=4):
+    """per-instance memoization for index-table builder methods (replaces
+    the reference's methodtools.lru_cache, ofdm.py:592,759)."""
+
+    def decorator(func):
+        import functools
+
+        @functools.wraps(func)
+        def wrapper(self, *args, **kws):
+            cache = self.__dict__.setdefault('_method_caches', {}).setdefault(
+                func.__name__, {}
+            )
+            key = (args, tuple(sorted(kws.items())))
+            try:
+                hit = key in cache
+            except TypeError:
+                # unhashable argument (e.g. an index array): skip caching
+                return func(self, *args, **kws)
+            if not hit:
+                if len(cache) >= maxsize:
+                    cache.pop(next(iter(cache)))
+                cache[key] = func(self, *args, **kws)
+            return cache[key]
+
+        return wrapper
+
+    return decorator
+
+
+class PhyOFDM:
+    """base OFDM numerology: nfft, SCS, CP sizes, and precomputed
+    cp/symbol index tables (reference ofdm.py:451-507)."""
+
+    def __init__(
+        self,
+        *,
+        channel_bandwidth: float,
+        sample_rate: float,
+        nfft: float,
+        cp_sizes,
+        frame_duration: float | None = None,
+        contiguous_size: float | None = None,
+    ):
+        self.channel_bandwidth = channel_bandwidth
+        self.sample_rate = sample_rate
+
+        self.nfft = nfft
+        self.frame_duration = frame_duration
+
+        self.subcarrier_spacing = self.sample_rate / nfft
+        if frame_duration is None:
+            self.frame_size = None
+        else:
+            self.frame_size = round(sample_rate * frame_duration)
+
+        self.cp_sizes = cp_sizes
+
+        if cp_sizes is None:
+            self.contiguous_size = contiguous_size
+            self.cp_start_idx = None
+            self.cp_idx = None
+            self.symbol_idx = None
+        else:
+            cp_sizes_host = np.asarray(cp_sizes)
+            if contiguous_size is not None:
+                self.contiguous_size = contiguous_size
+            else:
+                # no padding needed to complete a contiguous block of symbols
+                self.contiguous_size = int(
+                    np.sum(cp_sizes_host) + len(cp_sizes_host) * nfft
+                )
+
+            # a (start_idx, size) pair for each CP
+            pair_sizes = np.concatenate(([0], cp_sizes_host + self.nfft))
+            self.cp_start_idx = pair_sizes.cumsum().astype(int)[:-1]
+
+            idx_range = np.arange(self.contiguous_size, dtype=int)
+
+            # indices in the contiguous range that are CP
+            self.cp_idx = np.concatenate(
+                [
+                    idx_range[start : start + size]
+                    for start, size in zip(self.cp_start_idx, cp_sizes_host)
+                ]
+            )
+
+            # indices in the contiguous range that are not CP
+            self.symbol_idx = np.setdiff1d(idx_range, self.cp_idx)
+
+    def index_cyclic_prefix(self):
+        raise NotImplementedError
+
+
+class Phy3GPP(PhyOFDM):
+    """Sampling and index parameters and lookup tables for 3GPP 5G-NR
+    (reference ofdm.py:510-640). Equivalent to LTE at 15 kHz SCS.
+
+    References:
+        3GPP TS 38.211.
+    """
+
+    FFT_PER_SLOT = 14
+    SUBFRAMES_PER_PRB = 12
+
+    FFT_SIZE_TO_SUBCARRIERS = {
+        128: 73,
+        256: 181,
+        512: 301,
+        1024: 601,
+        1536: 901,
+        2048: 1201,
+    }
+
+    # "default" sample rates from LTE
+    BW_TO_SAMPLE_RATE = {
+        1.4e6: 1.92e6,
+        3e6: 3.84e6,
+        5e6: 7.68e6,
+        10e6: 15.36e6,
+        15e6: 23.04e6,
+        20e6: 30.72e6,
+        25e6: 38.40e6,
+        30e6: 46.08e6,
+        40e6: 61.44e6,
+        60e6: 92.16e6,
+        80e6: 122.88e6,
+        100e6: 153.6e6,
+    }
+
+    # CP sizes (in samples) of one slot at FFT size 128, scaling
+    # proportionally with FFT size (3GPP TS 38.211 §5.3.1)
+    MIN_CP_SIZES = np.array((10, 9, 9, 9, 9, 9, 9, 10, 9, 9, 9, 9, 9, 9), dtype=int)
+
+    SCS_TO_SLOTS_PER_FRAME = {15e3: 10, 30e3: 20, 60e3: 40}
+
+    SUBCARRIER_SPACINGS = {15e3, 30e3, 60e3}
+
+    def __init__(
+        self, channel_bandwidth, subcarrier_spacing=15e3, sample_rate=None, xp=np
+    ):
+        if subcarrier_spacing not in self.SUBCARRIER_SPACINGS:
+            raise ValueError(
+                f'subcarrier_spacing must be one of {self.SUBCARRIER_SPACINGS}'
+            )
+
+        if sample_rate is None:
+            sample_rate = self.BW_TO_SAMPLE_RATE[channel_bandwidth]
+
+        if isroundmod(sample_rate, subcarrier_spacing):
+            nfft = round(sample_rate / subcarrier_spacing)
+        else:
+            raise ValueError('sample_rate / subcarrier_spacing must be counting number')
+
+        if nfft in self.FFT_SIZE_TO_SUBCARRIERS:
+            self.subcarriers = self.FFT_SIZE_TO_SUBCARRIERS[nfft]
+
+        cp_sizes = (nfft * self.MIN_CP_SIZES) // 128
+
+        super().__init__(
+            channel_bandwidth=channel_bandwidth,
+            nfft=nfft,
+            sample_rate=sample_rate,
+            frame_duration=10e-3,
+            cp_sizes=cp_sizes,
+        )
+
+    @_instance_method_cache(4)
+    def index_cyclic_prefix(self, *, frames=(0,), symbols='all', slots='all'):
+        """indexing tensor for cyclic prefix correlation across
+        (symbol, slot, frame, cp sample) axes (reference ofdm.py:592-640)."""
+        frames = np.array(frames)
+        frame_size = round(self.sample_rate * 10e-3)
+
+        slots = _index_or_all(
+            slots,
+            '"slots" argument',
+            size=self.SCS_TO_SLOTS_PER_FRAME[self.subcarrier_spacing],
+            xp=np,
+        )
+        symbols = _index_or_all(
+            symbols, '"symbols" argument', size=self.FFT_PER_SLOT, xp=np
+        )
+
+        grid = []
+        # axis 0: symbol number within each slot
+        grid.append(self.cp_start_idx[symbols])
+        # axis 1: slot number
+        grid.append(self.contiguous_size * slots)
+        # axis 2: frame number
+        grid.append(frames * frame_size)
+        # axis 3: cp sample index
+        grid.append(np.arange(int(self.cp_sizes[1])))
+
+        grid = [np.atleast_1d(np.squeeze(g)) for g in grid if np.size(g) > 1]
+        inds, *offsets = np.meshgrid(*grid, indexing='ij', copy=False)
+
+        inds = inds.copy()
+        for offset in offsets:
+            inds = inds + offset
+
+        return inds
+
+
+class Phy802_16(PhyOFDM):
+    """Sampling and index parameters and lookup tables for IEEE 802.16-2017
+    OFDMA (reference ofdm.py:648-795)."""
+
+    VALID_CP_RATIOS = {1 / 32, 1 / 16, 1 / 8, 1 / 4}
+    VALID_FFT_SIZES = {128, 512, 1024, 2048}
+    VALID_FRAME_DURATIONS = {
+        2e-3,
+        2.5e-3,
+        4e-3,
+        5e-3,
+        8e-3,
+        10e-3,
+        12.5e-3,
+        20e-3,
+        25e-3,
+        40e-3,
+        50e-3,
+    }
+
+    SAMPLING_FACTOR_BY_FREQUENCY_DIV = {
+        1.25: 28 / 25,
+        1.5: 28 / 25,
+        1.75e6: 8 / 7,
+        2: 28 / 25,
+        2.75: 28 / 25,
+    }
+
+    def __init__(
+        self,
+        channel_bandwidth: float,
+        *,
+        alt_sample_rate: float = None,
+        frame_duration: float = 5e-3,
+        nfft: float = 2048,
+        cp_ratio: float = 1 / 8,
+        xp=np,
+    ):
+        """
+        Args:
+            channel_bandwidth: channel bandwidth per 802.16-2017
+            alt_sample_rate: overrides the standardized sample rate to match
+                recorded data
+            frame_duration: one of VALID_FRAME_DURATIONS
+            nfft: fft size of the useful symbol portion
+            cp_ratio: cyclic prefix size as a fraction of nfft
+        """
+        if not isinstance(channel_bandwidth, Number):
+            raise TypeError('expected numeric value for channel_bandwidth')
+        elif channel_bandwidth < 1.25e6:
+            raise ValueError(
+                'standardized values for channel_bandwidth not supported yet'
+            )
+        elif not np.isclose(channel_bandwidth % 125e3, 0, atol=1e-6):
+            raise ValueError('channel bandwidth must be set in increments of 125 kHz')
+
+        if nfft not in self.VALID_FFT_SIZES:
+            raise ValueError(f'nfft must be one of {self.VALID_FFT_SIZES}')
+
+        if cp_ratio in self.VALID_CP_RATIOS:
+            self.cp_ratio = cp_ratio
+        else:
+            raise ValueError(f'cp_ratio must be one of {self.VALID_CP_RATIOS}')
+
+        if frame_duration not in self.VALID_FRAME_DURATIONS:
+            raise ValueError(
+                f'frame_duration must be one of {self.VALID_FRAME_DURATIONS}'
+            )
+
+        for freq_divisor, n in self.SAMPLING_FACTOR_BY_FREQUENCY_DIV.items():
+            if np.isclose(channel_bandwidth % freq_divisor, 0, atol=1e-6):
+                sampling_factor = self.sampling_factor = n
+                break
+        else:
+            # no table match: standardized default
+            sampling_factor = self.sampling_factor = 8 / 7
+
+        std_sample_rate = np.floor(sampling_factor * channel_bandwidth / 8000) * 8000
+        cp_size = int(np.rint(cp_ratio * nfft))
+        self.total_symbol_duration = (
+            int(np.rint((1 + cp_ratio) * nfft)) / std_sample_rate
+        )
+        self.symbols_per_frame = int(
+            np.floor(frame_duration / self.total_symbol_duration)
+        )
+
+        if alt_sample_rate is None:
+            sample_rate = std_sample_rate
+        else:
+            scale = alt_sample_rate / std_sample_rate
+
+            if not (isclosetoint(scale) or isclosetoint(1 / scale)):
+                raise ValueError(
+                    'alt_sample_rate must be integer multiple or divisor of ofdm sample_rate'
+                )
+            if not isclosetoint(cp_size * scale):
+                raise ValueError(
+                    'alt_sample_rate is too small to capture any cyclic prefixes'
+                )
+
+            nfft = round(nfft * scale)
+            cp_size = round(cp_size * scale)
+            sample_rate = alt_sample_rate
+
+        super().__init__(
+            channel_bandwidth=channel_bandwidth,
+            nfft=nfft,
+            sample_rate=sample_rate,
+            frame_duration=frame_duration,
+            cp_sizes=np.full(self.symbols_per_frame, cp_size),
+            contiguous_size=round(frame_duration * sample_rate),
+        )
+
+    @_instance_method_cache(4)
+    def index_cyclic_prefix(self, *, frames=(0,), symbols='all'):
+        """indexing tensor for cyclic prefix correlation
+        (reference ofdm.py:759-795)."""
+        frames = np.array(frames)
+
+        symbols = _index_or_all(
+            symbols, '"symbols" argument', size=self.symbols_per_frame, xp=np
+        )
+
+        grid = [
+            self.cp_start_idx[symbols],  # symbol number in each frame
+            frames * self.frame_size,  # frame number
+            np.arange(int(self.cp_sizes[1])),  # cp sample index
+        ]
+
+        a = np.meshgrid(*grid, indexing='ij', copy=False)
+
+        inds = a[0].copy()
+        for sub in a[1:]:
+            inds = inds + sub
+
+        return inds
+
+
+empty_complex64 = np.zeros(0, dtype=np.complex64)
+
+
+class BasebandClockSynchronizer:
+    """Use the cyclic prefix (CP) in the LTE PHY layer to (1) resample to
+    correct clock mismatch relative to the transmitter, and (2) align the
+    signal to the start of a CP (reference ofdm.py:801-1045).
+
+    Usage:
+
+        sync = BasebandClockSynchronizer(channel_bandwidth=channel_bandwidth)
+        y = sync(x, 0.1)
+
+    The reference's sklearn LinearRegression (ofdm.py:947) is replaced by a
+    closed-form weighted least-squares fit; debug prints become logging.
+    """
+
+    # coarse search step, as a fraction of the first cyclic prefix length
+    COARSE_CP0_STEP = 1.0 / 6
+
+    def __init__(
+        self,
+        channel_bandwidth: float,
+        correlation_subframes: int = 20,
+        sync_window_count: int = 2,
+        which_cp: str = 'all',
+        subcarrier_spacing=15e3,
+        xp=np,
+    ):
+        self.phy = Phy3GPP(channel_bandwidth, subcarrier_spacing=subcarrier_spacing)
+        self.correlation_subframes = correlation_subframes
+        self.sync_size = (
+            sync_window_count * correlation_subframes * self.phy.contiguous_size
+        )
+
+        # index array of cyclic prefix samples, duplicated across slots
+        cp_gate = self.phy.cp_idx  # 1 single slot
+        i_slot_starts = self.phy.contiguous_size * np.arange(correlation_subframes)
+        cp_gate = indexsum2d(i_slot_starts, cp_gate).flatten()
+
+        # coarse grid spanning one slot, at COARSE_CP0_STEP resolution
+        coarse_step = int(self.phy.cp_sizes[1] * self.COARSE_CP0_STEP)
+        self.cp_offsets_coarse = np.arange(
+            0, self.phy.nfft + self.phy.cp_sizes[1], coarse_step, dtype=int
+        )
+        self.cp_indices_coarse = indexsum2d(self.cp_offsets_coarse, cp_gate)
+
+        # fine grid applied relative to the coarse result
+        self.cp_offsets_fine = np.arange(
+            -np.ceil(coarse_step / 2), np.ceil(coarse_step / 2) + 1, 1, dtype=int
+        )
+        self.cp_indices_fine = indexsum2d(self.cp_offsets_fine, cp_gate)
+
+    def _cp_correlate(self, x, cp_inds):
+        """correlate x against its nfft-shifted self over trial offsets.
+
+        cp_inds: (M trial offsets, N cp sample offsets) index array
+        """
+        xp = array_namespace(x)
+        cp_inds = (
+            xp.asarray(cp_inds) if xp is not np else cp_inds
+        )
+        return correlate_along_axis(x[cp_inds], x[self.phy.nfft :][cp_inds], axis=1)
+
+    def _find_slot_start_offset(self, x):
+        """estimate the offset aligning a slot start to index 0
+        (reference ofdm.py:873-891)."""
+        xp = array_namespace(x)
+
+        # coarse estimate to within coarse_step samples
+        coarse_corr = xp.abs(self._cp_correlate(x, self.cp_indices_coarse))
+        coarse_offset = int(self.cp_offsets_coarse[int(xp.argmax(coarse_corr))])
+
+        # fine estimate near the coarse result
+        fine_corr = xp.abs(self._cp_correlate(x, self.cp_indices_fine + coarse_offset))
+        n_fine = int(xp.argmax(fine_corr))
+        fine_offset = coarse_offset + int(self.cp_offsets_fine[n_fine])
+
+        noise_est = float(np.nanmedian(np.sort(np.asarray(coarse_corr))[:-3]))
+
+        return fine_offset, float(fine_corr[n_fine]), noise_est
+
+    def _offset_by_sync_period(self, x):
+        """slot-start offsets for each sync_size chunk
+        (reference ofdm.py:893-910)."""
+        xp = array_namespace(x)
+
+        splits = list(range(self.sync_size, x.shape[0], self.sync_size))
+        input_chunks = xp.split(x, splits)
+
+        if len(input_chunks[-1]) != len(input_chunks[0]):
+            input_chunks = input_chunks[:-1]
+
+        ret = [self._find_slot_start_offset(chunk) for chunk in input_chunks]
+
+        return np.array(ret)
+
+    def _estimate_clock_mismatch(self, x, snr_min=3):
+        """phase-unwrapped weighted linear regression of slot offsets vs
+        time (reference ofdm.py:912-959, with closed-form WLS replacing
+        sklearn)."""
+        offsets, weights, noise = self._offset_by_sync_period(x).T
+        t_sync = (self.sync_size / self.phy.sample_rate) * np.arange(offsets.size)
+
+        self.snr = weights / noise
+
+        # require minimum SNR for inclusion (protects np.unwrap)
+        select = self.snr > snr_min
+
+        logger.info(
+            '%d sync windows had well-correlated cyclic prefix (%.1f%%)',
+            select.sum(),
+            select.sum() / select.size * 100,
+        )
+        offsets = offsets[select]
+        t_sync = t_sync[select]
+        weights = weights[select]
+
+        # offsets wrap modulo (nfft + first CP length); unwrap for the fit
+        offsets = self._unwrap_offsets(offsets)
+
+        slope, intercept = _weighted_least_squares(t_sync, offsets, weights)
+
+        slipped_samples = int(np.round(slope * x.size / self.phy.sample_rate))
+
+        self._regression_info = dict(
+            inputs=(t_sync, offsets, weights),
+            fit=(slope, intercept),
+            slipped_samples=slipped_samples,
+        )
+
+        return slipped_samples, intercept
+
+    def _unwrap_offsets(self, offsets):
+        scale_rad = 2 * np.pi / self.phy.nfft
+        return (np.unwrap(offsets * scale_rad) / scale_rad).astype(int)
+
+    def __call__(
+        self, x, subsample_offset_correction=True, max_passes=10, on_fail='except'
+    ):
+        """resample to correct baseband clock mismatch
+        (reference ofdm.py:978-1045).
+
+        Args:
+            subsample_offset_correction: True for FFT subsample alignment;
+                False to round to the nearest whole-sample offset
+        """
+        total_sample_slip = 0
+        for i in range(max_passes + 1):
+            logger.info('baseband clock correction pass %d', i + 1)
+            sample_slip, offset = self._estimate_clock_mismatch(x)
+            total_sample_slip += sample_slip
+
+            if sample_slip == 0:
+                break
+            else:
+                logger.info('resampling to correct %d slipped samples', sample_slip)
+                x = fourier.resample(x, x.size - sample_slip)
+        else:
+            if on_fail == 'except':
+                raise ValueError(
+                    f'failed to converge on clock mismatch within {max_passes} passes'
+                )
+
+        logger.info(
+            'corrected baseband clock slip by %s samples (%.2f Hz clock mismatch)',
+            total_sample_slip,
+            total_sample_slip / x.size * self.phy.sample_rate,
+        )
+
+        if subsample_offset_correction:
+            x = subsample_shift(x, -offset)
+        else:
+            int_offset = int(round(float(offset)))
+            x = x[int_offset % self.phy.contiguous_size :]
+
+        # keep only an integer number of slots
+        spare_samples = x.size % (2 * self.phy.contiguous_size)
+        if spare_samples > 0:
+            x = x[:-spare_samples]
+
+        return x
+
+
+def _weighted_least_squares(t, y, w):
+    """closed-form weighted least squares fit y ~ slope*t + intercept."""
+    w = np.asarray(w, dtype='float64')
+    t = np.asarray(t, dtype='float64')
+    y = np.asarray(y, dtype='float64')
+
+    wsum = w.sum()
+    tbar = (w * t).sum() / wsum
+    ybar = (w * y).sum() / wsum
+    cov = (w * (t - tbar) * (y - ybar)).sum()
+    var = (w * (t - tbar) ** 2).sum()
+    slope = cov / var if var > 0 else 0.0
+    intercept = ybar - slope * tbar
+    return slope, intercept
+
+
+class SymbolDecoder:
+    """decode symbols from a clock-synchronized waveform using LTE PHY
+    numerology and power-step edge detection for TTI alignment
+    (reference ofdm.py:1048-1117).
+
+    Usage:
+
+        decode = SymbolDecoder(channel_bandwidth=channel_bandwidth)
+        y = decode(x)
+    """
+
+    def __init__(self, channel_bandwidth):
+        self.phy = Phy3GPP(channel_bandwidth)
+
+    @staticmethod
+    def prb_power(symbols):
+        """total power in each PRB (reference ofdm.py:1066-1071)."""
+        xp = array_namespace(symbols)
+        by_prb = xp.abs(to_blocks(symbols, Phy3GPP.SUBFRAMES_PER_PRB)) ** 2
+        return by_prb.sum(axis=-1)
+
+    def _decode_symbols(self, x, only_3gpp_subcarriers=True):
+        """(reference ofdm.py:1073-1093)"""
+        xp = array_namespace(x)
+
+        # select symbol indices (== remove cyclic prefixes)
+        x = to_blocks(x, 2 * self.phy.contiguous_size)[:, self.phy.symbol_idx].reshape(-1)
+
+        # break up the waveform into windows of length nfft
+        blocks = to_blocks(x, self.phy.nfft)
+
+        # decode with the fft
+        X = xp.fft.fftshift(xp.fft.fft(blocks, axis=-1), axes=(-1,))
+
+        X = X / xp.sqrt(xp.asarray(2 * self.phy.nfft, dtype=X.real.dtype))
+
+        if only_3gpp_subcarriers:
+            sc_start = X.shape[-1] // 2 - self.phy.subcarriers // 2
+            sc_stop = X.shape[-1] // 2 + self.phy.subcarriers // 2
+            X = X[:, sc_start:sc_stop]
+
+        return X
+
+    def _align_symbols_to_tti(self, symbols):
+        """(reference ofdm.py:1095-1110)"""
+        xp = array_namespace(symbols)
+
+        # strongest power change across all PRBs in each FFT window
+        power = self.prb_power(symbols)
+        if xp is np:
+            power_diff = np.diff(power, axis=0, append=0) / power
+        else:
+            power_diff = jnp.diff(power, axis=0, append=0) / power
+        diff_peaks = xp.abs(power_diff).max(axis=1)
+        diff_peak_by_symbol = to_blocks(diff_peaks, Phy3GPP.FFT_PER_SLOT, truncate=True)
+        self._diff_peak_by_symbol = diff_peak_by_symbol
+        self._diff_peaks = diff_peaks
+        self._power_diff = power_diff
+
+        # where the maxima occur in each tti
+        tti_offset = int(diff_peak_by_symbol.max(axis=0).argmax()) + 1
+
+        return symbols[tti_offset:]
+
+    def __call__(self, x):
+        symbols = self._decode_symbols(x)
+        symbols = self._align_symbols_to_tti(symbols)
+        return symbols

@@ -1,0 +1,93 @@
+"""FFT wrappers and the monotonic fftfreq replacement.
+
+Feature parity: reference fourier.py:200-245 (fft/ifft backend dispatch),
+fourier.py:248-269 (linspace-formulated fftfreq), fourier.py:168-197
+(cupy chunked-FFT helper — superseded here by XLA's batched FFT; the
+memory-bounding role of that chunking is provided instead by
+parallel.streaming's lax.scan chunked pipelines).
+
+TPU-native notes:
+
+* jax inputs run jnp.fft through XLA's batched FFT. ``out=`` /
+  ``overwrite_x=`` are accepted for reference API compatibility; under XLA,
+  buffer reuse is the compiler's job (donation happens at jit boundaries),
+  so they carry no semantics here. This matches the survey guidance to
+  "match semantics (results), not mechanism" (SURVEY.md §7f).
+* numpy inputs run threaded scipy.fft with workers=CPU_COUNT//2, matching
+  reference fourier.py:214-218, so host-side parity oracles behave
+  identically.
+"""
+
+from __future__ import annotations
+
+from os import cpu_count
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import array_namespace, lazy_import
+
+scipy_fft = lazy_import('scipy.fft')
+
+CPU_COUNT = cpu_count()
+
+__all__ = ['fft', 'fftfreq', 'ifft']
+
+# retained as API-compatible knobs (reference fourier.py:48,61-67); the TPU
+# build has no cufft workspace to bound, so these only gate the host path.
+MAX_FFT_CHUNK_SAMPLES = None
+
+
+def set_max_fft_chunk(count):
+    """API-compatible stand-in for reference set_max_cupy_fft_chunk
+    (fourier.py:61-63). No-op for device FFTs under XLA."""
+    global MAX_FFT_CHUNK_SAMPLES
+    MAX_FFT_CHUNK_SAMPLES = count
+
+
+def get_max_fft_chunk():
+    """(reference fourier.py:66-67)"""
+    return MAX_FFT_CHUNK_SAMPLES
+
+
+def fft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None):
+    """forward FFT along ``axis`` (reference fourier.py:200-218)."""
+    xp = array_namespace(x)
+    if xp is jnp:
+        return jnp.fft.fft(x, axis=axis)
+    if workers is None:
+        workers = max(CPU_COUNT // 2, 1)
+    return scipy_fft.fft(x, axis=axis, workers=workers, overwrite_x=overwrite_x)
+
+
+def ifft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None):
+    """inverse FFT along ``axis`` (reference fourier.py:221-245)."""
+    xp = array_namespace(x)
+    if xp is jnp:
+        return jnp.fft.ifft(x, axis=axis)
+    if workers is None:
+        workers = max(CPU_COUNT // 2, 1)
+    return scipy_fft.ifft(x, axis=axis, workers=workers, overwrite_x=overwrite_x)
+
+
+def fftfreq(n: int, d: float, *, xp=np, dtype='float64'):
+    """rounding-error-mitigated replacement for scipy.fft.fftfreq
+    (reference fourier.py:248-269).
+
+    No fftshift is needed for complex-valued data; the result is monotonic,
+    beginning in the negative half-space:
+
+    * even n: linspace(-f_nyq, f_nyq - 2 f_nyq/n, n)
+    * odd n:  linspace(-f_nyq + f_nyq/n, f_nyq - f_nyq/n, n)
+
+    Args:
+        n: fft size
+        d: sample spacing (inverse of sample rate)
+        xp: array module of the result (numpy for host axes, jnp for device)
+    """
+    dtype = np.dtype(dtype)
+    fnyq = 1 / (2 * dtype.type(d))
+    if n % 2 == 0:
+        return xp.linspace(-fnyq, fnyq - 2 * fnyq / n, n, dtype=dtype)
+    else:
+        return xp.linspace(-fnyq + fnyq / n, fnyq - fnyq / n, n, dtype=dtype)

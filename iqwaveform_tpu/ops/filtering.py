@@ -1,0 +1,773 @@
+"""OLA filtering, COLA resampler design, and FFT resampling.
+
+Feature parity: reference fourier.py:360-542 (design_cola_resampler /
+design_fir_resampler / ResamplerDesign / prime sieve), fourier.py:652-704
+(_ola_filter_parameters, _istft_buffer_size), fourier.py:707-19 /
+:789-924 (zero_stft_by_freq, stft_fir_lowpass, downsample_stft + copy-range
+calc), fourier.py:722-786 (design_fir_lpf, _fir_lowpass_fft),
+fourier.py:1107-1181 (ola_filter), fourier.py:1512-1624 (time_fftshift,
+resample), fourier.py:1627-1725 (oaresample).
+
+TPU-native design:
+
+* All *design* functions (COLA rate selection, FIR synthesis, copy-range
+  math) are host-side numpy with lru_cache — their outputs are static jit
+  parameters, the "design-dict -> apply" pattern called out in SURVEY.md §5.
+* The *apply* path (stft -> zero/trim/shift -> istft) is pure traceable
+  jnp: one jit compiles the whole pipeline so frames never round-trip HBM
+  between stages.
+* In-place/out= mechanics of the reference are replaced by XLA fusion and
+  buffer donation at jit boundaries (match results, not mechanism).
+
+Reference bugs intentionally not reproduced (SURVEY.md §7):
+* zero_stft_by_freq derives the band-edge bin indices from the actual
+  frequency axis; the reference (fourier.py:713-715) computes them from a
+  mis-scaled sample rate (frame count x bin step), which silently disables
+  the bandpass for typical parameters.
+* design_fir_resampler returns design['fs'] (the reference does attribute
+  access on a TypedDict, fourier.py:542).
+* _ola_filter_parameters supports window=None/'rect' with zero overlap
+  (the reference's if/elif chain at fourier.py:671-680 raises for them).
+"""
+
+from __future__ import annotations
+
+import typing
+from math import ceil
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import (
+    array_namespace,
+    axis_slice,
+    isroundmod,
+    lru_cache,
+    lazy_import,
+    pad_along_axis,
+)
+from .fft import fft, fftfreq, ifft
+from .stft import broadcast_onto, istft, stft, _axis_tuple
+from .window_design import equivalent_noise_bandwidth, get_window
+
+signal = lazy_import('scipy.signal')
+
+INF = float('inf')
+OLA_MAX_FFT_SIZE = 128 * 1024
+
+__all__ = [
+    'ResamplerDesign',
+    'design_cola_resampler',
+    'design_fir_lpf',
+    'design_fir_resampler',
+    'downsample_stft',
+    'ola_filter',
+    'oaresample',
+    'resample',
+    'stft_fir_lowpass',
+    'time_fftshift',
+    'time_ifftshift',
+    'zero_stft_by_freq',
+]
+
+# required COLA window size divisors (reference fourier.py:52-58)
+_COLA_WINDOW_SIZE_DIVISOR = {
+    None: 1,
+    'rect': 1,
+    'hamming': 2,
+    'blackman': 3,
+    'blackmanharris': 5,
+}
+
+# COLA overlap fraction per window (reference fourier.py:671-682)
+_COLA_OVERLAP_SCALE = {
+    None: 0,
+    'rect': 0,
+    'hamming': 1 / 2,
+    'blackman': 2 / 3,
+    'blackmanharris': 4 / 5,
+}
+
+
+@lru_cache()
+def _prime_fft_sizes(min=2, max=OLA_MAX_FFT_SIZE):
+    """odd primes in (min, max) via sieve (reference fourier.py:360-368)."""
+    s = np.arange(3, max, 2)
+
+    for m in range(3, int(np.sqrt(max) + 1), 2):
+        if s[(m - 3) // 2]:
+            s[(m * m - 3) // 2 :: m] = 0
+
+    return s[(s > min)]
+
+
+class ResamplerDesign(typing.TypedDict):
+    """(reference fourier.py:371-380)"""
+
+    fs_sdr: float
+    lo_offset: float
+    window: typing.Union[str, tuple]
+    nfft: int
+    nfft_out: int
+    frequency_shift: str
+    passband: tuple
+    fs: float
+
+
+@lru_cache()
+def design_cola_resampler(
+    fs_base: float,
+    fs_target: float,
+    bw: float = INF,
+    bw_lo: float = 0,
+    min_oversampling: float = 1.1,
+    min_fft_size=2 * 4096 - 1,
+    shift=False,
+    avoid_primes=True,
+    window=None,
+    fs_sdr: typing.Optional[float] = None,
+) -> ResamplerDesign:
+    """design sampling/LO parameters for COLA resampling
+    (reference fourier.py:384-500).
+
+    Selects the integer-divided SDR sample rate, the LO frequency offset
+    that moves LO leakage outside the analysis bandwidth, and the
+    (nfft, nfft_out) rational resampling pair, avoiding prime FFT sizes.
+
+    Returns:
+        ResamplerDesign kwargs splattable into ola_filter
+    """
+    if bw == INF and shift:
+        raise ValueError(
+            'frequency shifting may only be applied when an analysis bandwidth is specified'
+        )
+
+    if shift:
+        fs_sdr_min = fs_target + min_oversampling * bw / 2 + bw_lo / 2
+    else:
+        fs_sdr_min = fs_target
+
+    if fs_sdr is not None:
+        pass
+    elif fs_base <= fs_target:
+        fs_sdr = fs_base
+    elif shift and fs_sdr_min > fs_base:
+        msg = (
+            f'LO frequency shift with the requested parameters requires '
+            f'running the radio at a minimum {fs_sdr_min / 1e6:0.2f} MS/s, '
+            f'but its maximum rate is {fs_base / 1e6:0.2f} MS/s'
+        )
+        raise ValueError(msg)
+    else:
+        decimation = int(fs_base / fs_sdr_min)
+        fs_sdr = fs_base / decimation
+
+    if bw != INF and bw > fs_base:
+        raise ValueError(
+            'passband bandwidth exceeds Nyquist bandwidth at maximum sample rate'
+        )
+
+    resample_ratio = fs_sdr / fs_target
+
+    # modulos closest to 0 or 1, accommodating downward rounding errors
+    trial_noverlap = resample_ratio * np.arange(1, OLA_MAX_FFT_SIZE + 1)
+    check_mods = isroundmod(trial_noverlap, 1) & (
+        trial_noverlap > min_fft_size * resample_ratio
+    )
+
+    valid_noverlap_out = 1 + np.where(check_mods)[0]
+    if avoid_primes:
+        reject = _prime_fft_sizes(100)
+        valid_noverlap_out = np.setdiff1d(valid_noverlap_out, reject, True)
+    if len(valid_noverlap_out) == 0:
+        raise ValueError('no rational FFT sizes satisfied design constraints')
+
+    nfft_out = valid_noverlap_out[0]
+    nfft_in = round(resample_ratio * nfft_out)
+
+    divisor = _COLA_WINDOW_SIZE_DIVISOR[window]
+    if nfft_out % divisor > 0 or nfft_in % divisor > 0:
+        nfft_out *= divisor
+        nfft_in *= divisor
+
+    if shift == 'left':
+        sign = -1
+    elif shift == 'right':
+        sign = +1
+    elif shift in ('none', False, None):
+        sign = 0
+    else:
+        raise ValueError(f'shift argument must be "left" or "right", not {repr(shift)}')
+
+    if sign != 0 and bw == INF:
+        raise ValueError('a passband bandwidth must be set to design a LO shift')
+
+    if bw == INF:
+        lo_offset = 0
+        passband = (None, None)
+    else:
+        lo_offset = sign * (bw / 2 + bw_lo / 2)
+        passband = (lo_offset - bw / 2, lo_offset + bw / 2)
+
+    return ResamplerDesign(
+        fs_sdr=fs_sdr,
+        lo_offset=lo_offset,
+        window=window or 'hamming',
+        nfft=int(nfft_in),
+        nfft_out=int(nfft_out),
+        frequency_shift=shift,
+        passband=passband,
+        fs=fs_sdr,
+    )
+
+
+def design_fir_resampler(
+    fs_base: float,
+    fs_target: float,
+    bw: float = INF,
+    bw_lo: float = 0,
+    min_oversampling: float = 1.04,
+) -> tuple:
+    """rational (up, down) design for upfirdn resampling
+    (reference fourier.py:503-542; its `design.fs` attribute access on a
+    TypedDict is fixed to an item lookup here).
+
+    Returns:
+        (SDR sample rate, upfirdn keywords)
+    """
+    design = design_cola_resampler(
+        fs_base,
+        fs_target,
+        bw=bw,
+        bw_lo=bw_lo,
+        min_oversampling=min_oversampling,
+        min_fft_size=1,
+        avoid_primes=False,
+    )
+
+    fir_params = {
+        'up': design['nfft_out'],
+        'down': design['nfft'],
+    }
+
+    return design['fs'], fir_params
+
+
+@lru_cache()
+def _ola_filter_parameters(
+    array_size: int, *, window, nfft_out: int, nfft: int, extend: bool
+) -> tuple:
+    """validate and derive (nfft_out, noverlap, overlap_scale, pad_out)
+    (reference fourier.py:652-694)."""
+    if nfft_out is None:
+        nfft_out = nfft
+
+    try:
+        divisor = _COLA_WINDOW_SIZE_DIVISOR[window]
+    except KeyError:
+        raise TypeError(
+            'ola_filter argument "window" must be one of '
+            '("hamming", "blackman", or "blackmanharris")'
+        )
+
+    if nfft_out % divisor != 0:
+        raise ValueError(
+            f'{window!r} window COLA requires output nfft_out % {divisor} == 0'
+        )
+
+    overlap_scale = _COLA_OVERLAP_SCALE[window]
+
+    noverlap = round(nfft_out * overlap_scale)
+
+    if noverlap > 0 and array_size % noverlap != 0:
+        if extend:
+            pad_out = array_size % noverlap
+        else:
+            raise ValueError(
+                f'x.size ({array_size}) is not an integer multiple of noverlap ({noverlap})'
+            )
+    else:
+        pad_out = 0
+
+    return nfft_out, noverlap, overlap_scale, pad_out
+
+
+def _istft_buffer_size(array_size: int, *, window, nfft_out: int, nfft: int, extend: bool):
+    """(reference fourier.py:697-704)"""
+    nfft_out, _, overlap_scale, pad_out = _ola_filter_parameters(
+        array_size, window=window, nfft_out=nfft_out, nfft=nfft, extend=extend
+    )
+    nfft_max = max(nfft_out, nfft)
+    if overlap_scale == 0:
+        fft_count = 2 + (array_size + pad_out) / nfft_max
+    else:
+        fft_count = 2 + ((array_size + pad_out) / nfft_max) / overlap_scale
+    return ceil(fft_count * nfft_max)
+
+
+@lru_cache()
+def _freq_band_edges(n, d, cutoff_low, cutoff_hi, *, xp=np):
+    """bin index range [ilo, ihi) bounding the passband
+    (reference fourier.py:1184-1200). Host-side: indices are static under jit."""
+    freqs = fftfreq(n, d, xp=np)
+
+    if cutoff_low is None:
+        ilo = None
+    else:
+        matches = np.where(freqs >= cutoff_low)[0]
+        if matches.size == 0:
+            raise ValueError('cutoff_low exceeds the maximum frequency')
+        ilo = int(matches[0])
+
+    if cutoff_hi is None:
+        ihi = None
+    elif cutoff_hi >= freqs[-1]:
+        ihi = int(freqs.size)
+    else:
+        ihi = int(np.where(freqs <= cutoff_hi)[0][-1])
+
+    return ilo, ihi
+
+
+def zero_stft_by_freq(freqs, xstft, *, passband: tuple, axis=0):
+    """bandpass in the STFT domain by zeroing out-of-band bins
+    (reference fourier.py:707-719, with the band-edge sample-rate bug fixed:
+    the bin range is derived from the frequency axis itself)."""
+    xp = array_namespace(xstft)
+
+    freq_step = float(freqs[1] - freqs[0])
+    nfreq = xstft.shape[axis + 1]
+    fs = nfreq * freq_step
+    ilo, ihi = _freq_band_edges(int(nfreq), 1.0 / fs, *passband)
+
+    if xp is jnp:
+        if ilo is not None and ilo > 0:
+            xstft = xstft.at[_axis_tuple(xstft.ndim, axis + 1, slice(0, ilo))].set(0)
+        if ihi is not None and ihi < nfreq:
+            xstft = xstft.at[_axis_tuple(xstft.ndim, axis + 1, slice(ihi, None))].set(0)
+        return xstft
+
+    np.copyto(axis_slice(xstft, 0, ilo, axis=axis + 1), 0)
+    if ihi is not None:
+        np.copyto(axis_slice(xstft, ihi, None, axis=axis + 1), 0)
+    return xstft
+
+
+@lru_cache()
+def design_fir_lpf(
+    bandwidth,
+    sample_rate,
+    *,
+    numtaps=4001,
+    transition_bandwidth=250e3,
+    dtype='float32',
+    xp=np,
+):
+    """least-squares FIR low-pass design (reference fourier.py:722-743)."""
+    edges = [
+        0,
+        bandwidth / 2 - transition_bandwidth / 2,
+        bandwidth / 2 + transition_bandwidth / 2,
+        sample_rate / 2,
+    ]
+    bands = list(zip(edges[:-1], edges[1:]))
+    desired = [1, 1, 1, 0, 0, 0]
+
+    b = signal.firls(numtaps, bands=bands, desired=desired, fs=sample_rate)
+
+    return xp.asarray(b.astype(dtype))
+
+
+@lru_cache()
+def _fir_lowpass_fft(
+    size: int,
+    sample_rate: float,
+    *,
+    cutoff: float,
+    transition: float,
+    window='hamming',
+    xp=np,
+    dtype='complex64',
+):
+    """complex frequency response of an FIR filter for STFT-domain filtering
+    (reference fourier.py:746-786)."""
+    if cutoff == float('inf'):
+        h = np.ones(size, dtype=dtype)
+    else:
+        freqs = [
+            0,
+            cutoff,
+            cutoff + transition,
+            sample_rate / 2,
+        ]
+        h = signal.firwin2(
+            size, freqs, [1.0, 1, 0.0, 0.0], window=window, fs=sample_rate
+        )
+
+    taps = np.asarray(h).astype(dtype)
+    w = get_window('rect', size, xp=np, dtype=dtype, fftshift=True)
+    H = np.fft.fft(taps * w)
+    return xp.asarray(H * w)
+
+
+def stft_fir_lowpass(
+    xstft,
+    *,
+    sample_rate: float,
+    bandwidth: float,
+    transition_bandwidth: float,
+    axis=0,
+    out=None,
+):
+    """apply an FIR low-pass in the STFT domain (reference fourier.py:789-812)."""
+    xp = array_namespace(xstft)
+
+    H = _fir_lowpass_fft(
+        xstft.shape[axis + 1],
+        sample_rate=sample_rate,
+        cutoff=bandwidth / 2,
+        transition=transition_bandwidth,
+        dtype=np.dtype(xstft.dtype).name,
+        window='rect',
+        xp=xp,
+    )
+
+    H = broadcast_onto(H.astype(xstft.dtype), xstft, axis=axis + 1)
+    return xstft * H
+
+
+@lru_cache(100)
+def _find_downsample_copy_range(
+    nfft_in: int, nfft_out: int, edge_in_start, edge_in_end
+):
+    """frequency-domain copy bounds for rational downsampling
+    (reference fourier.py:815-847)."""
+    if edge_in_start is None:
+        edge_in_start = 0
+    if edge_in_end is None:
+        edge_in_end = nfft_in
+    passband_size = edge_in_end - edge_in_start
+    passband_center = (edge_in_end + edge_in_start) // 2
+
+    max_copy_size = min(passband_size, nfft_out)
+    copy_in_start = max(passband_center - max_copy_size // 2, 0)
+    copy_in_end = min(passband_center - max_copy_size // 2 + max_copy_size, nfft_in)
+    copy_size = copy_in_end - copy_in_start
+
+    assert copy_size <= nfft_out, (copy_size, nfft_out)
+    assert copy_size >= 0, copy_size
+
+    output_zeros_size = max(nfft_out - copy_size, 0)
+    copy_out_start = output_zeros_size // 2
+    copy_out_end = copy_out_start + copy_size
+
+    assert copy_out_end <= nfft_out
+
+    return (copy_out_start, copy_out_end), (copy_in_start, copy_in_end), passband_center
+
+
+@lru_cache(16)
+def _find_downsampled_freqs(nfft_out, freq_step, xp=np):
+    """(reference fourier.py:850-852)"""
+    return fftfreq(nfft_out, 1.0 / (freq_step * nfft_out), xp=xp)
+
+
+def downsample_stft(
+    freqs,
+    y,
+    nfft_out: int,
+    *,
+    passband: tuple = (None, None),
+    axis=0,
+    out=None,
+):
+    """downsample/filter an STFT in the frequency domain
+    (reference fourier.py:866-924): rational downsampling by
+    nfft_out/y.shape[axis+1], shifted to center the passband.
+
+    Returns:
+        (new freqs array, trimmed stft)
+    """
+    xp = array_namespace(y)
+    ax = axis + 1
+
+    shape_out = list(y.shape)
+    shape_out[ax] = nfft_out
+
+    freq_step = float(freqs[1] - freqs[0])
+    fs = y.shape[ax] * freq_step
+    passband_start, passband_end = _freq_band_edges(y.shape[ax], 1 / fs, *passband)
+    bounds_out, bounds_in, _ = _find_downsample_copy_range(
+        y.shape[ax], nfft_out, passband_start, passband_end
+    )
+    freqs_out = _find_downsampled_freqs(nfft_out, freq_step, xp=np)
+
+    ysel = axis_slice(y, *bounds_in, axis=ax)
+
+    if tuple(bounds_out) == (0, shape_out[ax]):
+        # fast path: pure slice, no zero fill needed
+        # (reference fourier.py:905-908 returns a view here)
+        return freqs_out, ysel
+
+    if xp is jnp:
+        xout = jnp.zeros(tuple(shape_out), dtype=y.dtype)
+        xout = xout.at[_axis_tuple(xout.ndim, ax, slice(*bounds_out))].set(ysel)
+    else:
+        xout = np.zeros(tuple(shape_out), dtype=y.dtype)
+        np.copyto(axis_slice(xout, *bounds_out, axis=ax), ysel)
+
+    return freqs_out, xout
+
+
+def ola_filter(
+    x,
+    *,
+    fs: float,
+    nfft: int,
+    window='hamming',
+    passband: tuple,
+    nfft_out: int = None,
+    frequency_shift=False,
+    axis=0,
+    extend=False,
+    out=None,
+    overwrite_x=False,
+):
+    """bandpass filter (and optional rational resample) via STFT
+    overlap-and-add (reference fourier.py:1107-1181).
+
+    Args:
+        x: input waveform
+        fs: sample rate (Hz)
+        nfft: input FFT window size
+        window: COLA window ('hamming', 'blackman', or 'blackmanharris')
+        passband: (low cutoff, high cutoff) in Hz; None to skip either
+        nfft_out: output FFT size, for rational resampling by nfft_out/nfft
+        frequency_shift: 'left'/'right' to shift the downsampled band
+        extend: allow zero-padded edges for non-integer window counts
+
+    Returns:
+        the filtered (and resampled) waveform
+    """
+    nfft_out, noverlap, overlap_scale, _ = _ola_filter_parameters(
+        int(x.size),
+        window=window,
+        nfft_out=nfft_out,
+        nfft=nfft,
+        extend=extend,
+    )
+
+    enbw = equivalent_noise_bandwidth(window, nfft_out, fftbins=False)
+
+    freqs, _, y = stft(
+        x,
+        fs=fs,
+        window=window,
+        nperseg=nfft,
+        noverlap=round(nfft * overlap_scale),
+        axis=axis,
+        truncate=False,
+    )
+
+    # shrink the zeroed band by the window ENBW on each side; None edges
+    # pass through (the reference errors on None passband edges here)
+    pb_lo = None if passband[0] is None else passband[0] + enbw
+    pb_hi = None if passband[1] is None else passband[1] - enbw
+    y = zero_stft_by_freq(freqs, y, passband=(pb_lo, pb_hi), axis=axis)
+
+    if nfft_out != nfft or frequency_shift:
+        freqs, y = downsample_stft(
+            freqs,
+            y,
+            nfft_out=nfft_out,
+            passband=passband,
+            axis=axis,
+        )
+
+    return istft(
+        y,
+        round(x.shape[axis] * nfft_out / nfft),
+        nfft=nfft_out,
+        noverlap=noverlap,
+        axis=axis,
+    )
+
+
+def time_fftshift(x, scale=None, overwrite_x=False, axis=0):
+    """apply an fftshift as a time-domain +/-1 multiply
+    (reference fourier.py:1512-1534). Requires even size along ``axis``."""
+    xp = array_namespace(x)
+
+    if x.shape[axis] % 2 != 0:
+        raise ValueError('x.shape[axis] must be even')
+
+    if np.ndim(scale) > 1:
+        raise ValueError('scale must be 1-D or scalar')
+
+    shift = np.ones(x.shape[axis], dtype='float32')
+    shift[1::2] = -1
+    shift = xp.asarray(shift)
+    pattern = broadcast_onto(shift, x, axis=axis)
+
+    if scale is None:
+        return x * pattern.astype(x.dtype)
+
+    scale = xp.asarray(scale, dtype=x.dtype if not xp.iscomplexobj(x) else None)
+    if np.ndim(scale) == 1:
+        # per-signal scale broadcast onto the axis preceding `axis`
+        # (reference fourier.py:1531)
+        scale = broadcast_onto(scale, x, axis=max(axis - 1, 0))
+
+    return x * (pattern * scale).astype(x.dtype)
+
+
+time_ifftshift = time_fftshift
+
+
+def resample(
+    x,
+    num: int,
+    axis=0,
+    window=None,
+    domain: str = 'time',
+    overwrite_x=False,
+    scale=1,
+    shift=0,
+):
+    """scipy.signal.resample reimplementation via FFT trim/pad
+    (reference fourier.py:1540-1624): time-domain fftshift multiply ->
+    FFT -> frequency trim (downsample, with optional integer shift) or
+    zero-pad (upsample) -> IFFT -> ifftshift.
+    """
+    if domain not in ('time', 'freq'):
+        raise ValueError(
+            f"Acceptable domain flags are 'time' or 'freq', not domain={domain}"
+        )
+
+    if x.shape[axis] == num:
+        return x
+
+    xp = array_namespace(x)
+
+    nfft_in = x.shape[axis]
+    nfft_out = num
+
+    if nfft_in % 2 != 0:
+        raise ValueError('x.shape[axis] must be even')
+
+    if window is not None:
+        raise ValueError('window argument is not supported')
+
+    if shift == 0:
+        edge_low = edge_high = None
+    elif nfft_out > nfft_in:
+        raise ValueError('shift is only supported when downsampling')
+    else:
+        edge_low = nfft_in // 2 - nfft_out // 2 + shift
+        edge_high = edge_low + nfft_out
+
+        if edge_low < 0:
+            raise ValueError('shift is too small')
+        if edge_high > nfft_in:
+            raise ValueError('shift is too large')
+
+    resample_scale = float(nfft_out) / float(nfft_in) * scale
+
+    if domain == 'time':
+        # fftshift as a time-domain multiply enables clean slice-driven
+        # downsampling without an fftshift gather pass
+        xs = time_fftshift(x, resample_scale, axis=axis)
+        y = fft(xs, axis=axis)
+    else:  # domain == 'freq'
+        y = x * resample_scale
+
+    if nfft_out < nfft_in:
+        bounds = _find_downsample_copy_range(nfft_in, nfft_out, edge_low, edge_high)[1]
+        y = axis_slice(y, *bounds, axis=axis)
+    elif nfft_out > nfft_in:
+        pad_left = (nfft_out - nfft_in) // 2
+        pad_right = pad_left + (nfft_out - nfft_in) % 2
+        y = pad_along_axis(y, [[pad_left, pad_right]], axis=axis)
+
+    xout = ifft(y, axis=axis)
+
+    return time_ifftshift(xout, overwrite_x=True, axis=axis)
+
+
+def oaresample(
+    x,
+    up,
+    down,
+    fs,
+    *,
+    window='hamming',
+    overwrite_x=False,
+    axis=1,
+    frequency_shift=0,
+    filter_bandwidth=None,
+    transition_bandwidth=250e3,
+    scale: float = 1.0,
+):
+    """rational resampling via STFT overlap-and-add
+    (reference fourier.py:1627-1725), with optional STFT-domain FIR lowpass
+    and output power rescale.
+    """
+    nfft = down
+    nfft_out = up
+    size_in = x.size
+
+    nfft_out, noverlap, overlap_scale, _ = _ola_filter_parameters(
+        int(x.size),
+        window=window,
+        nfft_out=nfft_out,
+        nfft=nfft,
+        extend=True,
+    )
+
+    if frequency_shift == 0:
+        edge_low = edge_high = None
+    elif down < up:
+        raise ValueError('frequency_shift is only supported when downsampling')
+    elif isroundmod(frequency_shift, fs / nfft):
+        shift = round(frequency_shift / (fs / nfft))
+        edge_low = nfft // 2 - nfft_out // 2 + shift
+        edge_high = edge_low + nfft_out
+
+        if edge_low < 0:
+            raise ValueError('frequency_shift is too small')
+        if edge_high > nfft:
+            raise ValueError('frequency_shift is too large')
+    else:
+        raise ValueError('frequency_shift must be a multiple of fs/up')
+
+    y = stft(
+        x,
+        fs=fs,
+        window=window,
+        nperseg=nfft,
+        noverlap=round(nfft * overlap_scale),
+        axis=axis,
+        truncate=False,
+        return_axis_arrays=False,
+    )
+
+    if nfft_out < nfft:
+        bounds = _find_downsample_copy_range(nfft, nfft_out, edge_low, edge_high)[1]
+        y = axis_slice(y, *bounds, axis=axis + 1)
+    elif nfft_out > nfft:
+        pad_left = (nfft_out - nfft) // 2
+        pad_right = pad_left + (nfft_out - nfft) % 2
+        y = pad_along_axis(y, [[pad_left, pad_right]], axis=axis + 1)
+
+    if filter_bandwidth is not None and np.isfinite(filter_bandwidth):
+        y = stft_fir_lowpass(
+            y,
+            sample_rate=fs * up / down,
+            bandwidth=filter_bandwidth,
+            transition_bandwidth=transition_bandwidth,
+            axis=axis,
+        )
+
+    xr = istft(y, nfft=nfft_out, noverlap=noverlap, axis=axis)
+
+    return xr * (xr.size / size_in * scale)

@@ -1,0 +1,525 @@
+"""Transformations and statistical tools for power time series.
+
+Feature parity: reference power_analysis.py (648 LoC): dB/power ufuncs with
+pandas/xarray passthrough and unit-string transforms (:40-70,104-165),
+detector shorthand mapping (:73-101), binned and cyclic power (:341-510),
+CCDF and rolling histograms (:513-648).
+
+TPU-native notes:
+
+* The reference's three dispatch tiers (numexpr strings on CPU, cupy.fuse
+  kernels on GPU — C15 in SURVEY.md §2 — plain xp ops otherwise) collapse
+  to plain jnp expressions: XLA fuses elementwise chains natively, so the
+  fused-kernel tier is the *default* here rather than an accelerator
+  special case. ``out=`` buffers are accepted for API compatibility; XLA
+  owns buffer reuse.
+* Everything is traceable: called on jax tracers inside jit, these run on
+  device; called on numpy/pandas eagerly, they compute with numpy and
+  repackage (Series->Series, DataFrame->DataFrame, xarray attrs get unit
+  transforms when xarray is installed).
+"""
+
+from __future__ import annotations
+
+import re
+import warnings
+from functools import partial
+from numbers import Number
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import (
+    Domain,
+    array_namespace,
+    float_dtype_like,
+    get_input_domain,
+    histogram_last_axis,
+    isroundmod,
+    lazy_import,
+    lru_cache,
+    optional_import,
+    to_blocks,
+)
+
+pd = lazy_import('pandas')
+
+warnings.filterwarnings('ignore', message='.*divide by zero.*')
+warnings.filterwarnings('ignore', message='.*invalid value encountered.*')
+
+__all__ = [
+    'dBlinmean',
+    'dBlinsum',
+    'dBtopow',
+    'envtodB',
+    'envtopow',
+    'iq_to_bin_power',
+    'iq_to_cyclic_power',
+    'iq_to_frame_power',
+    'powtodB',
+    'power_histogram_along_axis',
+    'sample_ccdf',
+    'stat_ufunc_from_shorthand',
+    'unstack_series_to_bins',
+]
+
+_DB_UNIT_MAPPING = {'dBm': 'mW', 'dBW': 'W', 'dB': 'unitless'}
+
+
+def unit_dB_to_linear(s: str):
+    """(reference power_analysis.py:43-46)"""
+    for db_unit, lin_unit in _DB_UNIT_MAPPING.items():
+        s, _ = re.subn('^' + db_unit, lin_unit, s, count=1)
+    return s
+
+
+def unit_linear_to_dB(s: str):
+    for db_unit, lin_unit in _DB_UNIT_MAPPING.items():
+        s, _ = re.subn('^' + lin_unit, db_unit, s, count=1)
+    return s
+
+
+def unit_dB_to_wave(s: str):
+    for db_unit, lin_unit in _DB_UNIT_MAPPING.items():
+        s, _ = re.subn('^' + db_unit, '√' + lin_unit, s, count=1)
+    return s
+
+
+def unit_wave_to_dB(s: str):
+    for db_unit, lin_unit in _DB_UNIT_MAPPING.items():
+        s, _ = re.subn('^√' + lin_unit, db_unit, s, count=1)
+    return s
+
+
+def unit_wave_to_linear(s: str):
+    for db_unit, lin_unit in _DB_UNIT_MAPPING.items():
+        s, _ = re.subn('^√' + lin_unit, lin_unit, s, count=1)
+    return s
+
+
+@lru_cache()
+def stat_ufunc_from_shorthand(kind, xp=np, axis=0):
+    """map a detector shorthand to a reduction ufunc
+    (reference power_analysis.py:73-101).
+
+    'min'/'max'/'peak'/'mean'/'rms'/'median' by name, a float for a
+    quantile, or a callable.
+    """
+    NAMED_UFUNCS = {
+        'min': xp.min,
+        'max': xp.max,
+        'peak': xp.max,
+        'mean': xp.mean,
+        'rms': xp.mean,
+    }
+
+    if hasattr(xp, 'median'):
+        NAMED_UFUNCS['median'] = xp.median
+
+    if isinstance(kind, str):
+        if kind not in NAMED_UFUNCS:
+            valid = NAMED_UFUNCS.keys()
+            raise ValueError(f'kind argument must be one of {valid}')
+        ufunc = partial(NAMED_UFUNCS[kind], axis=axis)
+
+    elif isinstance(kind, Number):
+        if xp is jnp:
+            ufunc = partial(lambda a, q, axis: xp.quantile(a, q, axis=axis), q=kind, axis=axis)
+        else:
+            ufunc = partial(xp.quantile, q=kind, axis=axis)
+
+    elif callable(kind):
+        ufunc = partial(kind, axis=axis)
+
+    else:
+        raise ValueError(f'invalid statistic ufunc "{kind}"')
+
+    return ufunc
+
+
+def _unwrap_arraylike(x):
+    """interpret array-like input (reference power_analysis.py:104-137).
+
+    Returns (values, xp) with values an ndarray/jax array/scalar.
+    """
+    try:
+        xp = array_namespace(x)
+        return x, xp
+    except TypeError:
+        pass
+
+    if hasattr(x, 'values'):
+        # pandas.Series, pandas.DataFrame, xarray.DataArray
+        values = x.values
+        return values, array_namespace(values)
+    if isinstance(x, Number):
+        return x, np
+    raise TypeError(f'unsupported input type {type(x)}')
+
+
+def _repackage_arraylike(values, obj, *, unit_transform=None):
+    """package ``values`` to match the container type of ``obj``
+    (reference power_analysis.py:140-165)."""
+    if isinstance(obj, Number):
+        return values.item() if hasattr(values, 'item') else values
+    if not hasattr(obj, 'values'):
+        return values
+
+    if isinstance(obj, pd.Series):
+        return pd.Series(np.asarray(values), index=obj.index)
+    if isinstance(obj, pd.DataFrame):
+        return pd.DataFrame(np.asarray(values), index=obj.index, columns=obj.columns)
+
+    xr = optional_import('xarray')
+    if xr is not None and isinstance(obj, xr.DataArray):
+        ret = obj.copy(deep=False, data=np.asarray(values))
+        units = ret.attrs.get('units', None)
+        if units is not None and unit_transform is not None:
+            ret.attrs['units'] = unit_transform(units)
+        return ret
+
+    raise TypeError(f'unrecognized input type {type(obj)}')
+
+
+def _real_part(values, xp):
+    if xp.iscomplexobj(values):
+        return values.real
+    return values
+
+
+def powtodB(x, abs: bool = True, eps: float = 0, out=None):
+    """compute 10*log10(abs(x) + eps) or 10*log10(x + eps)
+    (reference power_analysis.py:168-206). One fused XLA expression on TPU."""
+    values, xp = _unwrap_arraylike(x)
+
+    v = xp.asarray(values)
+    if abs:
+        v = xp.abs(v)
+    if eps != 0:
+        v = v + eps
+    result = 10.0 * xp.log10(v)
+    result = _real_part(result, xp)
+
+    return _repackage_arraylike(result, x, unit_transform=unit_linear_to_dB)
+
+
+def dBtopow(x, out=None):
+    """compute 10**(x/10) (reference power_analysis.py:209-231)."""
+    values, xp = _unwrap_arraylike(x)
+
+    v = xp.asarray(values)
+    # min float32 precision (reference power_analysis.py:212-216)
+    if v.dtype.itemsize < 4:
+        v = v.astype('float32')
+    result = xp.power(xp.asarray(10.0, dtype=float_dtype_like(v)), v / 10.0)
+
+    return _repackage_arraylike(result, x, unit_transform=unit_dB_to_linear)
+
+
+def envtopow(x, out=None):
+    """compute abs(x)**2 (reference power_analysis.py:234-257)."""
+    values, xp = _unwrap_arraylike(x)
+
+    v = xp.asarray(values)
+    if xp.iscomplexobj(v):
+        result = v.real * v.real + v.imag * v.imag
+    else:
+        result = v * v
+
+    return _repackage_arraylike(result, x, unit_transform=unit_wave_to_linear)
+
+
+def envtodB(x, abs: bool = True, eps: float = 0, out=None):
+    """compute 20*log10(abs(x) + eps) or 20*log10(x + eps)
+    (reference power_analysis.py:260-298)."""
+    values, xp = _unwrap_arraylike(x)
+
+    v = xp.asarray(values)
+    if abs:
+        v = xp.abs(v)
+    if eps != 0:
+        v = v + eps
+    result = 20.0 * xp.log10(v)
+    result = _real_part(result, xp)
+
+    return _repackage_arraylike(result, x, unit_transform=unit_wave_to_dB)
+
+
+def dBlinmean(x_dB, axis=None, overwrite_x=False):
+    """mean in linear power space given power in dB
+    (reference power_analysis.py:301-318)."""
+    linmean = dBtopow(x_dB).mean(axis)
+    return powtodB(linmean)
+
+
+def dBlinsum(x_dB, axis=None, overwrite_x=False):
+    """sum in linear power space given power in dB
+    (reference power_analysis.py:321-338)."""
+    linsum = dBtopow(x_dB).sum(axis)
+    return powtodB(linsum)
+
+
+def iq_to_bin_power(
+    iq,
+    Ts: float,
+    Tbin: float,
+    randomize: bool = False,
+    kind: str = 'mean',
+    truncate=False,
+    axis=0,
+    *,
+    key=None,
+):
+    """power along the time axis of ``iq`` in bins of duration Tbin
+    (reference power_analysis.py:341-385).
+
+    Args:
+        iq: complex-valued input waveform samples
+        Ts: sample period of the input waveform
+        Tbin: time duration of the bin size
+        randomize: if True, randomize the bin start locations (jax inputs
+            require ``key``, a jax PRNG key, for reproducible randomness)
+        kind: named statistic ('max','mean','median','min','peak','rms'),
+            a quantile, or a callable ufunc
+        truncate: truncate the last samples to an integer number of bins
+        key: jax.random key for randomize=True on jax inputs
+    """
+    xp = array_namespace(iq)
+
+    if truncate or isroundmod(Tbin, Ts):
+        N = round(Tbin / Ts)
+    else:
+        raise ValueError(
+            f'bin period ({Tbin} s) must be multiple of waveform sample period ({Ts})'
+        )
+
+    if randomize:
+        if axis != 0:
+            raise ValueError('only axis=0 is currently supported when randomize=True')
+
+        size = int(np.floor(iq.shape[0] / N))
+        if xp is jnp:
+            import jax
+
+            if key is None:
+                key = jax.random.key(0)
+            starts = jax.random.randint(key, (size,), 0, iq.shape[0] - N)
+        else:
+            starts = np.random.randint(0, iq.shape[0] - N, size)
+        offsets = xp.arange(N)
+        iq_blocks = iq[starts[:, None] + offsets[None, :]]
+    else:
+        iq_blocks = to_blocks(iq, N, axis=axis, truncate=truncate)
+
+    detector = stat_ufunc_from_shorthand(kind, xp=xp, axis=axis + 1)
+    power_bins = envtopow(iq_blocks)
+
+    return detector(power_bins).astype(float_dtype_like(iq))
+
+
+def iq_to_cyclic_power(
+    x,
+    Ts: float,
+    detector_period: float,
+    cyclic_period: float,
+    truncate=False,
+    detectors=('rms', 'peak'),
+    cycle_stats=('min', 'mean', 'max'),
+    axis=0,
+) -> dict:
+    """time series of periodic frame power statistics
+    (reference power_analysis.py:388-493).
+
+    Accepts TIME-domain IQ or a pre-binned TIME_BINNED_POWER dict (see
+    utils.set_input_domain). Returns dict[detector][cycle_stat].
+    """
+    domain = get_input_domain()
+
+    if domain == Domain.TIME:
+        xp = array_namespace(x)
+        if detectors is None:
+            raise ValueError(
+                'supply detectors argument to evaluate binned power from time domain IQ'
+            )
+
+        power = {
+            d: iq_to_bin_power(
+                x, Ts, detector_period, kind=d, truncate=truncate, axis=axis
+            )
+            for d in detectors
+        }
+
+    elif domain == Domain.TIME_BINNED_POWER:
+        power = x
+        if not isinstance(power, dict):
+            raise TypeError(
+                'in time-binned power domain, expected dict input keyed by detector'
+            )
+        if detectors is None:
+            detectors = tuple(x.keys())
+        elif set(x.keys()) != set(detectors):
+            raise ValueError('input data keys do not match supplied detectors')
+        xp = array_namespace(power[tuple(detectors)[0]])
+    else:
+        raise ValueError(f'unsupported input domain {domain}')
+
+    if isroundmod(cyclic_period, detector_period, atol=1e-6):
+        cyclic_detector_bins = round(cyclic_period / detector_period)
+    else:
+        raise ValueError(
+            'cyclic period must be positive integer multiple of the detector period'
+        )
+
+    detectors = tuple(detectors)
+    power_shape = power[detectors[0]].shape
+
+    if axis < 0:
+        axis = len(power_shape) + axis
+
+    if power_shape[axis] % cyclic_detector_bins != 0:
+        if truncate:
+            N = (power_shape[axis] // cyclic_detector_bins) * cyclic_detector_bins
+            power = {d: v[(slice(None),) * axis + (slice(0, N),)] for d, v in power.items()}
+            power_shape = power[detectors[0]].shape
+        else:
+            raise ValueError(
+                'pass truncate=True to allow truncation to align with cyclic windows'
+            )
+
+    shape_by_cycle = (
+        power_shape[:axis]
+        + (power_shape[axis] // cyclic_detector_bins, cyclic_detector_bins)
+        + power_shape[axis + 1 :]
+    )
+
+    power = {d: v.reshape(shape_by_cycle) for d, v in power.items()}
+
+    cycle_stat_ufunc = {
+        kind: stat_ufunc_from_shorthand(kind, xp=xp) for kind in cycle_stats
+    }
+
+    ret = {}
+    for detector, v in power.items():
+        ret[detector] = {}
+        for cycle_stat, func in cycle_stat_ufunc.items():
+            ret[detector][cycle_stat] = func(v, axis=axis)
+
+    return ret
+
+
+def iq_to_frame_power(
+    iq,
+    Ts: float,
+    detector_period: float,
+    frame_period: float,
+    truncate=False,
+) -> dict:
+    """deprecated alias of iq_to_cyclic_power
+    (reference power_analysis.py:496-510)."""
+    warnings.warn(
+        'iq_to_frame_power has been deprecated. use iq_to_cyclic_power instead'
+    )
+    return iq_to_cyclic_power(
+        iq,
+        Ts,
+        detector_period=detector_period,
+        cyclic_period=frame_period,
+        truncate=truncate,
+    )
+
+
+def unstack_series_to_bins(pvt, Tbin: float, truncate: bool = False):
+    """unstack a power-vs-time series into rows of duration Tbin
+    (reference power_analysis.py:513-549)."""
+    Ts = pvt.index[1] - pvt.index[0]
+
+    if not truncate and not isroundmod(Tbin, Ts):
+        raise ValueError(
+            'analysis window length must be multiple of the power INTEGRATION length'
+        )
+
+    N = int(np.rint(Tbin / Ts))
+
+    pvt = pvt.iloc[: N * (pvt.shape[0] // N)]
+
+    values = pvt.values.reshape(pvt.shape[0] // N, N)
+
+    df = pd.DataFrame(values, index=pvt.index[::N], columns=pvt.index[:N])
+    df.columns.name = 'Analysis window time elapsed (s)'
+    # pandas >= 3 removed TimedeltaIndex(unit=); to_timedelta is equivalent
+    df.index = pd.to_timedelta(np.asarray(df.index, dtype='float64'), unit='s')
+
+    return df
+
+
+def sample_ccdf(a, edges, density: bool = True):
+    """fraction (or count) of samples in ``a`` exceeding each edge value
+    (reference power_analysis.py:552-580)."""
+    xp = array_namespace(a)
+
+    # 'left' makes the bin interval open-ended on the left side
+    edge_inds = xp.searchsorted(edges, a, side='left')
+
+    if xp is jnp:
+        bin_counts = xp.bincount(edge_inds, length=edges.shape[0] + 1)
+    else:
+        bin_counts = xp.bincount(edge_inds, minlength=edges.shape[0] + 1)
+    ccdf = (a.shape[0] - bin_counts.cumsum(0))[:-1]
+
+    if density:
+        ccdf = xp.asarray(ccdf, dtype='float64' if xp is np else 'float32')
+        ccdf = ccdf / a.shape[0]
+
+    return ccdf
+
+
+def power_histogram_along_axis(
+    pvt,
+    bounds: tuple,
+    resolution_db: float,
+    resolution_axis: int = 1,
+    truncate: bool = True,
+    dtype='uint32',
+    axis=0,
+):
+    """histogram along the index of a power time series
+    (reference power_analysis.py:583-648).
+
+    Returns a pd.DataFrame indexed on time, columned by power in dB.
+
+    Note: the reference calls ``.astype`` on the (counts, bins) tuple from
+    histogram_last_axis (power_analysis.py:639), an AttributeError at
+    runtime; here the tuple is unpacked first (intent preserved, bug not
+    reproduced; see SURVEY.md §7 reference-bugs list).
+    """
+    if isinstance(pvt, pd.Series) and axis != 0:
+        raise ValueError('axis argument is invalid for pd.Series')
+
+    if axis == 0:
+        pvt = pvt.T
+    elif axis != 1:
+        raise ValueError('axis argument must be 0 or 1')
+
+    pvt = powtodB(pvt, abs=False)
+
+    if not truncate and len(pvt) % resolution_axis != 0:
+        raise ValueError(
+            'non-integer number of sweeps in pvt; pass truncate=False to truncate'
+        )
+
+    pvt = pvt.iloc[: resolution_axis * (len(pvt) // resolution_axis)]
+
+    shape = pvt.shape[0] // resolution_axis, pvt.shape[1] * resolution_axis
+    reshaped = pvt.values.reshape(shape)
+    n_bins = 1 + int((bounds[1] - bounds[0]) / resolution_db)
+    h, _ = histogram_last_axis(reshaped, n_bins, bounds)
+    h = h.astype(dtype)
+
+    # bin-center labels for the n_bins histogram columns (the reference's
+    # label math at power_analysis.py:644-645 yields n_bins-1 labels for
+    # n_bins columns; intent preserved here by using the true bin centers)
+    edges = np.linspace(bounds[0], bounds[1], n_bins + 1).astype('float64')
+    power_bins = 0.5 * (edges[:-1] + edges[1:])
+    df = pd.DataFrame(h, index=pvt.index[::resolution_axis], columns=power_bins)
+
+    return df

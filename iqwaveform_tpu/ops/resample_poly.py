@@ -1,0 +1,193 @@
+"""Polyphase upfirdn and overlap-add convolution.
+
+Feature parity: reference cuda.py:49-504 (the embedded CUDA C++ polyphase
+upfirdn kernels, C14 in SURVEY.md §2) and fourier.py:1476-1509 (upfirdn
+dispatcher, oaconvolve passthrough).
+
+TPU-native design — this is the clearest case where translating the CUDA
+kernel would be wrong. The reference GPU kernel is a per-output-sample
+gather-MAC over h_per_phase taps (cuda.py:49-294). On TPU the same
+polyphase math is exactly what XLA's dilated/strided convolution lowers to
+on the MXU:
+
+    lax.conv_general_dilated(x, flip(h), window_strides=(down,),
+                             lhs_dilation=(up,), padding=(len(h)-1,)*2)
+
+* ``lhs_dilation=up`` inserts the polyphase zeros *symbolically* — no
+  upsampled buffer is materialized, matching the O(N/P) polyphase claim of
+  cuSignal (cuda.py:483-486).
+* ``window_strides=down`` decimates in the same pass.
+* Complex IQ with complex taps runs as a single 2-channel real conv with a
+  2x2 (real/imag) mixing kernel, so the MXU sees one batched real conv.
+
+A Pallas gather-MAC variant is available in ops.pallas for comparison, but
+the conv formulation is the production path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import array_namespace, lazy_import
+
+signal = lazy_import('scipy.signal')
+
+__all__ = ['oaconvolve', 'upfirdn', 'upfirdn_output_len']
+
+
+def upfirdn_output_len(len_h: int, in_len: int, up: int, down: int) -> int:
+    """output length of upfirdn (reference cuda.py:329-330)."""
+    return (((in_len - 1) * up + len_h) - 1) // down + 1
+
+
+def _upfirdn_1d_real(x2d, h, up: int, down: int, precision):
+    """batched real upfirdn core: x2d shape (B, N) real, h real."""
+    M = h.shape[0]
+    lhs = x2d[:, None, :]  # (B, C=1, W)
+    rhs = h[::-1][None, None, :]  # (O=1, I=1, M)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(down,),
+        padding=[(M - 1, M - 1)],
+        lhs_dilation=(up,),
+        dimension_numbers=('NCH', 'OIH', 'NCH'),
+        precision=precision,
+    )
+    return out[:, 0, :]
+
+
+def _upfirdn_1d_complex(x2d, h, up: int, down: int, precision):
+    """batched complex upfirdn via a 2-channel real conv with a 2x2
+    real/imag mixing kernel: one MXU-batched conv instead of 4."""
+    M = h.shape[0]
+    hr = jnp.real(h)[::-1]
+    hi = jnp.imag(h)[::-1]
+
+    lhs = jnp.stack([jnp.real(x2d), jnp.imag(x2d)], axis=1)  # (B, 2, W)
+
+    if np.iscomplexobj(h):
+        # [[hr, -hi], [hi, hr]]
+        rhs = jnp.stack(
+            [jnp.stack([hr, -hi], axis=0), jnp.stack([hi, hr], axis=0)], axis=0
+        )  # (2, 2, M)
+    else:
+        zeros = jnp.zeros_like(hr)
+        rhs = jnp.stack(
+            [jnp.stack([hr, zeros], axis=0), jnp.stack([zeros, hr], axis=0)], axis=0
+        )
+
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(down,),
+        padding=[(M - 1, M - 1)],
+        lhs_dilation=(up,),
+        dimension_numbers=('NCH', 'OIH', 'NCH'),
+        precision=precision,
+    )
+    return jax.lax.complex(out[:, 0, :], out[:, 1, :])
+
+
+def _upfirdn_jax(h, x, up: int, down: int, axis: int, precision):
+    out_dtype = np.result_type(
+        np.dtype(np.asarray(h).dtype) if not isinstance(h, jax.Array) else h.dtype,
+        x.dtype,
+        np.float32,
+    )
+
+    x = jnp.asarray(x)
+    h = jnp.asarray(h)
+
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1)
+    batch_shape = xm.shape[:-1]
+    N = xm.shape[-1]
+    x2d = xm.reshape((-1, N)) if batch_shape else xm.reshape((1, N))
+
+    complex_out = np.issubdtype(out_dtype, np.complexfloating)
+    real_dtype = np.finfo(out_dtype).dtype
+
+    if complex_out:
+        x2d = x2d.astype(out_dtype)
+        h = h.astype(out_dtype if np.iscomplexobj(h) else real_dtype)
+        y2d = _upfirdn_1d_complex(x2d, h, up, down, precision)
+    else:
+        x2d = x2d.astype(out_dtype)
+        h = h.astype(out_dtype)
+        y2d = _upfirdn_1d_real(x2d, h, up, down, precision)
+
+    out_len = y2d.shape[-1]
+    y = y2d.reshape(batch_shape + (out_len,)) if batch_shape else y2d[0]
+    return jnp.moveaxis(y, -1, axis).astype(out_dtype)
+
+
+def upfirdn(
+    h,
+    x,
+    up: int = 1,
+    down: int = 1,
+    axis: int = -1,
+    mode: str = 'constant',
+    cval=0,
+    overwrite_x=False,
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """upsample by ``up``, FIR filter with ``h``, downsample by ``down``
+    along ``axis`` (reference fourier.py:1476-1495, cuda.py:448-504).
+
+    numpy inputs dispatch to scipy.signal.upfirdn (the host oracle); jax
+    inputs run the MXU polyphase conv described in the module docstring.
+
+    Args:
+        h: 1-D FIR filter coefficients
+        x: input signal array
+        up, down: resampling rates (>= 1)
+        axis: axis of x to filter
+        mode, cval: only 'constant' / 0 supported (as in the reference GPU
+            path, cuda.py:497-500)
+        precision: XLA conv precision (HIGHEST by default for parity with
+            the float32 reference numerics)
+    """
+    if mode is None:
+        mode = 'constant'
+    if mode != 'constant' or cval != 0:
+        raise NotImplementedError(f'{mode = } and {cval = } not implemented.')
+
+    up = int(up)
+    down = int(down)
+    if up < 1 or down < 1:
+        raise ValueError('Both up and down must be >= 1')
+
+    if np.asarray(h).ndim != 1 or np.asarray(h).size == 0:
+        raise ValueError('h must be 1D with non-zero length')
+
+    xp = array_namespace(x)
+    if xp is np:
+        return signal.upfirdn(np.asarray(h), x, up=up, down=down, axis=axis)
+
+    return _upfirdn_jax(h, x, up, down, axis, precision)
+
+
+def oaconvolve(x1, x2, mode='full', axes=-1):
+    """convolve x1 and x2 (reference fourier.py:1498-1509).
+
+    numpy inputs use scipy.signal.oaconvolve; jax inputs use
+    jax.scipy.signal.fftconvolve (XLA's batched FFT makes explicit
+    overlap-add block management unnecessary on TPU — one fused program).
+    """
+    xp = array_namespace(x1)
+    if xp is np:
+        return signal.oaconvolve(x1, x2, mode=mode, axes=axes)
+
+    from jax.scipy.signal import fftconvolve
+
+    if axes in (None, -1) and x1.ndim == 1:
+        return fftconvolve(x1, jnp.asarray(x2), mode=mode)
+
+    if isinstance(axes, int):
+        axes = (axes,)
+    return fftconvolve(x1, jnp.asarray(x2), mode=mode, axes=axes)

@@ -1,0 +1,184 @@
+"""Window synthesis: cached builder, ENBW, parameter solving.
+
+Feature parity: reference fourier.py:70-157 (_get_window_uncached /
+get_window, including the baked-in fftshift "delay" trick at :139-146 and
+RMS power normalization at :135-137), fourier.py:272-286
+(equivalent_noise_bandwidth), fourier.py:289-332
+(find_window_param_from_enbw).
+
+All of this is host-side float64 numpy design math, cached with lru_cache;
+the resulting window vector becomes a jit compile-time constant. The
+fftshift trick matters on TPU for the same reason it matters on GPU: baking
+the alternating-sign sequence into the window means the batched FFT output
+needs no fftshift gather pass, so the STFT is one fused
+(gather -> multiply -> FFT) XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..utils import dtype_change_float, lazy_import, lru_cache
+from .windows import register_extra_windows
+
+signal = lazy_import('scipy.signal')
+
+__all__ = [
+    'equivalent_noise_bandwidth',
+    'find_window_param_from_enbw',
+    'get_window',
+]
+
+
+def _fourier_delay_halfwidth(n: int) -> np.ndarray:
+    """phase ramp equal to a circular shift by n//2 samples.
+
+    Equivalent to scipy.ndimage.fourier_shift(np.ones(n), n//2)
+    (reference fourier.py:139-146): for even n this is the alternating
+    sequence [1, -1, 1, -1, ...]; for odd n it is a complex phase ramp in
+    the (numpy fftfreq) frequency convention.
+    """
+    if n % 2 == 0:
+        # really just [1, -1, 1, -1, ...]
+        return np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    freqs = np.fft.fftfreq(n)
+    return np.exp(-2j * np.pi * (n // 2) * freqs)
+
+
+def _get_window_uncached(
+    name_or_tuple,
+    nwindow: int,
+    nzero: int = 0,
+    *,
+    fftshift: bool = False,
+    center_zeros=False,
+    fftbins=True,
+    norm=True,
+    dtype='float32',
+    xp=None,
+):
+    """build a window function with optional zero-padding and normalization
+    (reference fourier.py:70-152).
+
+    Args:
+        name_or_tuple: window name or (name, parameter); a name suffixed
+            with '_by_enbw' solves the parameter from a target ENBW
+        nwindow: number of nonzero window samples
+        nzero: number of zero-padding samples appended (or centered)
+        fftshift: bake a circular shift by (nwindow+nzero)//2 into the window
+        center_zeros: place the zero padding symmetrically instead of trailing
+        fftbins: periodic (True) vs symmetric window
+        norm: scale the time-averaged power of the window to 1
+        dtype: float dtype basis of the output (None to keep float64)
+        xp: array module for the output (None -> numpy)
+    """
+    register_extra_windows()
+
+    if xp is not None:
+        w = _get_window_uncached(
+            name_or_tuple,
+            nwindow,
+            nzero=nzero,
+            fftbins=fftbins,
+            norm=norm,
+            fftshift=fftshift,
+            center_zeros=center_zeros,
+            dtype=dtype,
+        )
+        return xp.asarray(w)
+
+    if isinstance(name_or_tuple, tuple):
+        # maybe evaluate the window argument needed for a specified ENBW
+        window_name, *suffix = name_or_tuple[0].rsplit('_by_enbw', 1)
+        if len(suffix) > 0:
+            enbw = name_or_tuple[1]
+            param = find_window_param_from_enbw(window_name, enbw, nfft=nwindow)
+            name_or_tuple = (window_name, param)
+
+    ws = signal.windows.get_window(name_or_tuple, nwindow, fftbins=fftbins)
+
+    ntotal = nwindow + nzero
+
+    if nzero == 0:
+        w = ws
+    elif center_zeros:
+        w = np.zeros(ntotal, dtype=ws.dtype)
+        w[nzero // 2 : nzero // 2 + nwindow] = ws
+    else:
+        w = np.zeros(ntotal, dtype=ws.dtype)
+        w[:nwindow] = ws
+
+    if norm:
+        # scale the time-averaged power to 1 (reference fourier.py:135-137)
+        w = w / np.sqrt(np.mean(np.abs(w) ** 2))
+
+    if fftshift:
+        delay = _fourier_delay_halfwidth(ntotal)
+        w = delay * w
+
+    if dtype is not None:
+        dtype_out = dtype_change_float(w.dtype, dtype)
+        w = w.astype(dtype_out)
+
+    return w
+
+
+get_window = functools.wraps(_get_window_uncached)(
+    lru_cache(1024)(_get_window_uncached)
+)
+
+
+def _enbw_uncached(window, N, fftbins=True, cached=True, xp=np):
+    """equivalent noise bandwidth (ENBW) of a window, in bins
+    (reference fourier.py:272-280)."""
+    if cached:
+        w = get_window(window, N, fftbins=fftbins, xp=xp)
+    else:
+        w = _get_window_uncached(window, N, fftbins=fftbins, xp=xp)
+    return len(w) * xp.sum(w**2) / xp.sum(w) ** 2
+
+
+equivalent_noise_bandwidth = functools.wraps(_enbw_uncached)(
+    functools.lru_cache()(_enbw_uncached)
+)
+
+
+@lru_cache()
+def find_window_param_from_enbw(
+    window_name: str, enbw: float, *, nfft: int = 4096, atol=1e-6, xp=np
+) -> float:
+    """solve the single window parameter that realizes the specified
+    equivalent-noise bandwidth (reference fourier.py:289-332).
+
+    Arguments:
+        window_name: one of 'kaiser', 'dpss', or 'chebwin'
+        enbw: the desired equivalent noise bandwidth (in FFT bins)
+        nfft: the window size used to estimate ENBW
+        atol: absolute error tolerance in the estimate
+
+    Returns:
+        parameter suited for get_window((window_name, result), ...)
+    """
+    from scipy.optimize import bisect
+
+    if enbw < 1 + 1 / nfft:
+        raise ValueError('enbw must be greater than 1')
+
+    def err(x):
+        return _enbw_uncached((window_name, x), nfft, cached=False, xp=xp) - enbw
+
+    if window_name == 'kaiser':
+        a = np.pi * 1e-2
+        b = min(enbw**2, nfft // 2 - 1) * np.pi
+    elif window_name == 'dpss':
+        a = 1e-2
+        b = min(enbw**2, nfft // 2 - 1)
+    elif window_name == 'chebwin':
+        a = 45
+        b = 1000
+    else:
+        raise ValueError('window_name must be one of ("kaiser", "dpss", "chebwin")')
+
+    return bisect(err, a, b, xtol=atol)

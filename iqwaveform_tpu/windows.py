@@ -1,0 +1,10 @@
+"""Reference-compatible facade for windows (reference windows.py).
+Implementations live in iqwaveform_tpu.ops.windows."""
+
+from .ops.windows import (  # noqa: F401
+    acg,
+    cosh,
+    knab,
+    modified_bessel,
+    register_extra_windows,
+)

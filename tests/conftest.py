@@ -1,0 +1,43 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Set before any jax import so sharding tests exercise real multi-device
+code paths without TPU hardware, and so tests never contend for the
+single tunneled TPU chip.
+"""
+
+import os
+
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8'
+    ).strip()
+
+import jax
+
+# the axon sitecustomize pins jax_platforms to the tunneled TPU; tests run
+# on the virtual 8-device CPU mesh instead (fast, and exercises sharding)
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_tone_noise(n, fs=1e6, f_tone=1e5, snr_db=10, seed=0, dtype='complex64'):
+    """complex tone + noise test waveform."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    tone = np.exp(2j * np.pi * f_tone * t)
+    noise_amp = 10 ** (-snr_db / 20) / np.sqrt(2)
+    noise = noise_amp * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    return (tone + noise).astype(dtype)
+
+
+@pytest.fixture
+def tone_noise():
+    return make_tone_noise

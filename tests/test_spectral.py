@@ -1,0 +1,177 @@
+"""power_spectral_density / channelize_power / iq_to_stft_spectrogram tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from iqwaveform_tpu import fourier, util
+
+from conftest import make_tone_noise
+
+
+def test_psd_statistics_stack_shapes_and_order():
+    fs = 1e6
+    x = make_tone_noise(1024 * 64, fs=fs)
+    stats = ['0.25', '0.5', 'mean', 'max', 0.9]
+    out = fourier.power_spectral_density(
+        x, fs=fs, window='hann', resolution=fs / 1024, statistics=stats
+    )
+    assert out.shape == (5, 1024)
+    assert out.dtype == np.float32
+    # quantile ordering: q25 <= q50 <= q90 <= max
+    assert np.all(out[0] <= out[1] + 1e-6)
+    assert np.all(out[1] <= out[4] + 1e-6)
+    assert np.all(out[4] <= out[3] + 1e-6)
+
+
+def test_psd_matches_manual_quantiles():
+    fs = 1e6
+    nfft = 512
+    x = make_tone_noise(nfft * 32, fs=fs)
+    out = fourier.power_spectral_density(
+        x, fs=fs, window='hann', resolution=fs / nfft, statistics=['0.5'], dB=True
+    )
+    freqs, times, spg = fourier.spectrogram(x, fs=fs, window='hann', nperseg=nfft)
+    expected = np.quantile(10 * np.log10(spg + 1e-25), 0.5, axis=0)
+    np.testing.assert_allclose(out[0], expected, atol=1e-3)
+
+
+def test_psd_jax_matches_numpy():
+    fs = 1e6
+    x = make_tone_noise(512 * 32, fs=fs)
+    stats = ['0.5', 'mean', 'max']
+    a = fourier.power_spectral_density(
+        x, fs=fs, window='hann', resolution=fs / 512, statistics=stats
+    )
+    b = fourier.power_spectral_density(
+        jnp.asarray(x), fs=fs, window='hann', resolution=fs / 512, statistics=stats
+    )
+    np.testing.assert_allclose(np.asarray(b), a, atol=1e-2)
+
+
+def test_psd_bandwidth_trim():
+    fs = 1e6
+    x = make_tone_noise(1024 * 16, fs=fs)
+    out = fourier.power_spectral_density(
+        x,
+        fs=fs,
+        window='hann',
+        resolution=fs / 1024,
+        bandwidth=fs / 2,
+        statistics=['mean'],
+    )
+    assert out.shape[1] < 1024
+    assert out.shape[1] >= 511
+
+
+def test_psd_frequency_domain_input():
+    fs = 1e6
+    nfft = 512
+    x = make_tone_noise(nfft * 32, fs=fs)
+    X = fourier.stft(
+        x, fs=fs, window='hann', nperseg=nfft, norm='power',
+        return_axis_arrays=False,
+    )
+    with util.set_input_domain('frequency'):
+        out = fourier.power_spectral_density(
+            X, fs=fs, window='hann', resolution=fs / nfft, statistics=['mean']
+        )
+    direct = fourier.power_spectral_density(
+        x, fs=fs, window='hann', resolution=fs / nfft, statistics=['mean']
+    )
+    np.testing.assert_allclose(out, direct, atol=1e-3)
+
+
+def test_psd_validates_rates():
+    x = make_tone_noise(4096)
+    with pytest.raises(ValueError):
+        fourier.power_spectral_density(
+            x, fs=1e6, window='hann', resolution=333.33, statistics=['mean']
+        )
+
+
+def test_channelize_power_single_channel():
+    fs = 1e6
+    x = make_tone_noise(1024 * 32, fs=fs, f_tone=1e5, snr_db=30)
+    times, power = fourier.channelize_power(
+        x,
+        1 / fs,
+        512,
+        analysis_bins_per_channel=256,
+        window='hann',
+        channel_count=1,
+    )
+    assert power.shape == times.shape
+    assert np.all(np.asarray(power) > 0)
+
+
+def test_channelize_power_multichannel_tone_location():
+    fs = 1e6
+    nch = 4
+    fft_per_ch = 256
+    # tone in channel 3 of 4 (channels ordered by monotonic frequency)
+    f_tone = fs / 8  # +125 kHz
+    x = make_tone_noise(fft_per_ch * nch * 32, fs=fs, f_tone=f_tone, snr_db=40)
+    freqs, times, power = fourier.channelize_power(
+        x,
+        1 / fs,
+        fft_per_ch,
+        analysis_bins_per_channel=fft_per_ch,
+        window='hann',
+        channel_count=nch,
+    )
+    power = np.asarray(power)
+    assert power.shape == (times.size, nch)
+    # channel bands: [-500,-250), [-250,0), [0,250), [250,500) kHz
+    assert power.mean(axis=0).argmax() == 2
+
+    # jax path
+    _, _, power_j = fourier.channelize_power(
+        jnp.asarray(x),
+        1 / fs,
+        fft_per_ch,
+        analysis_bins_per_channel=fft_per_ch,
+        window='hann',
+        channel_count=nch,
+    )
+    np.testing.assert_allclose(np.asarray(power_j), power, rtol=1e-4)
+
+
+def test_channelize_power_validates():
+    x = make_tone_noise(4096)
+    with pytest.raises(ValueError):
+        fourier.channelize_power(
+            x, 1e-6, 256, analysis_bins_per_channel=512, window='hann'
+        )
+    with pytest.raises(NotImplementedError):
+        fourier.channelize_power(
+            x, 1e-6, 256, analysis_bins_per_channel=128, window='hann', axis=1
+        )
+
+
+def test_iq_to_stft_spectrogram_dataframe():
+    fs = 1e6
+    x = make_tone_noise(1024 * 16, fs=fs)
+    spg = fourier.iq_to_stft_spectrogram(x, 'hann', 1024, 1 / fs)
+    assert isinstance(spg, pd.DataFrame)
+    assert spg.shape[1] == 1024
+    assert spg.columns[0] == -fs / 2
+
+
+def test_iq_to_stft_spectrogram_bandwidth_trim():
+    fs = 1e6
+    x = make_tone_noise(1024 * 16, fs=fs)
+    spg = fourier.iq_to_stft_spectrogram(
+        x, 'hann', 1024, 1 / fs, analysis_bandwidth=fs / 2
+    )
+    assert spg.shape[1] == 512
+
+
+def test_time_to_frequency():
+    fs = 1e6
+    x = make_tone_noise(4096, fs=fs, f_tone=1.25e5, snr_db=50)
+    freqs, X = fourier.time_to_frequency(x, 1 / fs)
+    assert freqs.shape == X.shape
+    peak_freq = freqs[np.abs(np.asarray(X)).argmax()]
+    np.testing.assert_allclose(peak_freq, 1.25e5, atol=fs / 4096)

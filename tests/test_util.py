@@ -1,0 +1,158 @@
+"""Core runtime tests: framing, numerics, domain context.
+
+Oracle: numpy/scipy semantics matching reference util.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iqwaveform_tpu import util
+
+
+def test_to_blocks_basic():
+    x = np.arange(12)
+    b = util.to_blocks(x, 4)
+    assert b.shape == (3, 4)
+    np.testing.assert_array_equal(b[1], [4, 5, 6, 7])
+
+
+def test_to_blocks_axis_and_truncate():
+    x = np.arange(2 * 10).reshape(2, 10)
+    b = util.to_blocks(x, 3, axis=1, truncate=True)
+    assert b.shape == (2, 3, 3)
+    with pytest.raises(ValueError):
+        util.to_blocks(x, 3, axis=1, truncate=False)
+    with pytest.raises(TypeError):
+        util.to_blocks(x, 3.0, axis=1)
+
+
+def test_to_blocks_jax_matches_numpy():
+    x = np.arange(24, dtype='float32')
+    a = util.to_blocks(x, 6)
+    b = util.to_blocks(jnp.asarray(x), 6)
+    np.testing.assert_allclose(np.asarray(b), a)
+
+
+def test_axis_slice_and_index():
+    x = np.arange(24).reshape(2, 3, 4)
+    np.testing.assert_array_equal(util.axis_slice(x, 1, 3, axis=2), x[:, :, 1:3])
+    np.testing.assert_array_equal(util.axis_slice(x, 0, None, 2, axis=1), x[:, ::2])
+    np.testing.assert_array_equal(util.axis_index(x, 1, axis=1), x[:, 1])
+
+
+def test_pad_along_axis():
+    x = np.ones((2, 3))
+    y = util.pad_along_axis(x, [[1, 2]], axis=1)
+    assert y.shape == (2, 6)
+    yj = util.pad_along_axis(jnp.asarray(x), [[1, 2]], axis=1)
+    np.testing.assert_allclose(np.asarray(yj), y)
+
+
+def test_sliding_window_view_matches_numpy():
+    x = np.arange(10, dtype='float32')
+    a = util.sliding_window_view(x, 3, axis=0)
+    b = util.sliding_window_view(jnp.asarray(x), 3, axis=0)
+    assert a.shape == (8, 3)
+    np.testing.assert_allclose(np.asarray(b), a)
+
+    x2 = np.arange(24, dtype='float32').reshape(4, 6)
+    a2 = util.sliding_window_view(x2, 3, axis=1)
+    b2 = util.sliding_window_view(jnp.asarray(x2), 3, axis=1)
+    np.testing.assert_allclose(np.asarray(b2), a2)
+
+
+def test_isroundmod():
+    assert util.isroundmod(10.0, 5)
+    assert not util.isroundmod(10.1, 5)
+    assert util.isroundmod(0.30000000001, 0.1, atol=1e-6)
+    arr = np.array([1.0, 1.5, 2.0])
+    np.testing.assert_array_equal(util.isroundmod(arr, 0.5), [True, True, True])
+
+
+def test_float_dtype_like():
+    assert util.float_dtype_like(np.zeros(3, 'complex64')) == np.float32
+    assert util.float_dtype_like(np.zeros(3, 'complex128')) == np.float64
+    assert util.float_dtype_like(np.zeros(3, 'float16')) == np.float16
+    assert util.float_dtype_like(np.zeros(3, 'int32')) == np.float32
+    assert util.float_dtype_like(jnp.zeros(3, 'complex64')) == np.float32
+    assert (
+        util.float_dtype_like(np.zeros(3, 'float16'), min_dtype='float32')
+        == np.float32
+    )
+
+
+def test_dtype_change_float():
+    assert util.dtype_change_float(np.complex128, np.float32) == np.complex64
+    assert util.dtype_change_float(np.float64, np.float32) == np.float32
+    assert util.dtype_change_float(np.complex64, np.float64) == np.complex128
+    with pytest.raises(ValueError):
+        util.dtype_change_float(np.int32, np.float32)
+
+
+def test_domain_context():
+    assert util.get_input_domain() == util.Domain.TIME
+    with util.set_input_domain('frequency'):
+        assert util.get_input_domain() == util.Domain.FREQUENCY
+        with util.set_input_domain('time_binned_power'):
+            assert util.get_input_domain() == util.Domain.TIME_BINNED_POWER
+        assert util.get_input_domain() == util.Domain.FREQUENCY
+    assert util.get_input_domain() == util.Domain.TIME
+
+
+def test_array_stream():
+    x = jnp.zeros(4)
+    with util.array_stream(x) as s:
+        s.synchronize()
+
+
+def test_histogram_last_axis_matches_numpy_histogram():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(5, 1000)).astype('float32')
+    counts, edges = util.histogram_last_axis(x, 32, (-3, 3))
+    assert counts.shape == (5, 32)
+    for i in range(5):
+        expected, _ = np.histogram(x[i], bins=32, range=(-3, 3))
+        # the reference's searchsorted 'right' convention differs from
+        # np.histogram only in which edge is inclusive; compare totals and
+        # near-equality per bin
+        assert abs(counts[i].sum() - expected.sum()) <= 2
+        assert np.abs(counts[i] - expected).max() <= 1
+
+
+def test_histogram_last_axis_jax_matches_numpy():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(4, 500)).astype('float32')
+    edges = np.linspace(-3, 3, 33)
+    c_np, _ = util.histogram_last_axis(x, edges)
+    c_j, _ = util.histogram_last_axis(jnp.asarray(x), jnp.asarray(edges))
+    np.testing.assert_array_equal(np.asarray(c_j), c_np)
+
+
+def test_binned_mean():
+    x = np.arange(12, dtype='float32')
+    out = util.binned_mean(x, 3, fft=False)
+    np.testing.assert_allclose(out, [1, 4, 7, 10])
+    outj = util.binned_mean(jnp.asarray(x), 3, fft=False)
+    np.testing.assert_allclose(np.asarray(outj), out)
+
+
+def test_ceildiv():
+    assert util.ceildiv(7, 2) == 4
+    assert util.ceildiv(8, 2) == 4
+
+
+def test_find_float_inds():
+    assert util.find_float_inds(('0.5', 'mean', 0.9, 'max')) == [
+        True,
+        False,
+        True,
+        False,
+    ]
+
+
+def test_grouped_views_along_axis():
+    x = np.zeros((8, 100))
+    views = list(util.grouped_views_along_axis(x, 200, axis=1))
+    total = sum(v.size for v in views)
+    assert total == x.size
