@@ -1,0 +1,78 @@
+"""Benchmark: wideband-monitor pipeline throughput on one TPU chip.
+
+Measures the flagship end-to-end path (BASELINE.json configs #2/#4/#5,
+single chip): OLA bandpass + 2:1 rational resample -> channelizer STFT ->
+spectrogram statistics -> APD histogram, one jit program, complex64.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": MS/s, "unit": "MS/s", "vs_baseline": ...}
+
+vs_baseline normalizes against the BASELINE.json north star expressed per
+chip: 50x real time on a 122.88 MS/s capture across v5e-8 = 768 MS/s/chip.
+vs_baseline >= 1.0 means the single-chip target is met.
+"""
+
+import json
+import time
+
+import numpy as np
+
+PER_CHIP_TARGET_MSPS = 50 * 122.88 / 8  # = 768 MS/s per chip
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
+
+    # 122.88 -> 61.44 MS/s with a forced 2:1 OLA resample + 16-channel
+    # analysis (configs #2 + #4 merged, single chip)
+    design = design_wideband_monitor(
+        122.88e6,
+        61.44e6,
+        bw=40e6,
+        fs_sdr=122.88e6,
+        channel_count=16,
+        fft_size_per_channel=256,
+        window='hamming',
+        apd_bins=2048,
+    )
+    mon = WidebandMonitor(design)
+
+    quantum = mon.min_input_multiple()
+    n = int(np.ceil(2**24 / quantum)) * quantum  # ~16.8M samples (~134 MB)
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype('complex64')
+    x = jnp.asarray(x)
+
+    step = jax.jit(mon.step)
+
+    # compile + warmup
+    out = step(x)
+    jax.block_until_ready(out)
+
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    msps = n / dt / 1e6
+
+    print(
+        json.dumps(
+            {
+                'metric': 'monitor_pipeline_throughput_1chip',
+                'value': round(msps, 1),
+                'unit': 'MS/s',
+                'vs_baseline': round(msps / PER_CHIP_TARGET_MSPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == '__main__':
+    main()

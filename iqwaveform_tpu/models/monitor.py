@@ -1,0 +1,292 @@
+"""WidebandMonitor: the flagship end-to-end analysis pipeline.
+
+Implements the BASELINE.json north-star workload: a long wideband capture
+runs through resample (OLA bandpass) -> channelize -> spectrogram ->
+detector statistics + APD, as ONE jit-compiled program — single chip or
+sharded across a TPU mesh (time axis over ICI with halo exchange, receiver
+batch over a second mesh axis).
+
+The reference has no such composite pipeline as a unit; it is assembled
+from fourier.ola_filter (fourier.py:1107), channelize_power
+(fourier.py:1330), spectrogram statistics (fourier.py:1236) and
+sample_ccdf (power_analysis.py:552). This class fuses those stages so
+intermediate frames never round-trip HBM between kernels, and scales them
+across chips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..ops.filtering import (
+    _find_downsample_copy_range,
+    _freq_band_edges,
+    _ola_filter_parameters,
+)
+from ..ops.window_design import equivalent_noise_bandwidth, get_window
+from ..parallel.mesh import TIME_AXIS, Mesh
+from ..parallel.sharded import _local_frames, _right_halo, _sharded_ola_body
+
+BATCH_AXIS = 'rx_batch'
+
+__all__ = ['MonitorDesign', 'WidebandMonitor', 'design_wideband_monitor']
+
+
+@dataclasses.dataclass(frozen=True)
+class MonitorDesign:
+    """static design parameters of the monitor pipeline (all shapes/bins
+    are derived on the host; the design-dict pattern of SURVEY.md §5)."""
+
+    fs_in: float
+    fs_out: float
+    nfft: int  # OLA input FFT size
+    nfft_out: int  # OLA output FFT size
+    window: str  # COLA window
+    passband: tuple  # (lo, hi) Hz after resampling
+    channel_count: int
+    fft_size_per_channel: int
+    analysis_bins_per_channel: int
+    channel_window: typing.Union[str, tuple]  # window for the channelizer STFT
+    apd_range_dB: tuple
+    apd_bins: int
+
+
+def design_wideband_monitor(
+    fs_base: float,
+    fs_target: float,
+    *,
+    bw: float = float('inf'),
+    channel_count: int = 16,
+    fft_size_per_channel: int = 256,
+    analysis_bins_per_channel: int = None,
+    window: str = 'hamming',
+    channel_window='hann',
+    apd_range_dB=(-120.0, 30.0),
+    apd_bins: int = 2048,
+    **resampler_kws,
+) -> MonitorDesign:
+    """derive a MonitorDesign from radio rates (host-side design math,
+    built on ops.filtering.design_cola_resampler; extra keywords pass
+    through, e.g. fs_sdr= to force the input rate)."""
+    from ..ops.filtering import design_cola_resampler
+
+    d = design_cola_resampler(fs_base, fs_target, bw=bw, window=window, **resampler_kws)
+    if analysis_bins_per_channel is None:
+        analysis_bins_per_channel = fft_size_per_channel
+
+    return MonitorDesign(
+        fs_in=d['fs'],
+        fs_out=d['fs'] * d['nfft_out'] / d['nfft'],
+        nfft=d['nfft'],
+        nfft_out=d['nfft_out'],
+        window=d['window'],
+        passband=d['passband'],
+        channel_count=channel_count,
+        fft_size_per_channel=fft_size_per_channel,
+        analysis_bins_per_channel=analysis_bins_per_channel,
+        channel_window=channel_window,
+        apd_range_dB=apd_range_dB,
+        apd_bins=apd_bins,
+    )
+
+
+class WidebandMonitor:
+    """end-to-end wideband monitor step.
+
+    Usage (single chip):
+
+        mon = WidebandMonitor(design)
+        out = jax.jit(mon.step)(iq)          # iq: (N,) complex64
+
+    Usage (multi-chip):
+
+        mon = WidebandMonitor(design, mesh=mesh)
+        out = mon.sharded_step(iq_sharded)   # iq: (B, N) sharded
+
+    Outputs (dict):
+        channel_power: (frames, channels) per-channel power time series
+        channel_power_mean/max: (channels,) detector statistics
+        psd_mean/psd_max: (total fft bins,) persistence statistics (dB)
+        apd_counts: (apd_bins + 1,) global power histogram counts
+        apd_edges_dB: static bin edges
+    """
+
+    def __init__(
+        self,
+        design: MonitorDesign,
+        mesh: Mesh = None,
+        time_axis: str = TIME_AXIS,
+        batch_axis: str = BATCH_AXIS,
+    ):
+        self.design = design
+        self.mesh = mesh
+        self.time_axis = time_axis
+        self.batch_axis = batch_axis
+
+        d = design
+        nfft_out, noverlap_out, overlap_scale, _ = _ola_filter_parameters(
+            0, window=d.window, nfft_out=d.nfft_out, nfft=d.nfft, extend=True
+        )
+        self.noverlap_in = round(d.nfft * overlap_scale)
+        self.noverlap_out = noverlap_out
+        self.hop_in = d.nfft - self.noverlap_in
+
+        # static windows (complex delay baked in)
+        self._w_in = get_window(d.window, d.nfft, xp=jnp, dtype='complex64', fftshift=True)
+        self._w_shift_out = get_window(
+            'rect', d.nfft_out, xp=jnp, dtype='complex64', fftshift=True
+        )
+        self._nfft_big = d.fft_size_per_channel * d.channel_count
+        self._w_ch = get_window(
+            d.channel_window,
+            self._nfft_big,
+            xp=jnp,
+            dtype='complex64',
+            norm=True,
+            fftshift=True,
+        )
+
+        # static passband bin bounds
+        enbw = float(equivalent_noise_bandwidth(d.window, d.nfft_out, fftbins=False))
+        pb_lo = None if d.passband[0] is None else d.passband[0] + enbw
+        pb_hi = None if d.passband[1] is None else d.passband[1] - enbw
+        zero_lo, zero_hi = _freq_band_edges(d.nfft, 1.0 / d.fs_in, pb_lo, pb_hi)
+        self._zero_lo = 0 if zero_lo is None else zero_lo
+        self._zero_hi = zero_hi
+
+        pb_start, pb_end = _freq_band_edges(d.nfft, 1.0 / d.fs_in, *d.passband)
+        self._bounds_out, self._bounds_in, _ = _find_downsample_copy_range(
+            d.nfft, d.nfft_out, pb_start, pb_end
+        )
+
+        # APD power-bin edges from dB range
+        edges_dB = np.linspace(d.apd_range_dB[0], d.apd_range_dB[1], d.apd_bins)
+        self.apd_edges_dB = edges_dB
+        self._apd_edges_pow = jnp.asarray(10 ** (edges_dB / 10.0), dtype='float32')
+
+        # channel analysis-bin trim
+        self._skip_bins = d.channel_count * (
+            d.fft_size_per_channel - d.analysis_bins_per_channel
+        )
+        if self._skip_bins % 2 == 1:
+            raise ValueError('channel trim requires an even number of skipped bins')
+
+    # ---- core single-signal body (traceable; axis_name=None -> 1 chip) ----
+
+    def _body_1d(self, x, axis_name):
+        d = self.design
+
+        # stage 1: OLA bandpass + rational resample
+        y = _sharded_ola_body(
+            x,
+            w_in=self._w_in,
+            w_shift_out=self._w_shift_out,
+            nfft=d.nfft,
+            nfft_out=d.nfft_out,
+            noverlap_in=self.noverlap_in,
+            noverlap_out=self.noverlap_out,
+            bounds_in=self._bounds_in,
+            bounds_out=self._bounds_out,
+            zero_lo=self._zero_lo,
+            zero_hi=self._zero_hi,
+            axis_name=axis_name,
+        )
+
+        # stage 2: channelizer STFT (noverlap=0, norm='power')
+        nfft_big = self._nfft_big
+        n_frames = y.shape[0] // nfft_big
+        frames = y[: n_frames * nfft_big].reshape(n_frames, nfft_big)
+        wind = (self._w_ch / nfft_big).astype(frames.dtype)
+        Y = jnp.fft.fft(frames * wind[None, :], axis=1)
+        spg = Y.real * Y.real + Y.imag * Y.imag  # (frames, nfft_big)
+
+        # stage 3: per-channel power (trim analysis bins, sum per channel)
+        sb = self._skip_bins
+        Xa = spg[:, sb // 2 : spg.shape[1] - sb // 2] if sb else spg
+        ch = Xa.reshape(n_frames, d.channel_count, d.analysis_bins_per_channel)
+        channel_power = ch.sum(axis=2)  # (frames, channels)
+
+        # stage 4: statistics
+        psd_dB = 10.0 * jnp.log10(spg + 1e-25)
+        psd_mean = psd_dB.mean(axis=0)
+        psd_max = psd_dB.max(axis=0)
+        ch_mean = channel_power.mean(axis=0)
+        ch_max = channel_power.max(axis=0)
+
+        # stage 5: APD histogram of resampled samples
+        p = y.real * y.real + y.imag * y.imag
+        idx = jnp.searchsorted(self._apd_edges_pow, p, side='left')
+        apd = jnp.zeros((d.apd_bins + 1,), dtype=jnp.int32).at[idx].add(1)
+
+        if axis_name is not None:
+            psd_mean = jax.lax.pmean(psd_mean, axis_name)
+            psd_max = jax.lax.pmax(psd_max, axis_name)
+            ch_mean = jax.lax.pmean(ch_mean, axis_name)
+            ch_max = jax.lax.pmax(ch_max, axis_name)
+            apd = jax.lax.psum(apd, axis_name)
+
+        return {
+            'channel_power': channel_power,
+            'channel_power_mean': ch_mean,
+            'channel_power_max': ch_max,
+            'psd_mean': psd_mean,
+            'psd_max': psd_max,
+            'apd_counts': apd,
+        }
+
+    # ---- public entry points ----
+
+    def step(self, iq):
+        """single-chip forward step. iq: (N,) or (B, N) complex64, with N a
+        multiple of hop*channel FFT alignment."""
+        if iq.ndim == 1:
+            return self._body_1d(iq, None)
+        return jax.vmap(lambda row: self._body_1d(row, None))(iq)
+
+    def sharded_step(self, iq):
+        """multi-chip forward step over the mesh. iq: (B, N) complex64,
+        batch sharded over the batch axis (if present in the mesh) and time
+        sharded over the time axis."""
+        if self.mesh is None:
+            raise ValueError('construct WidebandMonitor with a mesh to use sharded_step')
+
+        has_batch = self.batch_axis in self.mesh.shape
+
+        in_spec = P(self.batch_axis if has_batch else None, self.time_axis)
+        stat_spec = P(self.batch_axis if has_batch else None)
+        out_specs = {
+            'channel_power': P(
+                self.batch_axis if has_batch else None, self.time_axis
+            ),
+            'channel_power_mean': stat_spec,
+            'channel_power_max': stat_spec,
+            'psd_mean': stat_spec,
+            'psd_max': stat_spec,
+            'apd_counts': stat_spec,
+        }
+
+        def body(x_local):
+            return jax.vmap(lambda row: self._body_1d(row, self.time_axis))(x_local)
+
+        fn = jax.shard_map(body, mesh=self.mesh, in_specs=in_spec, out_specs=out_specs)
+        return fn(iq)
+
+    def min_input_multiple(self, n_time_shards: int = 1) -> int:
+        """smallest time length quantum: every shard must hold whole OLA
+        hops AND produce whole channelizer frames."""
+        d = self.design
+        # hop_in samples in -> hop_out samples out; channel frame needs
+        # nfft_big output samples
+        import math
+
+        hop_out = d.nfft_out - self.noverlap_out
+        lcm_out = math.lcm(hop_out, self._nfft_big)
+        per_shard_in = lcm_out * self.hop_in // hop_out
+        return per_shard_in * n_time_shards

@@ -1,2 +1,35 @@
 """Multi-chip sharding: mesh helpers, halo-exchange framing, streaming
-reductions (populated incrementally)."""
+reductions."""
+
+from .mesh import TIME_AXIS, pad_to_shard_multiple, shard_time_axis, time_mesh
+from .sharded import (
+    ccdf_from_counts,
+    quantile_from_histogram,
+    sharded_apd_histogram,
+    sharded_ola_filter,
+    sharded_psd_stats,
+    sharded_spectrogram,
+    sharded_stft,
+)
+from .streaming import (
+    PersistenceCarry,
+    streaming_apd,
+    streaming_persistence_spectrum,
+)
+
+__all__ = [
+    'PersistenceCarry',
+    'TIME_AXIS',
+    'ccdf_from_counts',
+    'pad_to_shard_multiple',
+    'quantile_from_histogram',
+    'shard_time_axis',
+    'sharded_apd_histogram',
+    'sharded_ola_filter',
+    'sharded_psd_stats',
+    'sharded_spectrogram',
+    'sharded_stft',
+    'streaming_apd',
+    'streaming_persistence_spectrum',
+    'time_mesh',
+]

@@ -1,0 +1,508 @@
+"""Time-axis-sharded STFT / spectrogram / OLA pipelines with halo exchange.
+
+TPU-native scale-out of the fourier subsystem (SURVEY.md §5, §7 step 5):
+
+* The capture is sharded along time across the mesh. STFT framing on each
+  device needs only the first ``noverlap`` samples of its right neighbor —
+  one cheap ``ppermute`` over ICI (the DSP analogue of context-parallel
+  halo exchange).
+* ISTFT overlap-add produces ``noverlap`` tail samples that belong to the
+  right neighbor's head — the reverse ppermute + add.
+* Reductions (detector stats, APD histograms, persistence quantiles) merge
+  with psum/pmax/pmin, giving exact global statistics; quantiles use exact
+  all-gather along frames when feasible and fixed-bin histogram inversion
+  (see parallel.streaming) at scale.
+
+Frame bookkeeping: with hop = nperseg - noverlap and shard size S (a
+multiple of hop), every device computes exactly S/hop frames — frames that
+start in its shard. The global tail (final noverlap samples) is treated as
+zero-padded, i.e. 'extend' semantics (reference fourier.py:1132 extend=True),
+so shapes stay uniform across devices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..ops import power as power_analysis
+from ..ops.filtering import (
+    _find_downsample_copy_range,
+    _freq_band_edges,
+    _ola_filter_parameters,
+)
+from ..ops.window_design import equivalent_noise_bandwidth, get_window
+from .mesh import TIME_AXIS, Mesh
+
+__all__ = [
+    'sharded_spectrogram',
+    'sharded_ola_filter',
+    'sharded_psd_stats',
+    'sharded_apd_histogram',
+]
+
+
+def _right_halo(x_local, halo: int, axis_name):
+    """receive the first ``halo`` samples of the right neighbor's shard
+    (zeros on the last device). axis_name=None -> single device: zero halo
+    ('extend' semantics at the capture end)."""
+    head = x_local[..., :halo]
+    if axis_name is None:
+        return jnp.zeros_like(head)
+
+    n_dev = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    # send my head to my left neighbor: (i -> i-1)
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    received = jax.lax.ppermute(head, axis_name, perm)
+    # last device has no right neighbor: zero halo ('extend' semantics)
+    return jnp.where(idx == n_dev - 1, jnp.zeros_like(received), received)
+
+
+def _local_frames(x_ext, nperseg: int, hop: int, n_frames: int):
+    """frames starting at 0, hop, ... within the halo-extended local shard."""
+    if nperseg % hop == 0:
+        R = nperseg // hop
+        M = x_ext.shape[0] // hop
+        blocks = x_ext[: M * hop].reshape(M, hop)
+        rows = (np.arange(n_frames)[:, None] + np.arange(R)[None, :]).reshape(-1)
+        return jnp.take(blocks, rows, axis=0).reshape(n_frames, nperseg)
+    idx = (np.arange(n_frames)[:, None] * hop + np.arange(nperseg)[None, :]).reshape(-1)
+    return jnp.take(x_ext, idx, axis=0).reshape(n_frames, nperseg)
+
+
+def _sharded_stft_local(x_local, *, w, nperseg, noverlap, norm, axis_name):
+    """per-device STFT body (runs inside shard_map)."""
+    hop = nperseg - noverlap
+    S = x_local.shape[0]
+    assert S % hop == 0, 'shard size must be a multiple of hop'
+    n_frames = S // hop
+
+    if noverlap > 0:
+        halo = _right_halo(x_local, noverlap, axis_name)
+        x_ext = jnp.concatenate([x_local, halo])
+    else:
+        x_ext = x_local
+
+    frames = _local_frames(x_ext, nperseg, hop, n_frames)
+
+    # scaling matches ops.stft: window/nfft, then for norm=None overlapped
+    # framing divide by the COLA sum of |window/nfft| at hop strides —
+    # which cancels the 1/nfft (fourier.py:571-580,1019)
+    if norm is None and noverlap > 0:
+        wind = (w / jnp.abs(w[::hop]).sum()).astype(frames.dtype)
+    else:
+        wind = (w / nperseg).astype(frames.dtype)
+    return jnp.fft.fft(frames * wind[None, :], axis=1)
+
+
+def sharded_stft(
+    x,
+    *,
+    mesh: Mesh,
+    window,
+    nperseg: int,
+    noverlap: int = 0,
+    norm: Optional[str] = None,
+    axis_name: str = TIME_AXIS,
+):
+    """STFT of a time-sharded 1-D capture.
+
+    Input: x sharded (or shardable) along time with shard size a multiple
+    of hop. Output: frames sharded along the frame axis, P(axis_name).
+    Tail frames overlapping the capture end use zero padding.
+    """
+    hop = nperseg - noverlap
+    n_dev = mesh.shape[axis_name]
+    if x.shape[0] % (n_dev * hop):
+        raise ValueError(
+            f'capture size {x.shape[0]} must be a multiple of '
+            f'n_devices*hop = {n_dev * hop}'
+        )
+
+    w = get_window(
+        window,
+        nperseg,
+        xp=jnp,
+        dtype=np.dtype(x.dtype).name,
+        norm=(norm == 'power'),
+        fftshift=True,
+    )
+
+    fn = jax.shard_map(
+        functools.partial(
+            _sharded_stft_local,
+            w=w,
+            nperseg=nperseg,
+            noverlap=noverlap,
+            norm=norm,
+            axis_name=axis_name,
+        ),
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(axis_name),
+    )
+    return fn(x)
+
+
+def sharded_spectrogram(
+    x,
+    *,
+    mesh: Mesh,
+    window,
+    nperseg: int,
+    noverlap: int = 0,
+    axis_name: str = TIME_AXIS,
+):
+    """power spectrogram of a time-sharded capture (norm='power'),
+    frames sharded along time."""
+    Y = sharded_stft(
+        x,
+        mesh=mesh,
+        window=window,
+        nperseg=nperseg,
+        noverlap=noverlap,
+        norm='power',
+        axis_name=axis_name,
+    )
+    return power_analysis.envtopow(Y)
+
+
+def _sharded_ola_body(
+    x_local,
+    *,
+    w_in,
+    w_shift_out,
+    nfft,
+    nfft_out,
+    noverlap_in,
+    noverlap_out,
+    bounds_in,
+    bounds_out,
+    zero_lo,
+    zero_hi,
+    axis_name,
+):
+    """stft -> zero passband -> frequency trim/pad -> istft, all local
+    except the two noverlap-sized ppermutes."""
+    hop_in = nfft - noverlap_in
+    hop_out = nfft_out - noverlap_out
+    S = x_local.shape[0]
+    n_frames = S // hop_in
+
+    # --- forward: frames + window + fft ---
+    if noverlap_in > 0:
+        halo = _right_halo(x_local, noverlap_in, axis_name)
+        x_ext = jnp.concatenate([x_local, halo])
+    else:
+        x_ext = x_local
+    frames = _local_frames(x_ext, nfft, hop_in, n_frames)
+    # norm=None overlapped scaling (see _sharded_stft_local)
+    wind = (w_in / jnp.abs(w_in[::hop_in]).sum()).astype(frames.dtype)
+    Y = jnp.fft.fft(frames * wind[None, :], axis=1)
+
+    # --- passband zeroing (static bin bounds) ---
+    if zero_lo > 0:
+        Y = Y.at[:, :zero_lo].set(0)
+    if zero_hi is not None and zero_hi < nfft:
+        Y = Y.at[:, zero_hi:].set(0)
+
+    # --- frequency-domain resample (downsample_stft semantics,
+    # fourier.py:866-924: copy the passband range, zero-fill the rest) ---
+    if nfft_out != nfft:
+        if nfft_out < nfft:
+            ysel = Y[:, bounds_in[0] : bounds_in[1]]
+            if tuple(bounds_out) == (0, nfft_out):
+                Y = ysel
+            else:
+                Y = jnp.zeros(Y.shape[:1] + (nfft_out,), dtype=Y.dtype)
+                Y = Y.at[:, bounds_out[0] : bounds_out[1]].set(ysel)
+        else:
+            pad_left = (nfft_out - nfft) // 2
+            pad_right = pad_left + (nfft_out - nfft) % 2
+            Y = jnp.pad(Y, ((0, 0), (pad_left, pad_right)))
+
+    # --- inverse: ifft + time fftshift + grouped overlap-add ---
+    xstack = jnp.fft.ifft(Y, axis=1)
+    xstack = xstack * w_shift_out[None, :]
+
+    R = nfft_out // hop_out
+    S_out = n_frames * hop_out
+    out_len = S_out + noverlap_out
+    xr = jnp.zeros((out_len,), dtype=xstack.dtype)
+    for offs in range(R):
+        group = xstack[offs::R].reshape(-1)
+        start = offs * hop_out
+        length = min(group.shape[0], out_len - start)
+        xr = xr.at[start : start + length].add(group[:length])
+
+    # --- boundary exchange: my tail adds into right neighbor's head ---
+    if noverlap_out > 0 and axis_name is not None:
+        n_dev = jax.lax.axis_size(axis_name)
+        idx = jax.lax.axis_index(axis_name)
+        tail = xr[S_out:]
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        incoming = jax.lax.ppermute(tail, axis_name, perm)
+        incoming = jnp.where(idx == 0, jnp.zeros_like(incoming), incoming)
+        xr = xr[:S_out].at[:noverlap_out].add(incoming)
+    else:
+        xr = xr[:S_out]
+
+    return xr
+
+
+def sharded_ola_filter(
+    x,
+    *,
+    mesh: Mesh,
+    fs: float,
+    nfft: int,
+    window='hamming',
+    passband=(None, None),
+    nfft_out: Optional[int] = None,
+    axis_name: str = TIME_AXIS,
+):
+    """bandpass + rational resample of a time-sharded capture via STFT
+    overlap-add (the sharded counterpart of ops.filtering.ola_filter;
+    reference fourier.py:1107-1181 scaled across ICI).
+
+    The full pipeline — frame gather, window multiply, batched FFT, bin
+    zeroing, frequency trim, inverse FFT, grouped overlap-add — runs inside
+    one shard_map, so each chip touches only its own S-sample shard plus
+    two noverlap-sized halo messages.
+    """
+    nfft_out, noverlap_out, overlap_scale, _ = _ola_filter_parameters(
+        int(x.size), window=window, nfft_out=nfft_out, nfft=nfft, extend=True
+    )
+    noverlap_in = round(nfft * overlap_scale)
+    hop_in = nfft - noverlap_in
+
+    n_dev = mesh.shape[axis_name]
+    if x.shape[0] % (n_dev * hop_in):
+        raise ValueError(
+            f'capture size {x.shape[0]} must be a multiple of '
+            f'n_devices*hop = {n_dev * hop_in}'
+        )
+
+    dtype_name = np.dtype(x.dtype).name
+    w_in = get_window(window, nfft, xp=jnp, dtype=dtype_name, fftshift=True)
+    w_shift_out = get_window(
+        'rect', nfft_out, xp=jnp, dtype=dtype_name, fftshift=True
+    )
+
+    # static passband bin bounds (host design math)
+    enbw = float(equivalent_noise_bandwidth(window, nfft_out, fftbins=False))
+    pb_lo = None if passband[0] is None else passband[0] + enbw
+    pb_hi = None if passband[1] is None else passband[1] - enbw
+    zero_lo, zero_hi = _freq_band_edges(nfft, 1.0 / fs, pb_lo, pb_hi)
+    zero_lo = 0 if zero_lo is None else zero_lo
+
+    pb_start, pb_end = _freq_band_edges(nfft, 1.0 / fs, *passband)
+    bounds_out, bounds_in, _ = _find_downsample_copy_range(
+        nfft, nfft_out, pb_start, pb_end
+    )
+
+    fn = jax.shard_map(
+        functools.partial(
+            _sharded_ola_body,
+            w_in=w_in,
+            w_shift_out=w_shift_out,
+            nfft=nfft,
+            nfft_out=nfft_out,
+            noverlap_in=noverlap_in,
+            noverlap_out=noverlap_out,
+            bounds_in=bounds_in,
+            bounds_out=bounds_out,
+            zero_lo=zero_lo,
+            zero_hi=zero_hi,
+            axis_name=axis_name,
+        ),
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(axis_name),
+    )
+    return fn(x)
+
+
+def _psd_stats_body(x_local, *, w, nperseg, noverlap, statistics, edges_dB, axis_name):
+    spg = _sharded_stft_local(
+        x_local,
+        w=w,
+        nperseg=nperseg,
+        noverlap=noverlap,
+        norm='power',
+        axis_name=axis_name,
+    )
+    spg = spg.real * spg.real + spg.imag * spg.imag
+    spg_dB = 10.0 * jnp.log10(spg + 1e-25)
+
+    outs = []
+    for stat in statistics:
+        if stat == 'mean':
+            outs.append(jax.lax.pmean(spg_dB.mean(axis=0), axis_name))
+        elif stat in ('max', 'peak'):
+            outs.append(jax.lax.pmax(spg_dB.max(axis=0), axis_name))
+        elif stat == 'min':
+            outs.append(jax.lax.pmin(spg_dB.min(axis=0), axis_name))
+        else:
+            raise ValueError(f'unsupported sharded statistic {stat!r}')
+    stats_out = jnp.stack(outs, axis=0)
+
+    # per-frequency histogram for quantile inversion at scale
+    idx = jnp.clip(
+        jnp.searchsorted(edges_dB, spg_dB.reshape(-1), side='right') - 1,
+        0,
+        edges_dB.shape[0] - 2,
+    )
+    freq_idx = jnp.broadcast_to(
+        jnp.arange(spg_dB.shape[1])[None, :], spg_dB.shape
+    ).reshape(-1)
+    hist = jnp.zeros((spg_dB.shape[1], edges_dB.shape[0] - 1), dtype=jnp.int32)
+    hist = hist.at[freq_idx, idx].add(1)
+    hist = jax.lax.psum(hist, axis_name)
+
+    return stats_out, hist
+
+
+def sharded_psd_stats(
+    x,
+    *,
+    mesh: Mesh,
+    fs: float,
+    window,
+    nperseg: int,
+    noverlap: int = 0,
+    statistics=('mean', 'max', 'min'),
+    hist_range_dB=(-150.0, 50.0),
+    hist_bins: int = 2048,
+    axis_name: str = TIME_AXIS,
+):
+    """persistence-spectrum statistics of a time-sharded capture.
+
+    Named statistics reduce exactly with pmean/pmax/pmin; quantiles come
+    from a psum-merged per-frequency dB histogram (resolution =
+    hist range / hist_bins), the streaming-scale replacement for the exact
+    sort in ops.spectral.power_spectral_density (SURVEY.md §7d).
+
+    Returns:
+        (stats, hist, edges_dB): stats[i] is statistics[i] per frequency
+        bin (replicated); hist is the (nfreq, hist_bins) global histogram
+        for quantile queries via `quantile_from_histogram`.
+    """
+    hop = nperseg - noverlap
+    n_dev = mesh.shape[axis_name]
+    if x.shape[0] % (n_dev * hop):
+        raise ValueError('capture size must be a multiple of n_devices*hop')
+
+    w = get_window(
+        window,
+        nperseg,
+        xp=jnp,
+        dtype=np.dtype(x.dtype).name,
+        norm=True,
+        fftshift=True,
+    )
+    edges_dB = jnp.linspace(hist_range_dB[0], hist_range_dB[1], hist_bins + 1)
+
+    fn = jax.shard_map(
+        functools.partial(
+            _psd_stats_body,
+            w=w,
+            nperseg=nperseg,
+            noverlap=noverlap,
+            statistics=tuple(statistics),
+            edges_dB=edges_dB,
+            axis_name=axis_name,
+        ),
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=(P(), P()),
+    )
+    stats, hist = fn(x)
+    return stats, hist, np.asarray(edges_dB)
+
+
+def quantile_from_histogram(hist, edges, q):
+    """invert a counts histogram to quantile estimates with linear
+    interpolation inside the containing bin.
+
+    Args:
+        hist: (..., n_bins) counts
+        edges: (n_bins + 1,) bin edges
+        q: scalar or (Q,) quantiles in [0, 1]
+
+    Returns:
+        (Q, ...) quantile estimates (accuracy = bin width)
+    """
+    xp = jnp if isinstance(hist, jax.Array) else np
+    q = xp.atleast_1d(xp.asarray(q, dtype='float32'))
+    counts = hist.astype('float32')  # (..., B)
+    B = counts.shape[-1]
+    cum = xp.cumsum(counts, axis=-1)  # (..., B)
+    total = cum[..., -1]  # (...)
+
+    targets = q.reshape((-1,) + (1,) * total.ndim) * total[None]  # (Q, ...)
+
+    # containing bin: count of bins whose cumulative mass is below target
+    idx = (cum[None] < targets[..., None]).sum(axis=-1)  # (Q, ...)
+    idx = xp.clip(idx, 0, B - 1)
+
+    full = targets.shape + (B,)
+    counts_q = xp.take_along_axis(
+        xp.broadcast_to(counts[None], full), idx[..., None], axis=-1
+    )[..., 0]
+    cum_q = xp.take_along_axis(
+        xp.broadcast_to(cum[None], full), idx[..., None], axis=-1
+    )[..., 0]
+    prev = cum_q - counts_q
+
+    frac = xp.where(counts_q > 0, (targets - prev) / xp.maximum(counts_q, 1.0), 0.0)
+    frac = xp.clip(frac, 0.0, 1.0)
+
+    edges = xp.asarray(edges)
+    lo = edges[:-1][idx]
+    wid = (edges[1:] - edges[:-1])[idx]
+    return lo + frac * wid
+
+
+def _apd_body(x_local, *, edges_pow, axis_name):
+    p = x_local.real * x_local.real + x_local.imag * x_local.imag
+    idx = jnp.searchsorted(edges_pow, p, side='left')
+    # int32 holds ~2.1e9 counts/bin/shard; for larger shards enable
+    # jax_enable_x64 or reduce in chunks via parallel.streaming
+    counts = jnp.zeros((edges_pow.shape[0] + 1,), dtype=jnp.int32)
+    counts = counts.at[idx].add(1)
+    return jax.lax.psum(counts, axis_name)
+
+
+def sharded_apd_histogram(x, *, mesh: Mesh, edges, axis_name: str = TIME_AXIS):
+    """global amplitude (power) distribution counts of a time-sharded
+    capture: searchsorted + scatter-add per shard, psum across ICI.
+
+    Feed the result to `ccdf_from_counts` for the APD/CCDF (the sharded
+    counterpart of ops.power.sample_ccdf, power_analysis.py:552-580).
+    """
+    edges_pow = jnp.asarray(edges)
+    fn = jax.shard_map(
+        functools.partial(_apd_body, edges_pow=edges_pow, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(),
+    )
+    return fn(x)
+
+
+def ccdf_from_counts(counts, n_total: int, density: bool = True):
+    """CCDF from searchsorted('left') bin counts (matches
+    ops.power.sample_ccdf semantics)."""
+    xp = jnp if isinstance(counts, jax.Array) else np
+    ccdf = (n_total - counts.cumsum(0))[:-1]
+    if density:
+        ccdf = ccdf.astype('float32') / n_total
+    return ccdf

@@ -1,0 +1,233 @@
+"""Sharded pipeline tests on the virtual 8-device CPU mesh.
+
+Oracle: the single-device ops implementations — sharded results must match
+them exactly (detectors, OLA) or to histogram resolution (quantiles).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iqwaveform_tpu import fourier, parallel
+
+from conftest import make_tone_noise
+
+
+@pytest.fixture(scope='module')
+def mesh():
+    return parallel.time_mesh(8)
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.shape[parallel.TIME_AXIS] == 8
+
+
+def test_sharded_stft_matches_single_device(mesh):
+    nperseg, noverlap = 256, 128
+    hop = nperseg - noverlap
+    n = 8 * hop * 64
+    x = make_tone_noise(n)
+    xs = parallel.shard_time_axis(jnp.asarray(x), mesh)
+
+    Ys = parallel.sharded_stft(
+        xs, mesh=mesh, window='hamming', nperseg=nperseg, noverlap=noverlap
+    )
+    # single-device oracle on the zero-extended capture ('extend' semantics)
+    x_ext = np.concatenate([x, np.zeros(noverlap, x.dtype)])
+    Y = fourier.stft(
+        x_ext, fs=1e6, window='hamming', nperseg=nperseg, noverlap=noverlap,
+        return_axis_arrays=False,
+    )
+    assert Ys.shape == Y.shape
+    np.testing.assert_allclose(np.asarray(Ys), np.asarray(Y), atol=1e-5)
+
+
+def test_sharded_stft_no_overlap(mesh):
+    nperseg = 256
+    n = 8 * nperseg * 16
+    x = make_tone_noise(n)
+    xs = parallel.shard_time_axis(jnp.asarray(x), mesh)
+    Ys = parallel.sharded_stft(xs, mesh=mesh, window='hann', nperseg=nperseg)
+    Y = fourier.stft(
+        x, fs=1e6, window='hann', nperseg=nperseg, return_axis_arrays=False
+    )
+    np.testing.assert_allclose(np.asarray(Ys), np.asarray(Y), atol=1e-5)
+
+
+def test_sharded_spectrogram(mesh):
+    nperseg = 128
+    n = 8 * nperseg * 8
+    x = make_tone_noise(n)
+    xs = parallel.shard_time_axis(jnp.asarray(x), mesh)
+    spg_s = parallel.sharded_spectrogram(xs, mesh=mesh, window='hann', nperseg=nperseg)
+    spg = fourier.spectrogram(
+        x, fs=1e6, window='hann', nperseg=nperseg, return_axis_arrays=False
+    )
+    np.testing.assert_allclose(np.asarray(spg_s), np.asarray(spg), atol=1e-6)
+
+
+def test_sharded_ola_filter_matches_single_device(mesh):
+    fs = 1e6
+    nfft = 512
+    n = 8 * (nfft // 2) * 32
+    x = make_tone_noise(n, fs=fs)
+    xs = parallel.shard_time_axis(jnp.asarray(x), mesh)
+
+    ys = parallel.sharded_ola_filter(
+        xs, mesh=mesh, fs=fs, nfft=nfft, window='hamming', passband=(-2e5, 2e5)
+    )
+    y = fourier.ola_filter(
+        x, fs=fs, nfft=nfft, window='hamming', passband=(-2e5, 2e5), extend=True
+    )
+    ys_np = np.asarray(ys)
+    y_np = np.asarray(y)
+    # single-device istft output is F*hop + noverlap long; sharded output is
+    # exactly n samples. values must agree except the final noverlap-sample
+    # tail transient (zero-extension edge semantics differ there)
+    m = min(ys_np.shape[0], y_np.shape[0]) - nfft // 2
+    np.testing.assert_allclose(ys_np[:m], y_np[:m], atol=1e-4)
+
+
+def test_sharded_ola_filter_resample(mesh):
+    fs = 1e6
+    nfft, nfft_out = 512, 256
+    n = 8 * (nfft // 2) * 32
+    x = make_tone_noise(n, fs=fs, f_tone=50e3, snr_db=60)
+    xs = parallel.shard_time_axis(jnp.asarray(x), mesh)
+
+    ys = parallel.sharded_ola_filter(
+        xs,
+        mesh=mesh,
+        fs=fs,
+        nfft=nfft,
+        nfft_out=nfft_out,
+        window='hamming',
+        passband=(-1e5, 1e5),
+    )
+    ys_np = np.asarray(ys)
+    assert ys_np.shape[0] == n // 2
+
+    y = np.asarray(
+        fourier.ola_filter(
+            x,
+            fs=fs,
+            nfft=nfft,
+            nfft_out=nfft_out,
+            window='hamming',
+            passband=(-1e5, 1e5),
+            extend=True,
+        )
+    )
+    # exclude the final noverlap_out tail transient (see matching test above)
+    m = min(ys_np.shape[0], y.shape[0]) - nfft_out // 2
+    np.testing.assert_allclose(ys_np[:m], y[:m], atol=1e-4)
+
+
+def test_sharded_psd_stats(mesh):
+    fs = 1e6
+    nperseg = 128
+    n = 8 * nperseg * 32
+    x = make_tone_noise(n, fs=fs)
+    xs = parallel.shard_time_axis(jnp.asarray(x), mesh)
+
+    stats, hist, edges = parallel.sharded_psd_stats(
+        xs, mesh=mesh, fs=fs, window='hann', nperseg=nperseg,
+        statistics=('mean', 'max', 'min'),
+    )
+
+    freqs, times, spg = fourier.spectrogram(x, fs=fs, window='hann', nperseg=nperseg)
+    spg_dB = 10 * np.log10(np.asarray(spg) + 1e-25)
+
+    np.testing.assert_allclose(np.asarray(stats[0]), spg_dB.mean(axis=0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(stats[1]), spg_dB.max(axis=0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats[2]), spg_dB.min(axis=0), atol=1e-4)
+
+    # histogram-quantile matches exact quantile to bin resolution
+    q = parallel.quantile_from_histogram(hist, edges, jnp.asarray([0.5]))
+    exact = np.quantile(spg_dB, 0.5, axis=0)
+    bin_width = edges[1] - edges[0]
+    assert np.abs(np.asarray(q)[0] - exact).max() <= 2 * bin_width
+
+
+def test_sharded_apd_matches_sample_ccdf(mesh):
+    n = 8 * 4096
+    x = make_tone_noise(n)
+    xs = parallel.shard_time_axis(jnp.asarray(x), mesh)
+
+    p = np.abs(x) ** 2
+    edges = np.linspace(0, float(p.max()) * 1.01, 64).astype('float32')
+
+    counts = parallel.sharded_apd_histogram(xs, mesh=mesh, edges=edges)
+    ccdf = parallel.ccdf_from_counts(counts, n)
+
+    from iqwaveform_tpu import sample_ccdf
+
+    expected = sample_ccdf(p.astype('float32'), edges)
+    np.testing.assert_allclose(np.asarray(ccdf), expected, atol=1e-5)
+
+
+def test_sharded_pipeline_jits(mesh):
+    """the whole sharded pipeline must compile as one jit program."""
+    nfft = 256
+    n = 8 * (nfft // 2) * 16
+    x = make_tone_noise(n)
+    xs = parallel.shard_time_axis(jnp.asarray(x), mesh)
+
+    @jax.jit
+    def step(x):
+        y = parallel.sharded_ola_filter(
+            x, mesh=mesh, fs=1e6, nfft=nfft, window='hamming',
+            passband=(-2e5, 2e5),
+        )
+        return parallel.sharded_spectrogram(
+            y, mesh=mesh, window='hann', nperseg=nfft
+        )
+
+    out = step(xs)
+    assert out.shape == (n // nfft, nfft)
+
+
+def test_streaming_persistence_matches_direct():
+    fs = 1e6
+    nfft = 128
+    n = nfft * 64 * 4
+    x = make_tone_noise(n, fs=fs)
+
+    res = parallel.streaming_persistence_spectrum(
+        jnp.asarray(x), fs=fs, window='hann', nfft=nfft, chunk_frames=64,
+        quantiles=(0.5,), hist_bins=4096,
+    )
+
+    freqs, times, spg = fourier.spectrogram(x, fs=fs, window='hann', nperseg=nfft)
+    spg_dB = 10 * np.log10(np.asarray(spg) + 1e-25)
+
+    np.testing.assert_allclose(np.asarray(res['mean_dB']), spg_dB.mean(axis=0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res['max_dB']), spg_dB.max(axis=0), atol=1e-4)
+    exact_median = np.quantile(spg_dB, 0.5, axis=0)
+    bw = res['hist_edges_dB'][1] - res['hist_edges_dB'][0]
+    # histogram inversion vs np.quantile order-statistic interpolation:
+    # agreement to a few bin widths
+    assert np.abs(np.asarray(res['quantiles_dB'])[0] - exact_median).max() <= 5 * bw
+
+
+def test_streaming_apd_matches_sample_ccdf():
+    x = make_tone_noise(100000)
+    p = np.abs(x) ** 2
+    edges = np.linspace(0, float(p.max()) * 1.01, 100).astype('float32')
+
+    counts = parallel.streaming_apd(jnp.asarray(x), edges=edges, chunk_size=8192)
+    ccdf = parallel.ccdf_from_counts(counts, x.shape[0])
+
+    from iqwaveform_tpu import sample_ccdf
+
+    expected = sample_ccdf(p.astype('float32'), edges)
+    np.testing.assert_allclose(np.asarray(ccdf), expected, atol=1e-5)
+
+
+def test_quantile_from_histogram_uniform():
+    """uniform histogram -> quantiles linear in q."""
+    hist = np.ones((3, 100), dtype='int32') * 10
+    edges = np.linspace(0.0, 1.0, 101)
+    q = parallel.quantile_from_histogram(hist, edges, np.array([0.25, 0.5, 0.75]))
+    np.testing.assert_allclose(q[:, 0], [0.25, 0.5, 0.75], atol=0.02)
