@@ -49,16 +49,27 @@ def main():
 
     step = jax.jit(mon.step)
 
-    # compile + warmup
-    out = step(x)
-    jax.block_until_ready(out)
+    def run_and_fence(reps: int) -> float:
+        """run `reps` steps and fence on a float32 readback of the last
+        output. (On the tunneled axon platform block_until_ready returns at
+        dispatch; a D2H readback of an f32 leaf is the only true fence.
+        Execution is in-order, so the last output fences the whole queue.)
+        """
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = step(x)
+        np.asarray(out['psd_mean'])
+        return time.perf_counter() - t0
 
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = step(x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    # compile + warmup
+    run_and_fence(1)
+
+    # difference timing cancels the fixed dispatch+roundtrip overhead
+    reps_lo, reps_hi = 2, 12
+    t_lo = run_and_fence(reps_lo)
+    t_hi = run_and_fence(reps_hi)
+    dt = (t_hi - t_lo) / (reps_hi - reps_lo)
 
     msps = n / dt / 1e6
 

@@ -21,8 +21,15 @@ from .utils import lazy_import
 signal = lazy_import('scipy.signal')
 pd = lazy_import('pandas')
 
+try:
+    from . import _iqio
+except ImportError:  # extension not built: numpy fallback below
+    _iqio = None
+
 __all__ = [
     'extract_ntia_calibration_metadata',
+    'iter_capture_chunks',
+    'read_iq_data',
     'read_sigmf',
     'read_sigmf_metadata',
     'read_sigmf_to_df',
@@ -163,3 +170,98 @@ def resample_iq(iq, Ts, scale, axis=0):
     """(reference io.py:150-152)"""
     N = int(np.round(iq.shape[0] * scale))
     return signal.resample(iq, num=N, axis=axis), Ts / scale
+
+
+def read_iq_data(
+    path,
+    sample_format: str = 'ci16_le',
+    offset_samples: int = 0,
+    num_samples: int = -1,
+    scale: float = None,
+    threads: int = 8,
+) -> np.ndarray:
+    """load a raw interleaved-IQ SigMF payload as complex64.
+
+    Native fast path (mmap + threaded int16->float32 conversion, GIL
+    released) when the _iqio extension is built; numpy fallback otherwise.
+    Extends the reference's .npy-only loader (io.py:77-82) to the raw
+    ci16_le/cf32_le SigMF datatypes.
+
+    Args:
+        path: .sigmf-data file path
+        sample_format: 'ci16_le' or 'cf32_le'
+        offset_samples / num_samples: complex-sample span (-1 = to EOF)
+        scale: per-sample scale for ci16 (default 1/32768)
+    """
+    path = str(path)
+    fmt = sample_format.replace('_le', '')
+
+    if fmt == 'ci16':
+        if scale is None:
+            scale = 1.0 / 32768.0
+        if _iqio is not None:
+            return _iqio.load_ci16(
+                path,
+                offset_samples=offset_samples,
+                num_samples=num_samples,
+                scale=scale,
+                threads=threads,
+            )
+        raw = np.memmap(path, dtype=np.int16, mode='r')
+        total = raw.size // 2
+        n = total - offset_samples if num_samples < 0 else num_samples
+        view = raw[2 * offset_samples : 2 * (offset_samples + n)]
+        z = view.astype('float32').reshape(-1, 2) * np.float32(scale)
+        return (z[:, 0] + 1j * z[:, 1]).astype('complex64')
+
+    if fmt == 'cf32':
+        if _iqio is not None:
+            return _iqio.load_cf32(
+                path, offset_samples=offset_samples, num_samples=num_samples
+            )
+        raw = np.memmap(path, dtype=np.complex64, mode='r')
+        n = raw.size - offset_samples if num_samples < 0 else num_samples
+        return np.array(raw[offset_samples : offset_samples + n])
+
+    raise ValueError(f'unsupported sample_format {sample_format!r}')
+
+
+def iter_capture_chunks(
+    path,
+    chunk_samples: int,
+    sample_format: str = 'ci16_le',
+    scale: float = None,
+    drop_last: bool = True,
+):
+    """iterate chunk_samples-sized complex64 chunks of a raw capture.
+
+    The host-side feeder for parallel.streaming: each chunk loads through
+    the native mmap path while the previous chunk computes on device.
+    """
+    path = str(path)
+    fmt = sample_format.replace('_le', '')
+    itemsize = {'ci16': 4, 'cf32': 8}[fmt]
+
+    import os
+
+    total = os.stat(path).st_size // itemsize
+    n_chunks = total // chunk_samples
+
+    for k in range(n_chunks):
+        yield read_iq_data(
+            path,
+            sample_format=sample_format,
+            offset_samples=k * chunk_samples,
+            num_samples=chunk_samples,
+            scale=scale,
+        )
+
+    tail = total - n_chunks * chunk_samples
+    if tail and not drop_last:
+        yield read_iq_data(
+            path,
+            sample_format=sample_format,
+            offset_samples=n_chunks * chunk_samples,
+            num_samples=tail,
+            scale=scale,
+        )

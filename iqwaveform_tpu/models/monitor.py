@@ -139,15 +139,15 @@ class WidebandMonitor:
         self.hop_in = d.nfft - self.noverlap_in
 
         # static windows (complex delay baked in)
-        self._w_in = get_window(d.window, d.nfft, xp=jnp, dtype='complex64', fftshift=True)
+        self._w_in = get_window(d.window, d.nfft, xp=np, dtype='complex64', fftshift=True)
         self._w_shift_out = get_window(
-            'rect', d.nfft_out, xp=jnp, dtype='complex64', fftshift=True
+            'rect', d.nfft_out, xp=np, dtype='complex64', fftshift=True
         )
         self._nfft_big = d.fft_size_per_channel * d.channel_count
         self._w_ch = get_window(
             d.channel_window,
             self._nfft_big,
-            xp=jnp,
+            xp=np,
             dtype='complex64',
             norm=True,
             fftshift=True,
@@ -169,7 +169,9 @@ class WidebandMonitor:
         # APD power-bin edges from dB range
         edges_dB = np.linspace(d.apd_range_dB[0], d.apd_range_dB[1], d.apd_bins)
         self.apd_edges_dB = edges_dB
-        self._apd_edges_pow = jnp.asarray(10 ** (edges_dB / 10.0), dtype='float32')
+        # host numpy: device constants embed into traces from host (the
+        # axon tunnel cannot D2H-copy non-float32 device arrays)
+        self._apd_edges_pow = (10 ** (edges_dB / 10.0)).astype('float32')
 
         # channel analysis-bin trim
         self._skip_bins = d.channel_count * (

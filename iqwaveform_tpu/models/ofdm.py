@@ -232,7 +232,7 @@ def _corr_at_indices_direct(flat_inds, x, nfft: int, ncp: int, norm: bool):
     return corr
 
 
-def corr_at_indices(inds, x, nfft: int, norm: bool = True, out=None):
+def corr_at_indices(inds, x, nfft: int, norm: bool = True, out=None, *, backend: str = 'xla'):
     """normalized correlation of a waveform against its nfft-shifted self at
     a cyclic-prefix index set (reference ofdm.py:97-120).
 
@@ -240,6 +240,10 @@ def corr_at_indices(inds, x, nfft: int, norm: bool = True, out=None):
     cyclic prefix. Rows that are contiguous runs (the output of
     index_cyclic_prefix) take the O(N) moving-sum path; arbitrary index
     sets fall back to a direct gather.
+
+    Args:
+        backend: 'xla' (default) or 'pallas' (the hand-scheduled kernel in
+            ops.pallas.corr_pallas; structured index rows only)
 
     Returns:
         complex correlation sequence of length nfft + ncp
@@ -251,7 +255,15 @@ def corr_at_indices(inds, x, nfft: int, norm: bool = True, out=None):
     expected = starts[:, None] + np.arange(ncp)[None, :]
     structured = np.array_equal(inds_host.reshape(-1, ncp), expected)
 
-    if structured:
+    if backend == 'pallas':
+        if not structured:
+            raise ValueError('the pallas backend requires contiguous index rows')
+        from ..ops.pallas.corr_pallas import corr_at_indices_pallas
+
+        result = corr_at_indices_pallas(starts, jnp.asarray(x), int(nfft), int(ncp), bool(norm))
+    elif backend != 'xla':
+        raise ValueError(f"backend must be 'xla' or 'pallas', not {backend!r}")
+    elif structured:
         result = _corr_at_indices_structured(starts, x, int(nfft), int(ncp), bool(norm))
     else:
         result = _corr_at_indices_direct(

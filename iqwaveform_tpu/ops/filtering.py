@@ -422,6 +422,7 @@ def stft_fir_lowpass(
     """apply an FIR low-pass in the STFT domain (reference fourier.py:789-812)."""
     xp = array_namespace(xstft)
 
+    # host-cached filter response (constant-embedding note in ops.stft)
     H = _fir_lowpass_fft(
         xstft.shape[axis + 1],
         sample_rate=sample_rate,
@@ -429,7 +430,7 @@ def stft_fir_lowpass(
         transition=transition_bandwidth,
         dtype=np.dtype(xstft.dtype).name,
         window='rect',
-        xp=xp,
+        xp=np,
     )
 
     H = broadcast_onto(H.astype(xstft.dtype), xstft, axis=axis + 1)
@@ -604,21 +605,20 @@ def time_fftshift(x, scale=None, overwrite_x=False, axis=0):
     if np.ndim(scale) > 1:
         raise ValueError('scale must be 1-D or scalar')
 
+    # host numpy pattern: promotes onto the device at the multiply
     shift = np.ones(x.shape[axis], dtype='float32')
     shift[1::2] = -1
-    shift = xp.asarray(shift)
     pattern = broadcast_onto(shift, x, axis=axis)
 
     if scale is None:
-        return x * pattern.astype(x.dtype)
+        return x * pattern.astype(np.dtype(x.dtype))
 
-    scale = xp.asarray(scale, dtype=x.dtype if not xp.iscomplexobj(x) else None)
     if np.ndim(scale) == 1:
         # per-signal scale broadcast onto the axis preceding `axis`
         # (reference fourier.py:1531)
-        scale = broadcast_onto(scale, x, axis=max(axis - 1, 0))
+        scale = broadcast_onto(np.asarray(scale), x, axis=max(axis - 1, 0))
 
-    return x * (pattern * scale).astype(x.dtype)
+    return x * xp.asarray(pattern * scale).astype(np.dtype(x.dtype))
 
 
 time_ifftshift = time_fftshift

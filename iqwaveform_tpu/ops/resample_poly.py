@@ -135,6 +135,7 @@ def upfirdn(
     overwrite_x=False,
     *,
     precision=jax.lax.Precision.HIGHEST,
+    backend: str = 'xla',
 ):
     """upsample by ``up``, FIR filter with ``h``, downsample by ``down``
     along ``axis`` (reference fourier.py:1476-1495, cuda.py:448-504).
@@ -151,6 +152,8 @@ def upfirdn(
             path, cuda.py:497-500)
         precision: XLA conv precision (HIGHEST by default for parity with
             the float32 reference numerics)
+        backend: 'xla' (dilated conv, default) or 'pallas' (hand-scheduled
+            block-Toeplitz MXU kernel, ops.pallas.upfirdn_pallas)
     """
     if mode is None:
         mode = 'constant'
@@ -168,6 +171,17 @@ def upfirdn(
     xp = array_namespace(x)
     if xp is np:
         return signal.upfirdn(np.asarray(h), x, up=up, down=down, axis=axis)
+
+    if backend == 'pallas':
+        from .pallas.upfirdn_pallas import upfirdn_pallas
+
+        if axis not in (-1, x.ndim - 1):
+            x_moved = jnp.moveaxis(x, axis, -1)
+            y = upfirdn_pallas(h, x_moved, up, down)
+            return jnp.moveaxis(y, -1, axis)
+        return upfirdn_pallas(h, x, up, down)
+    if backend != 'xla':
+        raise ValueError(f"backend must be 'xla' or 'pallas', not {backend!r}")
 
     return _upfirdn_jax(h, x, up, down, axis, precision)
 

@@ -212,6 +212,10 @@ def stft(
     if window is None:
         window = 'rect'
 
+    # windows are built and cached in host numpy: a cached device-resident
+    # window closed over by a later jit trace would need a device->host
+    # copy at lowering (unsupported for complex dtypes on the axon tunnel);
+    # numpy constants embed into traces directly
     if isinstance(window, str) or (
         isinstance(window, tuple) and isinstance(window[0], str)
     ):
@@ -220,7 +224,7 @@ def stft(
             window,
             nfft - nzero,
             nzero=nzero,
-            xp=xp,
+            xp=np,
             dtype=x.dtype,
             norm=should_norm,
             fftshift=True,
@@ -228,9 +232,11 @@ def stft(
     else:
         # a precomputed window vector: apply the baked fftshift pattern
         # (reference fourier.py:1011-1014 intends this; its use of an
-        # undefined name `w` on the rhs is a reference bug not reproduced)
-        w = xp.asarray(window) * get_window(
-            'rect', nfft - nzero, nzero=nzero, xp=xp, dtype=x.dtype, fftshift=True
+        # undefined name `w` on the rhs is a reference bug not reproduced).
+        # multiplication promotes to the window's own backend, so jax
+        # window vectors (including tracers) pass through unconverted
+        w = window * get_window(
+            'rect', nfft - nzero, nzero=nzero, xp=np, dtype=x.dtype, fftshift=True
         )
 
     if noverlap == 0:
@@ -280,8 +286,9 @@ def istft(
 
     xstack = ifft(y, axis=axis + 1)
 
-    # correct the fft shift in the time domain
-    w = get_window('rect', nfft, xp=xp, dtype=y.dtype, fftshift=True)
+    # correct the fft shift in the time domain (host-cached window; see
+    # the constant-embedding note in stft())
+    w = get_window('rect', nfft, xp=np, dtype=y.dtype, fftshift=True)
     wstack = broadcast_onto(w, xstack, axis=axis + 1)
     xstack = (xstack * wstack).astype(y.dtype)
 

@@ -129,7 +129,7 @@ def sharded_stft(
     w = get_window(
         window,
         nperseg,
-        xp=jnp,
+        xp=np,
         dtype=np.dtype(x.dtype).name,
         norm=(norm == 'power'),
         fftshift=True,
@@ -291,9 +291,9 @@ def sharded_ola_filter(
         )
 
     dtype_name = np.dtype(x.dtype).name
-    w_in = get_window(window, nfft, xp=jnp, dtype=dtype_name, fftshift=True)
+    w_in = get_window(window, nfft, xp=np, dtype=dtype_name, fftshift=True)
     w_shift_out = get_window(
-        'rect', nfft_out, xp=jnp, dtype=dtype_name, fftshift=True
+        'rect', nfft_out, xp=np, dtype=dtype_name, fftshift=True
     )
 
     # static passband bin bounds (host design math)
@@ -403,12 +403,12 @@ def sharded_psd_stats(
     w = get_window(
         window,
         nperseg,
-        xp=jnp,
+        xp=np,
         dtype=np.dtype(x.dtype).name,
         norm=True,
         fftshift=True,
     )
-    edges_dB = jnp.linspace(hist_range_dB[0], hist_range_dB[1], hist_bins + 1)
+    edges_dB = np.linspace(hist_range_dB[0], hist_range_dB[1], hist_bins + 1).astype('float32')
 
     fn = jax.shard_map(
         functools.partial(

@@ -80,9 +80,9 @@ def streaming_persistence_spectrum(
     x = x[: n_chunks * chunk].reshape(n_chunks, chunk)
 
     w = get_window(
-        window, nfft, xp=jnp, dtype=np.dtype(x.dtype).name, norm=True, fftshift=True
+        window, nfft, xp=np, dtype=np.dtype(x.dtype).name, norm=True, fftshift=True
     )
-    edges = jnp.linspace(hist_range_dB[0], hist_range_dB[1], hist_bins + 1)
+    edges = np.linspace(hist_range_dB[0], hist_range_dB[1], hist_bins + 1).astype('float32')
 
     init = PersistenceCarry(
         hist=jnp.zeros((nfft, hist_bins), dtype=jnp.int32),

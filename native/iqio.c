@@ -1,0 +1,286 @@
+/* iqio: native IQ capture loader for iqwaveform-tpu.
+ *
+ * The runtime-side native component of the framework: bulk loading of
+ * .sigmf-data captures (raw interleaved IQ) into page-aligned complex64
+ * numpy buffers ready for host->device transfer, using mmap + a small
+ * thread pool for the int16 -> float32 conversion. This feeds the
+ * streaming scan pipelines (parallel.streaming) at NVMe/page-cache speed
+ * without holding the GIL during conversion.
+ *
+ * Counterpart of the reference's io.py loading path (io.py:58-96), which
+ * only supports .npy via numpy; here raw ci16/cf32 SigMF payloads load
+ * directly. Python bindings use the CPython C API (no pybind11 in the
+ * image).
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#include <numpy/arrayobject.h>
+
+#include <errno.h>
+#include <fcntl.h>
+#include <pthread.h>
+#include <stdint.h>
+#include <string.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+typedef struct {
+    const int16_t *src;   /* interleaved i,q int16 */
+    float *dst;           /* interleaved i,q float32 */
+    npy_intp n_samples;   /* complex samples to convert */
+    float scale;
+} convert_job_t;
+
+typedef struct {
+    convert_job_t job;
+    npy_intp begin;
+    npy_intp end;
+} convert_slice_t;
+
+static void *convert_worker(void *arg)
+{
+    convert_slice_t *s = (convert_slice_t *)arg;
+    const int16_t *src = s->job.src + 2 * s->begin;
+    float *dst = s->job.dst + 2 * s->begin;
+    const float scale = s->job.scale;
+    npy_intp n = 2 * (s->end - s->begin);
+    /* simple unrolled loop; compilers vectorize this cleanly */
+    npy_intp i = 0;
+    for (; i + 8 <= n; i += 8) {
+        dst[i + 0] = scale * (float)src[i + 0];
+        dst[i + 1] = scale * (float)src[i + 1];
+        dst[i + 2] = scale * (float)src[i + 2];
+        dst[i + 3] = scale * (float)src[i + 3];
+        dst[i + 4] = scale * (float)src[i + 4];
+        dst[i + 5] = scale * (float)src[i + 5];
+        dst[i + 6] = scale * (float)src[i + 6];
+        dst[i + 7] = scale * (float)src[i + 7];
+    }
+    for (; i < n; i++) {
+        dst[i] = scale * (float)src[i];
+    }
+    return NULL;
+}
+
+static int run_threaded_convert(convert_job_t job, int n_threads)
+{
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 16) n_threads = 16;
+    if (job.n_samples < (npy_intp)1 << 20) n_threads = 1;
+
+    convert_slice_t slices[16];
+    pthread_t threads[16];
+    npy_intp per = job.n_samples / n_threads;
+
+    for (int t = 0; t < n_threads; t++) {
+        slices[t].job = job;
+        slices[t].begin = per * t;
+        slices[t].end = (t == n_threads - 1) ? job.n_samples : per * (t + 1);
+    }
+    for (int t = 1; t < n_threads; t++) {
+        if (pthread_create(&threads[t], NULL, convert_worker, &slices[t]) != 0) {
+            /* fall back: run remaining slices inline */
+            for (int u = t; u < n_threads; u++) convert_worker(&slices[u]);
+            for (int u = 1; u < t; u++) pthread_join(threads[u], NULL);
+            convert_worker(&slices[0]);
+            return 0;
+        }
+    }
+    convert_worker(&slices[0]);
+    for (int t = 1; t < n_threads; t++) pthread_join(threads[t], NULL);
+    return 0;
+}
+
+/* map a file readonly; returns base pointer or NULL with exception set */
+static void *map_file(const char *path, size_t *size_out, int *fd_out)
+{
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) {
+        PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return NULL;
+    }
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return NULL;
+    }
+    void *base = mmap(NULL, (size_t)st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (base == MAP_FAILED) {
+        close(fd);
+        PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return NULL;
+    }
+    madvise(base, (size_t)st.st_size, MADV_SEQUENTIAL);
+    *size_out = (size_t)st.st_size;
+    *fd_out = fd;
+    return base;
+}
+
+/* load_ci16(path, offset_samples=0, num_samples=-1, scale=1/32768, threads=8)
+ * -> complex64 ndarray */
+static PyObject *iqio_load_ci16(PyObject *self, PyObject *args, PyObject *kws)
+{
+    static char *kwlist[] = {"path", "offset_samples", "num_samples",
+                             "scale", "threads", NULL};
+    const char *path;
+    Py_ssize_t offset = 0, num = -1;
+    double scale = 1.0 / 32768.0;
+    int threads = 8;
+
+    if (!PyArg_ParseTupleAndKeywords(args, kws, "s|nndi", kwlist, &path,
+                                     &offset, &num, &scale, &threads))
+        return NULL;
+
+    size_t fsize;
+    int fd;
+    void *base = map_file(path, &fsize, &fd);
+    if (base == NULL) return NULL;
+
+    npy_intp total = (npy_intp)(fsize / (2 * sizeof(int16_t)));
+    if (offset < 0 || offset > total) {
+        munmap(base, fsize);
+        close(fd);
+        PyErr_Format(PyExc_ValueError, "offset %zd out of range (%zd samples)",
+                     offset, (Py_ssize_t)total);
+        return NULL;
+    }
+    npy_intp n = (num < 0) ? (total - offset) : (npy_intp)num;
+    if (offset + n > total) {
+        munmap(base, fsize);
+        close(fd);
+        PyErr_Format(PyExc_ValueError, "requested %zd samples at offset %zd "
+                     "exceeds file (%zd samples)", (Py_ssize_t)n, offset,
+                     (Py_ssize_t)total);
+        return NULL;
+    }
+
+    npy_intp dims[1] = {n};
+    PyArrayObject *out =
+        (PyArrayObject *)PyArray_SimpleNew(1, dims, NPY_COMPLEX64);
+    if (out == NULL) {
+        munmap(base, fsize);
+        close(fd);
+        return NULL;
+    }
+
+    convert_job_t job;
+    job.src = (const int16_t *)base + 2 * offset;
+    job.dst = (float *)PyArray_DATA(out);
+    job.n_samples = n;
+    job.scale = (float)scale;
+
+    Py_BEGIN_ALLOW_THREADS
+    run_threaded_convert(job, threads);
+    Py_END_ALLOW_THREADS
+
+    munmap(base, fsize);
+    close(fd);
+    return (PyObject *)out;
+}
+
+/* load_cf32(path, offset_samples=0, num_samples=-1) -> complex64 ndarray */
+static PyObject *iqio_load_cf32(PyObject *self, PyObject *args, PyObject *kws)
+{
+    static char *kwlist[] = {"path", "offset_samples", "num_samples", NULL};
+    const char *path;
+    Py_ssize_t offset = 0, num = -1;
+
+    if (!PyArg_ParseTupleAndKeywords(args, kws, "s|nn", kwlist, &path,
+                                     &offset, &num))
+        return NULL;
+
+    size_t fsize;
+    int fd;
+    void *base = map_file(path, &fsize, &fd);
+    if (base == NULL) return NULL;
+
+    npy_intp total = (npy_intp)(fsize / (2 * sizeof(float)));
+    if (offset < 0 || offset > total) {
+        munmap(base, fsize);
+        close(fd);
+        PyErr_Format(PyExc_ValueError, "offset %zd out of range", offset);
+        return NULL;
+    }
+    npy_intp n = (num < 0) ? (total - offset) : (npy_intp)num;
+    if (offset + n > total) {
+        munmap(base, fsize);
+        close(fd);
+        PyErr_SetString(PyExc_ValueError, "requested span exceeds file");
+        return NULL;
+    }
+
+    npy_intp dims[1] = {n};
+    PyArrayObject *out =
+        (PyArrayObject *)PyArray_SimpleNew(1, dims, NPY_COMPLEX64);
+    if (out == NULL) {
+        munmap(base, fsize);
+        close(fd);
+        return NULL;
+    }
+
+    Py_BEGIN_ALLOW_THREADS
+    memcpy(PyArray_DATA(out), (const float *)base + 2 * offset,
+           (size_t)n * 2 * sizeof(float));
+    Py_END_ALLOW_THREADS
+
+    munmap(base, fsize);
+    close(fd);
+    return (PyObject *)out;
+}
+
+/* sample_count(path, sample_format) -> int */
+static PyObject *iqio_sample_count(PyObject *self, PyObject *args)
+{
+    const char *path;
+    const char *fmt;
+    if (!PyArg_ParseTuple(args, "ss", &path, &fmt)) return NULL;
+
+    struct stat st;
+    if (stat(path, &st) != 0) {
+        PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return NULL;
+    }
+    size_t itemsize;
+    if (strcmp(fmt, "ci16") == 0 || strcmp(fmt, "ci16_le") == 0)
+        itemsize = 4;
+    else if (strcmp(fmt, "cf32") == 0 || strcmp(fmt, "cf32_le") == 0)
+        itemsize = 8;
+    else {
+        PyErr_Format(PyExc_ValueError, "unknown sample format '%s'", fmt);
+        return NULL;
+    }
+    return PyLong_FromSsize_t((Py_ssize_t)(st.st_size / itemsize));
+}
+
+static PyMethodDef iqio_methods[] = {
+    {"load_ci16", (PyCFunction)iqio_load_ci16, METH_VARARGS | METH_KEYWORDS,
+     "load interleaved int16 IQ (SigMF ci16_le) as complex64 via mmap + "
+     "threaded conversion.\n\n"
+     "load_ci16(path, offset_samples=0, num_samples=-1, scale=1/32768, "
+     "threads=8) -> ndarray[complex64]"},
+    {"load_cf32", (PyCFunction)iqio_load_cf32, METH_VARARGS | METH_KEYWORDS,
+     "load interleaved float32 IQ (SigMF cf32_le) as complex64 via mmap.\n\n"
+     "load_cf32(path, offset_samples=0, num_samples=-1) -> "
+     "ndarray[complex64]"},
+    {"sample_count", iqio_sample_count, METH_VARARGS,
+     "sample_count(path, sample_format) -> number of complex samples"},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef iqio_module = {
+    PyModuleDef_HEAD_INIT, "_iqio",
+    "native mmap-based IQ capture loader", -1, iqio_methods,
+};
+
+PyMODINIT_FUNC PyInit__iqio(void)
+{
+    PyObject *m = PyModule_Create(&iqio_module);
+    if (m == NULL) return NULL;
+    import_array();
+    return m;
+}

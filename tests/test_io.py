@@ -102,3 +102,68 @@ def test_resample_iq():
     y, Ts = io.resample_iq(x, 1e-6, 0.5)
     assert y.shape == (50,)
     assert Ts == 2e-6
+
+
+def test_read_iq_data_ci16(tmp_path):
+    rng = np.random.default_rng(0)
+    iq16 = rng.integers(-32768, 32767, size=4000, dtype='int16')
+    path = tmp_path / 'raw.sigmf-data'
+    iq16.tofile(path)
+
+    x = io.read_iq_data(path, 'ci16_le')
+    z = iq16.reshape(-1, 2).astype('float32') / 32768
+    expected = (z[:, 0] + 1j * z[:, 1]).astype('complex64')
+    assert x.dtype == np.complex64
+    np.testing.assert_allclose(x, expected)
+
+    x2 = io.read_iq_data(path, 'ci16_le', offset_samples=100, num_samples=50)
+    np.testing.assert_allclose(x2, expected[100:150])
+
+
+def test_read_iq_data_cf32(tmp_path):
+    rng = np.random.default_rng(1)
+    iq = (rng.standard_normal(1000) + 1j * rng.standard_normal(1000)).astype(
+        'complex64'
+    )
+    path = tmp_path / 'raw32.sigmf-data'
+    iq.tofile(path)
+    x = io.read_iq_data(path, 'cf32_le')
+    np.testing.assert_allclose(x, iq)
+
+
+def test_read_iq_data_fallback_matches_native(tmp_path):
+    """numpy fallback and native loader must agree exactly."""
+    pytest.importorskip('iqwaveform_tpu._iqio')
+    rng = np.random.default_rng(2)
+    iq16 = rng.integers(-32768, 32767, size=2000, dtype='int16')
+    path = tmp_path / 'x.sigmf-data'
+    iq16.tofile(path)
+
+    native = io.read_iq_data(path, 'ci16_le')
+
+    saved = io._iqio
+    try:
+        io._iqio = None
+        fallback = io.read_iq_data(path, 'ci16_le')
+    finally:
+        io._iqio = saved
+
+    np.testing.assert_array_equal(native, fallback)
+
+
+def test_iter_capture_chunks(tmp_path):
+    rng = np.random.default_rng(3)
+    iq = (rng.standard_normal(1050) + 1j * rng.standard_normal(1050)).astype(
+        'complex64'
+    )
+    path = tmp_path / 'chunks.sigmf-data'
+    iq.tofile(path)
+
+    chunks = list(io.iter_capture_chunks(path, 256, sample_format='cf32_le'))
+    assert len(chunks) == 4
+    np.testing.assert_allclose(np.concatenate(chunks), iq[: 4 * 256])
+
+    chunks = list(
+        io.iter_capture_chunks(path, 256, sample_format='cf32_le', drop_last=False)
+    )
+    assert sum(c.shape[0] for c in chunks) == 1050

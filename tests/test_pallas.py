@@ -1,0 +1,94 @@
+"""Pallas kernel tests (interpreter mode on the CPU mesh).
+
+Oracles: scipy.signal.upfirdn and the XLA corr_at_indices formulation.
+Real-TPU compiled-mode validation runs in scripts/validate_tpu.py.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from iqwaveform_tpu import ofdm
+from iqwaveform_tpu.ops.pallas.corr_pallas import corr_at_indices_pallas
+from iqwaveform_tpu.ops.pallas.upfirdn_pallas import (
+    build_polyphase_matrix,
+    upfirdn_pallas,
+)
+
+from test_ofdm import make_cp_waveform
+
+
+@pytest.mark.parametrize('up,down', [(1, 1), (2, 3), (3, 1), (1, 4), (7, 5)])
+def test_upfirdn_pallas_matches_scipy(up, down):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(500).astype('float32')
+    h = scipy.signal.firwin(33, 0.4).astype('float32')
+    expected = scipy.signal.upfirdn(
+        h.astype('float64'), x.astype('float64'), up=up, down=down
+    )
+    got = np.asarray(upfirdn_pallas(h, x, up, down, interpret=True))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_upfirdn_pallas_complex():
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(300) + 1j * rng.standard_normal(300)).astype('complex64')
+    h = (rng.standard_normal(21) + 1j * rng.standard_normal(21)).astype('complex64')
+    expected = scipy.signal.upfirdn(
+        h.astype('complex128'), x.astype('complex128'), up=2, down=3
+    )
+    got = np.asarray(upfirdn_pallas(h, x, 2, 3, interpret=True))
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_upfirdn_pallas_batched():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, 200)).astype('float32')
+    h = scipy.signal.firwin(17, 0.3).astype('float32')
+    expected = scipy.signal.upfirdn(
+        h.astype('float64'), x.astype('float64'), up=2, down=5, axis=1
+    )
+    got = np.asarray(upfirdn_pallas(h, x, 2, 5, interpret=True))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_build_polyphase_matrix_identity():
+    # up=down=1: W reduces to the (reversed) tap vector acting as FIR
+    h = np.array([1.0, 2.0, 3.0], dtype='float32')
+    W, Lin, Lout, pad = build_polyphase_matrix(h, 1, 1)
+    assert (Lin, Lout, pad) == (1, 1, 2)
+    np.testing.assert_array_equal(W[0], [3.0, 2.0, 1.0])
+
+
+@pytest.mark.parametrize('norm', [True, False])
+def test_corr_pallas_matches_xla(norm):
+    phy = ofdm.Phy3GPP(1.4e6)
+    wave = make_cp_waveform(phy, n_slots=3)
+    inds = phy.index_cyclic_prefix(slots=(0,))
+    starts = np.asarray(inds).reshape(-1, inds.shape[-1])[:, 0]
+    ncp = inds.shape[-1]
+
+    ref = np.asarray(ofdm.corr_at_indices(inds, wave, phy.nfft, norm=norm))
+    got = np.asarray(
+        corr_at_indices_pallas(
+            starts, wave, phy.nfft, ncp, norm=norm, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_corr_pallas_peak_at_alignment():
+    phy = ofdm.Phy3GPP(1.4e6)
+    wave = make_cp_waveform(phy, n_slots=4)
+    inds = phy.index_cyclic_prefix(slots=(0, 1))
+    starts = np.asarray(inds).reshape(-1, inds.shape[-1])[:, 0]
+    ncp = inds.shape[-1]
+
+    corr = np.abs(
+        np.asarray(
+            corr_at_indices_pallas(starts, wave, phy.nfft, ncp, interpret=True)
+        )
+    )
+    assert corr.argmax() == 0
+    assert corr[0] > 0.99
