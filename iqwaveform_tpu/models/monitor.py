@@ -222,10 +222,12 @@ class WidebandMonitor:
         ch_mean = channel_power.mean(axis=0)
         ch_max = channel_power.max(axis=0)
 
-        # stage 5: APD histogram of resampled samples
+        # stage 5: APD histogram of resampled samples (sort + edge search;
+        # ~30x faster on TPU than a scatter-add bincount)
+        from ..ops.power import histogram_edge_counts
+
         p = y.real * y.real + y.imag * y.imag
-        idx = jnp.searchsorted(self._apd_edges_pow, p, side='left')
-        apd = jnp.zeros((d.apd_bins + 1,), dtype=jnp.int32).at[idx].add(1)
+        apd = histogram_edge_counts(p, self._apd_edges_pow).astype(jnp.int32)
 
         if axis_name is not None:
             psd_mean = jax.lax.pmean(psd_mean, axis_name)

@@ -1026,6 +1026,18 @@ class BasebandClockSynchronizer:
         scale_rad = 2 * np.pi / self.phy.nfft
         return (np.unwrap(offsets * scale_rad) / scale_rad).astype(int)
 
+    def plot_offset_with_fit(self, x):
+        """scatter the per-window offsets with the regression line
+        (reference ofdm.py:967-976)."""
+        from matplotlib import pyplot
+
+        slipped_samples, intercept = self._estimate_clock_mismatch(x)
+        t, offsets, weights = self._regression_info['inputs']
+        slope, intercept = self._regression_info['fit']
+        pyplot.plot(t, offsets, '.')
+        pyplot.plot(t, t * slope + intercept)
+        return slipped_samples
+
     def __call__(
         self, x, subsample_offset_correction=True, max_passes=10, on_fail='except'
     ):

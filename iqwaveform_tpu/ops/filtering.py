@@ -652,11 +652,14 @@ def resample(
     nfft_in = x.shape[axis]
     nfft_out = num
 
-    if nfft_in % 2 != 0:
-        raise ValueError('x.shape[axis] must be even')
-
     if window is not None:
         raise ValueError('window argument is not supported')
+
+    # the +/-1-multiply fftshift trick needs an even size; odd sizes (the
+    # reference raises here, fourier.py:1572-1573, which breaks the clock
+    # synchronizer's iterative loop on odd slip estimates) fall back to an
+    # explicit frequency-domain fftshift
+    odd = nfft_in % 2 != 0
 
     if shift == 0:
         edge_low = edge_high = None
@@ -674,10 +677,13 @@ def resample(
     resample_scale = float(nfft_out) / float(nfft_in) * scale
 
     if domain == 'time':
-        # fftshift as a time-domain multiply enables clean slice-driven
-        # downsampling without an fftshift gather pass
-        xs = time_fftshift(x, resample_scale, axis=axis)
-        y = fft(xs, axis=axis)
+        if odd:
+            y = xp.fft.fftshift(fft(x, axis=axis), axes=axis) * resample_scale
+        else:
+            # fftshift as a time-domain multiply enables clean slice-driven
+            # downsampling without an fftshift gather pass
+            xs = time_fftshift(x, resample_scale, axis=axis)
+            y = fft(xs, axis=axis)
     else:  # domain == 'freq'
         y = x * resample_scale
 
@@ -689,8 +695,10 @@ def resample(
         pad_right = pad_left + (nfft_out - nfft_in) % 2
         y = pad_along_axis(y, [[pad_left, pad_right]], axis=axis)
 
-    xout = ifft(y, axis=axis)
+    if odd or y.shape[axis] % 2 != 0:
+        return ifft(xp.fft.ifftshift(y, axes=axis), axis=axis)
 
+    xout = ifft(y, axis=axis)
     return time_ifftshift(xout, overwrite_x=True, axis=axis)
 
 

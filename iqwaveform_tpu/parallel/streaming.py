@@ -92,19 +92,13 @@ def streaming_persistence_spectrum(
         count=jnp.zeros((), dtype=jnp.int32),
     )
 
+    from .sharded import columnwise_histogram
+
     def step(carry, chunk_x):
         spg = _spectrogram_chunk(chunk_x, w, nfft)  # (frames, nfft)
         spg_dB = 10.0 * jnp.log10(spg + 1e-25)
 
-        idx = jnp.clip(
-            jnp.searchsorted(edges, spg_dB.reshape(-1), side='right') - 1,
-            0,
-            hist_bins - 1,
-        )
-        freq_idx = jnp.broadcast_to(
-            jnp.arange(nfft)[None, :], spg_dB.shape
-        ).reshape(-1)
-        hist = carry.hist.at[freq_idx, idx].add(1)
+        hist = carry.hist + columnwise_histogram(spg_dB, edges)
 
         return (
             PersistenceCarry(
@@ -150,10 +144,11 @@ def streaming_apd(
     tail = x[n_chunks * chunk_size :]
     body = x[: n_chunks * chunk_size].reshape(n_chunks, chunk_size)
 
+    from ..ops.power import histogram_edge_counts
+
     def count_chunk(counts, chunk_x):
         p = chunk_x.real * chunk_x.real + chunk_x.imag * chunk_x.imag
-        idx = jnp.searchsorted(edges, p, side='left')
-        return counts.at[idx].add(1), None
+        return counts + histogram_edge_counts(p, edges).astype(counts.dtype), None
 
     init = jnp.zeros((edges.shape[0] + 1,), dtype=jnp.int32)
     counts, _ = jax.lax.scan(count_chunk, init, body)

@@ -68,14 +68,22 @@ def test_resample_preserves_tone():
 
 
 def test_resample_validates():
-    x = make_tone_noise(101)
-    with pytest.raises(ValueError):
-        fourier.resample(x, 50)  # odd input size
     x = make_tone_noise(100)
     with pytest.raises(ValueError):
         fourier.resample(x, 50, domain='bogus')
     with pytest.raises(ValueError):
         fourier.resample(x, 200, shift=10)  # shift while upsampling
+
+
+@pytest.mark.parametrize('n_in,n_out', [(101, 51), (100, 51), (101, 50)])
+def test_resample_odd_sizes(n_in, n_out):
+    """odd sizes use the explicit-fftshift fallback (the reference raises
+    for odd input, fourier.py:1572-1573, breaking the sync loop)."""
+    x = make_tone_noise(n_in, fs=1e6, f_tone=1e5, snr_db=40)
+    ours = fourier.resample(x, n_out)
+    theirs = scipy.signal.resample(x.astype('complex128'), n_out)
+    scale = np.abs(theirs).max()
+    np.testing.assert_allclose(ours, theirs, atol=1e-2 * scale)
 
 
 def test_resample_identity():

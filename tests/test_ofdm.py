@@ -308,3 +308,27 @@ def test_clock_synchronizer_finds_offset():
     assert abs(((offset - true_offset) % phy.contiguous_size)) <= 2 or abs(
         ((true_offset - offset) % phy.contiguous_size)
     ) <= 2
+
+
+def test_clock_synchronizer_end_to_end():
+    """a waveform with a simulated clock slip must converge through the
+    iterative resample correction loop (reference ofdm.py:978-1045)."""
+    from iqwaveform_tpu import fourier
+
+    sync = ofdm.BasebandClockSynchronizer(1.4e6, correlation_subframes=8)
+    phy = sync.phy
+
+    n_slots = 170
+    x = make_cp_waveform(phy, n_slots=n_slots)
+
+    # simulate a clock mismatch: stretch by `slip` samples over the capture
+    slip = 24
+    y = np.asarray(fourier.resample(x, x.size - slip))
+
+    out = sync(y, subsample_offset_correction=False, max_passes=8)
+
+    # converged: the recorded final pass found no remaining sample slip
+    assert sync._regression_info['slipped_samples'] == 0
+    # output trimmed to whole 2-slot blocks
+    assert out.size % (2 * phy.contiguous_size) == 0
+    assert out.size > 0
