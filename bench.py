@@ -13,9 +13,14 @@ vs_baseline >= 1.0 means the single-chip target is met.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 PER_CHIP_TARGET_MSPS = 50 * 122.88 / 8  # = 768 MS/s per chip
 
@@ -63,12 +68,16 @@ def main():
         return time.perf_counter() - t0
 
     # compile + warmup
-    run_and_fence(1)
+    _log(f'bench: compiling monitor step (n={n})...')
+    t_compile = run_and_fence(1)
+    _log(f'bench: compile+first step {t_compile:.1f}s')
 
     # difference timing cancels the fixed dispatch+roundtrip overhead
     reps_lo, reps_hi = 2, 12
     t_lo = run_and_fence(reps_lo)
+    _log(f'bench: {reps_lo} reps {t_lo:.2f}s')
     t_hi = run_and_fence(reps_hi)
+    _log(f'bench: {reps_hi} reps {t_hi:.2f}s')
     dt = (t_hi - t_lo) / (reps_hi - reps_lo)
 
     msps = n / dt / 1e6
