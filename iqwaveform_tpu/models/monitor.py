@@ -282,6 +282,170 @@ class WidebandMonitor:
         fn = jax.shard_map(body, mesh=self.mesh, in_specs=in_spec, out_specs=out_specs)
         return fn(iq)
 
+    # ---- streaming accumulation over long captures ----
+    #
+    # chunk-exact streaming: chunk k is processed when chunk k+1 arrives,
+    # so the STFT framing sees the true noverlap_in-sample right halo, and
+    # the ISTFT overlap-add tail (noverlap_out samples) carries into the
+    # next chunk's head. statistics therefore match the one-shot step()
+    # exactly (up to the final capture tail, which flush() zero-extends —
+    # the same 'extend' semantics as step()).
+
+    def _ola_chunk(self, x, halo, tail_in):
+        """OLA resample of one chunk with explicit right halo and
+        overlap-add tail carry. Returns (y_chunk, tail_out)."""
+        d = self.design
+        hop_in = self.hop_in
+        hop_out = d.nfft_out - self.noverlap_out
+        n_frames = x.shape[0] // hop_in
+
+        x_ext = jnp.concatenate([x, halo]) if self.noverlap_in > 0 else x
+        frames = _local_frames(x_ext, d.nfft, hop_in, n_frames)
+        wind = (self._w_in / jnp.abs(self._w_in[:: hop_in]).sum()).astype(
+            frames.dtype
+        )
+        Y = jnp.fft.fft(frames * wind[None, :], axis=1)
+
+        if self._zero_lo > 0:
+            Y = Y.at[:, : self._zero_lo].set(0)
+        if self._zero_hi is not None and self._zero_hi < d.nfft:
+            Y = Y.at[:, self._zero_hi :].set(0)
+
+        if d.nfft_out != d.nfft:
+            if d.nfft_out < d.nfft:
+                ysel = Y[:, self._bounds_in[0] : self._bounds_in[1]]
+                if tuple(self._bounds_out) == (0, d.nfft_out):
+                    Y = ysel
+                else:
+                    Y = jnp.zeros(Y.shape[:1] + (d.nfft_out,), dtype=Y.dtype)
+                    Y = Y.at[:, self._bounds_out[0] : self._bounds_out[1]].set(ysel)
+            else:
+                pad_l = (d.nfft_out - d.nfft) // 2
+                Y = jnp.pad(Y, ((0, 0), (pad_l, d.nfft_out - d.nfft - pad_l)))
+
+        xstack = jnp.fft.ifft(Y, axis=1) * self._w_shift_out[None, :]
+
+        R = d.nfft_out // hop_out
+        S_out = n_frames * hop_out
+        out_len = S_out + self.noverlap_out
+        xr = jnp.zeros((out_len,), dtype=xstack.dtype)
+        for offs in range(R):
+            group = xstack[offs::R].reshape(-1)
+            start = offs * hop_out
+            length = min(group.shape[0], out_len - start)
+            xr = xr.at[start : start + length].add(group[:length])
+
+        if self.noverlap_out > 0:
+            xr = xr.at[: self.noverlap_out].add(tail_in)
+            tail_out = xr[S_out:]
+        else:
+            tail_out = tail_in
+        return xr[:S_out], tail_out
+
+    def _chunk_stats(self, y):
+        """channelizer + statistics of one resampled chunk."""
+        d = self.design
+        nfft_big = self._nfft_big
+        n_frames = y.shape[0] // nfft_big
+        frames = y[: n_frames * nfft_big].reshape(n_frames, nfft_big)
+        wind = (self._w_ch / nfft_big).astype(frames.dtype)
+        Y = jnp.fft.fft(frames * wind[None, :], axis=1)
+        spg = Y.real * Y.real + Y.imag * Y.imag
+
+        sb = self._skip_bins
+        Xa = spg[:, sb // 2 : spg.shape[1] - sb // 2] if sb else spg
+        ch = Xa.reshape(n_frames, d.channel_count, d.analysis_bins_per_channel)
+        channel_power = ch.sum(axis=2)
+
+        from ..ops.power import histogram_edge_counts
+
+        p = y.real * y.real + y.imag * y.imag
+        apd = histogram_edge_counts(p, self._apd_edges_pow).astype(jnp.float32)
+
+        psd_dB = 10.0 * jnp.log10(spg + 1e-25)
+        return {
+            'channel_power_sum': channel_power.sum(axis=0),
+            'channel_power_max': channel_power.max(axis=0),
+            'psd_sum': psd_dB.sum(axis=0),
+            'psd_max': psd_dB.max(axis=0),
+            'apd_counts': apd,
+            'n_frames': jnp.asarray(float(n_frames), jnp.float32),
+        }
+
+    def init_carry(self, chunk_samples: int):
+        """zeroed accumulator for accumulate_step. ``chunk_samples`` is the
+        fixed chunk length (a multiple of min_input_multiple())."""
+        d = self.design
+        return {
+            'pending': jnp.zeros((chunk_samples,), jnp.complex64),
+            'started': jnp.zeros((), jnp.float32),
+            'tail_out': jnp.zeros((self.noverlap_out,), jnp.complex64),
+            'channel_power_sum': jnp.zeros((d.channel_count,), jnp.float32),
+            'channel_power_max': jnp.full(
+                (d.channel_count,), -jnp.inf, jnp.float32
+            ),
+            'psd_sum': jnp.zeros((self._nfft_big,), jnp.float32),
+            'psd_max': jnp.full((self._nfft_big,), -jnp.inf, jnp.float32),
+            'apd_counts': jnp.zeros((d.apd_bins + 1,), jnp.float32),
+            'n_frames': jnp.zeros((), jnp.float32),
+        }
+
+    def _fold(self, carry, delta, weight):
+        return {
+            'channel_power_sum': carry['channel_power_sum']
+            + weight * delta['channel_power_sum'],
+            'channel_power_max': jnp.maximum(
+                carry['channel_power_max'],
+                jnp.where(weight > 0, delta['channel_power_max'], -jnp.inf),
+            ),
+            'psd_sum': carry['psd_sum'] + weight * delta['psd_sum'],
+            'psd_max': jnp.maximum(
+                carry['psd_max'], jnp.where(weight > 0, delta['psd_max'], -jnp.inf)
+            ),
+            'apd_counts': carry['apd_counts'] + weight * delta['apd_counts'],
+            'n_frames': carry['n_frames'] + weight * delta['n_frames'],
+        }
+
+    def accumulate_step(self, carry, x_chunk):
+        """fold one capture chunk into the running statistics.
+
+        jit once and feed fixed-size chunks from io.iter_capture_chunks
+        (or lax.scan over a device-resident capture) to analyze
+        arbitrarily long captures at fixed memory — the monitor-level
+        counterpart of parallel.streaming (BASELINE configs #3/#5).
+        Processing is delayed by one chunk so framing sees true halos;
+        call flush() after the last chunk.
+        """
+        halo = x_chunk[: self.noverlap_in]
+        y, tail_out = self._ola_chunk(carry['pending'], halo, carry['tail_out'])
+        delta = self._chunk_stats(y)
+
+        stats = self._fold(carry, delta, carry['started'])
+        return {
+            **stats,
+            'pending': x_chunk,
+            'started': jnp.ones((), jnp.float32),
+            # a never-started carry keeps a zero tail
+            'tail_out': tail_out * carry['started'].astype(tail_out.dtype),
+        }
+
+    def flush(self, carry):
+        """process the final pending chunk (zero-extended) and return the
+        statistics dict (same keys as step() statistics)."""
+        halo = jnp.zeros((self.noverlap_in,), jnp.complex64)
+        y, _ = self._ola_chunk(carry['pending'], halo, carry['tail_out'])
+        delta = self._chunk_stats(y)
+        stats = self._fold(carry, delta, carry['started'])
+
+        n = jnp.maximum(stats['n_frames'], 1.0)
+        return {
+            'channel_power_mean': stats['channel_power_sum'] / n,
+            'channel_power_max': stats['channel_power_max'],
+            'psd_mean': stats['psd_sum'] / n,
+            'psd_max': stats['psd_max'],
+            'apd_counts': stats['apd_counts'],
+        }
+
     def min_input_multiple(self, n_time_shards: int = 1) -> int:
         """smallest time length quantum: every shard must hold whole OLA
         hops AND produce whole channelizer frames."""

@@ -109,3 +109,37 @@ def test_monitor_2d_mesh(design):
     out = jax.jit(mon.sharded_step)(jnp.asarray(x))
     assert np.asarray(out['channel_power_mean']).shape == (4, 4)
     assert np.isfinite(np.asarray(out['psd_mean'])).all()
+
+
+def test_monitor_streaming_accumulation(design):
+    """chunk-exact streaming must equal one-shot statistics."""
+    mon = WidebandMonitor(design)
+    chunk = mon.min_input_multiple() * 2
+    n_chunks = 4
+    x = make_tone_noise(chunk * n_chunks, fs=2e6, f_tone=150e3, snr_db=30)
+
+    one_shot = jax.jit(mon.step)(jnp.asarray(x))
+
+    acc = jax.jit(mon.accumulate_step)
+    carry = mon.init_carry(chunk)
+    for k in range(n_chunks):
+        carry = acc(carry, jnp.asarray(x[k * chunk : (k + 1) * chunk]))
+    result = jax.jit(mon.flush)(carry)
+
+    np.testing.assert_allclose(
+        np.asarray(result['psd_mean']), np.asarray(one_shot['psd_mean']),
+        rtol=1e-4, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(result['psd_max']), np.asarray(one_shot['psd_max']), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(result['apd_counts']).sum(),
+        np.asarray(one_shot['apd_counts']).sum(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(result['channel_power_mean']),
+        np.asarray(one_shot['channel_power_mean']),
+        rtol=1e-4,
+    )
+
