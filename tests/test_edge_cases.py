@@ -1,0 +1,132 @@
+"""Edge-case coverage: fractional windows, frequency shifts, domain
+context validation, precision knobs."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iqwaveform_tpu import fourier, util
+
+from conftest import make_tone_noise
+
+
+def test_stft_nzero_fractional_window():
+    """nzero zero-pads the window tail (reference fourier.py:121-133)."""
+    fs = 1e6
+    nperseg = 256
+    nzero = 64
+    x = make_tone_noise(nperseg * 16, fs=fs)
+
+    Y = fourier.stft(
+        x, fs=fs, window='hann', nperseg=nperseg, nzero=nzero,
+        return_axis_arrays=False,
+    )
+    assert Y.shape == (16, nperseg)
+
+    # equivalent: a hann window of nperseg-nzero, zero-padded
+    w = fourier.get_window(
+        'hann', nperseg - nzero, nzero=nzero, fftshift=True, dtype=None
+    )
+    assert np.all(w[nperseg - nzero :] == 0)
+
+
+def test_psd_fractional_window():
+    fs = 1e6
+    x = make_tone_noise(1024 * 16, fs=fs)
+    out = fourier.power_spectral_density(
+        x, fs=fs, window='hann', resolution=fs / 1024,
+        fractional_window=0.75, statistics=['mean'],
+    )
+    assert out.shape == (1, 1024)
+    with pytest.raises(ValueError):
+        fourier.power_spectral_density(
+            x, fs=fs, window='hann', resolution=fs / 1024,
+            fractional_window=0.7777, statistics=['mean'],
+        )
+
+
+def test_resample_with_shift():
+    """integer frequency shift during downsampling recenters the band."""
+    fs = 1e6
+    n = 4096
+    f_tone = 125e3
+    x = make_tone_noise(n, fs=fs, f_tone=f_tone, snr_db=60)
+    shift_bins = round(f_tone / (fs / n))
+    y = np.asarray(fourier.resample(x, n // 4, shift=shift_bins))
+    # the tone should now sit at baseband 0
+    spec = np.abs(np.fft.fft(y))
+    assert spec.argmax() == 0
+
+
+def test_oaresample_frequency_shift():
+    fs = 1e6
+    nfft, nfft_out = 512, 256
+    n = nfft * 32
+    f_tone = 125e3
+    x = make_tone_noise(n, fs=fs, f_tone=f_tone, snr_db=60)
+    y = np.asarray(
+        fourier.oaresample(
+            x, nfft_out, nfft, fs, axis=0, frequency_shift=f_tone
+        )
+    )
+    core = y[1024:-1024]
+    spec = np.abs(np.fft.fft(core))
+    peak_bin = spec.argmax()
+    # shifted to baseband 0 at the new rate
+    assert min(peak_bin, core.size - peak_bin) <= 1
+
+
+def test_oaresample_shift_validation():
+    x = make_tone_noise(512 * 8)
+    with pytest.raises(ValueError):
+        fourier.oaresample(x, 1024, 512, 1e6, axis=0, frequency_shift=1e5)
+    with pytest.raises(ValueError):
+        fourier.oaresample(x, 256, 512, 1e6, axis=0, frequency_shift=333.3)
+
+
+def test_domain_validation():
+    with pytest.raises(ValueError):
+        util.get_input_domain(default='bogus')
+    with pytest.raises(ValueError):
+        with util.set_input_domain('not-a-domain'):
+            pass
+
+
+def test_upfirdn_precision_knob():
+    import scipy.signal
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(1000).astype('float32')
+    h = scipy.signal.firwin(31, 0.4).astype('float32')
+    expected = scipy.signal.upfirdn(h.astype('float64'), x.astype('float64'), 2, 3)
+
+    import jax
+
+    hi = fourier.upfirdn(h, jnp.asarray(x), 2, 3, precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(hi), expected, atol=1e-5)
+
+    lo = fourier.upfirdn(h, jnp.asarray(x), 2, 3, precision=jax.lax.Precision.DEFAULT)
+    # still correct to reduced precision
+    np.testing.assert_allclose(np.asarray(lo), expected, atol=1e-2)
+
+
+def test_broadcast_onto_validation():
+    with pytest.raises(ValueError):
+        fourier.broadcast_onto(np.ones((2, 2)), np.ones((4, 4)), axis=0)
+
+
+def test_time_fftshift_roundtrip_and_scale():
+    x = make_tone_noise(512)
+    y = fourier.time_fftshift(x.copy())
+    z = fourier.time_ifftshift(y)
+    np.testing.assert_allclose(z, x, atol=1e-6)
+
+    y2 = np.asarray(fourier.time_fftshift(jnp.asarray(x), scale=2.0))
+    np.testing.assert_allclose(np.abs(y2), 2 * np.abs(x), rtol=1e-5)
+
+
+def test_get_max_fft_chunk_api():
+    fourier.set_max_cupy_fft_chunk(12345)
+    assert fourier.get_max_cupy_fft_chunk() == 12345
+    fourier.set_max_cupy_fft_chunk(None)
+    assert fourier.get_max_cupy_fft_chunk() is None
