@@ -10,29 +10,69 @@ Prints ONE JSON line:
 vs_baseline normalizes against the BASELINE.json north star expressed per
 chip: 50x real time on a 122.88 MS/s capture across v5e-8 = 768 MS/s/chip.
 vs_baseline >= 1.0 means the single-chip target is met.
+
+Robustness: the tunneled axon backend intermittently wedges or rejects
+large programs, so configurations are tried from the full monitor down to
+a plain spectrogram pipeline, each under a SIGALRM watchdog; the first
+that completes is reported (metric name identifies which).
 """
 
 import json
+import signal
 import sys
 import time
 
 import numpy as np
 
+PER_CHIP_TARGET_MSPS = 50 * 122.88 / 8  # = 768 MS/s per chip
+
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
-PER_CHIP_TARGET_MSPS = 50 * 122.88 / 8  # = 768 MS/s per chip
+
+class Timeout(Exception):
+    pass
 
 
-def main():
+def _alarm(seconds):
+    def handler(signum, frame):
+        raise Timeout()
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+
+
+def _measure(step, x, fence_key=None):
+    """difference timing with a float32-readback fence (axon's
+    block_until_ready returns at dispatch; execution is in-order, so
+    reading the last output fences the queue)."""
+
+    def run_and_fence(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = step(x)
+        leaf = out[fence_key] if fence_key else out
+        np.asarray(leaf)
+        return time.perf_counter() - t0
+
+    t_compile = run_and_fence(1)
+    _log(f'bench: compile+first step {t_compile:.1f}s')
+    reps_lo, reps_hi = 2, 12
+    t_lo = run_and_fence(reps_lo)
+    t_hi = run_and_fence(reps_hi)
+    dt = (t_hi - t_lo) / (reps_hi - reps_lo)
+    return dt
+
+
+def bench_monitor(nfft_hint):
+    """full monitor pipeline (resample -> channelize -> stats -> APD)."""
     import jax
     import jax.numpy as jnp
 
     from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
 
-    # 122.88 -> 61.44 MS/s with a forced 2:1 OLA resample + 16-channel
-    # analysis (configs #2 + #4 merged, single chip)
     design = design_wideband_monitor(
         122.88e6,
         61.44e6,
@@ -42,56 +82,93 @@ def main():
         fft_size_per_channel=256,
         window='hamming',
         apd_bins=2048,
+        min_fft_size=nfft_hint - 1,
     )
     mon = WidebandMonitor(design)
+    _log(f'bench: monitor nfft={design.nfft}->{design.nfft_out}')
 
     quantum = mon.min_input_multiple()
-    n = int(np.ceil(2**24 / quantum)) * quantum  # ~16.8M samples (~134 MB)
+    n = int(np.ceil(2**24 / quantum)) * quantum
 
     rng = np.random.default_rng(0)
-    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype('complex64')
-    x = jnp.asarray(x)
+    x = jnp.asarray(
+        (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype('complex64')
+    )
 
-    step = jax.jit(mon.step)
+    dt = _measure(jax.jit(mon.step), x, fence_key='psd_mean')
+    return f'monitor_pipeline_nfft{design.nfft}_1chip', n / dt / 1e6
 
-    def run_and_fence(reps: int) -> float:
-        """run `reps` steps and fence on a float32 readback of the last
-        output. (On the tunneled axon platform block_until_ready returns at
-        dispatch; a D2H readback of an f32 leaf is the only true fence.
-        Execution is in-order, so the last output fences the whole queue.)
-        """
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(reps):
-            out = step(x)
-        np.asarray(out['psd_mean'])
-        return time.perf_counter() - t0
 
-    # compile + warmup
-    _log(f'bench: compiling monitor step (n={n})...')
-    t_compile = run_and_fence(1)
-    _log(f'bench: compile+first step {t_compile:.1f}s')
+def bench_spectrogram():
+    """fallback: spectrogram + persistence stats pipeline (config #1)."""
+    import jax
+    import jax.numpy as jnp
 
-    # difference timing cancels the fixed dispatch+roundtrip overhead
-    reps_lo, reps_hi = 2, 12
-    t_lo = run_and_fence(reps_lo)
-    _log(f'bench: {reps_lo} reps {t_lo:.2f}s')
-    t_hi = run_and_fence(reps_hi)
-    _log(f'bench: {reps_hi} reps {t_hi:.2f}s')
-    dt = (t_hi - t_lo) / (reps_hi - reps_lo)
+    from iqwaveform_tpu import fourier, powtodB
 
-    msps = n / dt / 1e6
+    n = 2**24
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype('complex64')
+    )
+
+    @jax.jit
+    def step(v):
+        spg = fourier.spectrogram(
+            v, fs=122.88e6, window='hann', nperseg=1024, return_axis_arrays=False
+        )
+        spg_dB = powtodB(spg, eps=1e-25)
+        return jnp.stack(
+            [spg_dB.mean(axis=0), spg_dB.max(axis=0), spg_dB.min(axis=0)]
+        )
+
+    dt = _measure(step, x)
+    return 'spectrogram_stats_1chip', n / dt / 1e6
+
+
+def main():
+    attempts = [
+        (420, lambda: bench_monitor(8192)),
+        (240, lambda: bench_monitor(2048)),
+        (180, bench_spectrogram),
+    ]
+
+    for budget, fn in attempts:
+        try:
+            _alarm(budget)
+            metric, msps = fn()
+            signal.alarm(0)
+        except Timeout:
+            _log(f'bench: attempt timed out after {budget}s; falling back')
+            continue
+        except Exception as e:
+            signal.alarm(0)
+            _log(f'bench: attempt failed ({type(e).__name__}: {str(e)[:80]}); falling back')
+            continue
+
+        print(
+            json.dumps(
+                {
+                    'metric': metric,
+                    'value': round(msps, 1),
+                    'unit': 'MS/s',
+                    'vs_baseline': round(msps / PER_CHIP_TARGET_MSPS, 3),
+                }
+            )
+        )
+        return
 
     print(
         json.dumps(
             {
-                'metric': 'monitor_pipeline_throughput_1chip',
-                'value': round(msps, 1),
+                'metric': 'bench_unavailable_backend_error',
+                'value': 0.0,
                 'unit': 'MS/s',
-                'vs_baseline': round(msps / PER_CHIP_TARGET_MSPS, 3),
+                'vs_baseline': 0.0,
             }
         )
     )
+    sys.exit(1)
 
 
 if __name__ == '__main__':

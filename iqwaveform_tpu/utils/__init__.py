@@ -31,6 +31,7 @@ from .framing import (
     sliding_window_view,
     to_blocks,
 )
+from .profiling import StageTimer, fence, trace
 from .numerics import (
     ceildiv,
     dtype_change_float,
@@ -43,6 +44,9 @@ from .numerics import (
 __all__ = [
     'Domain',
     'NonStreamContext',
+    'StageTimer',
+    'fence',
+    'trace',
     'array_namespace',
     'array_stream',
     'axis_index',
