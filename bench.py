@@ -91,11 +91,18 @@ def bench_monitor(nfft_hint):
     n = int(np.ceil(2**24 / quantum)) * quantum
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(
-        (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype('complex64')
+    # ship IQ as float32 (real, imag) planes: the axon tunnel rejects
+    # complex64 host->device transfers; complex is rebuilt inside jit
+    from iqwaveform_tpu.utils import unpack_iq
+
+    ri = jnp.asarray(
+        np.stack(
+            [rng.standard_normal(n), rng.standard_normal(n)]
+        ).astype('float32')
     )
 
-    dt = _measure(jax.jit(mon.step), x, fence_key='psd_mean')
+    step = jax.jit(lambda planes: mon.step(unpack_iq(planes)))
+    dt = _measure(step, ri, fence_key='psd_mean')
     return f'monitor_pipeline_nfft{design.nfft}_1chip', n / dt / 1e6
 
 
@@ -106,14 +113,17 @@ def bench_spectrogram():
 
     from iqwaveform_tpu import fourier, powtodB
 
+    from iqwaveform_tpu.utils import unpack_iq
+
     n = 2**24
     rng = np.random.default_rng(0)
-    x = jnp.asarray(
-        (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype('complex64')
+    ri = jnp.asarray(
+        np.stack([rng.standard_normal(n), rng.standard_normal(n)]).astype('float32')
     )
 
     @jax.jit
-    def step(v):
+    def step(planes):
+        v = unpack_iq(planes)
         spg = fourier.spectrogram(
             v, fs=122.88e6, window='hann', nperseg=1024, return_axis_arrays=False
         )
@@ -122,7 +132,7 @@ def bench_spectrogram():
             [spg_dB.mean(axis=0), spg_dB.max(axis=0), spg_dB.min(axis=0)]
         )
 
-    dt = _measure(step, x)
+    dt = _measure(step, ri)
     return 'spectrogram_stats_1chip', n / dt / 1e6
 
 

@@ -8,8 +8,10 @@ from .dispatch import (
     array_namespace,
     is_jax_array,
     is_numpy_array,
+    pack_iq_f32,
     to_device_array,
     to_host_array,
+    unpack_iq,
 )
 from .domain import (
     Domain,
@@ -67,6 +69,8 @@ __all__ = [
     'iter_along_axes',
     'lazy_import',
     'lru_cache',
+    'pack_iq_f32',
+    'unpack_iq',
     'optional_import',
     'pad_along_axis',
     'set_input_domain',

@@ -68,3 +68,22 @@ def to_host_array(x):
     if is_jax_array(x):
         return np.asarray(x)
     return np.asarray(x)
+
+
+def pack_iq_f32(x) -> np.ndarray:
+    """pack complex IQ as a (2, ...) float32 array of (real, imag) planes.
+
+    Workaround for transports that only move float32 across the host<->
+    device boundary (the axon TPU tunnel rejects complex64 transfers):
+    ship the planes, then rebuild complex on device with `unpack_iq`
+    inside jit.
+    """
+    x = np.asarray(x)
+    return np.stack([x.real, x.imag]).astype('float32')
+
+
+def unpack_iq(ri):
+    """rebuild complex IQ from (2, ...) float32 planes (traceable)."""
+    import jax
+
+    return jax.lax.complex(ri[0], ri[1])

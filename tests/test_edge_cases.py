@@ -130,3 +130,35 @@ def test_get_max_fft_chunk_api():
     assert fourier.get_max_cupy_fft_chunk() == 12345
     fourier.set_max_cupy_fft_chunk(None)
     assert fourier.get_max_cupy_fft_chunk() is None
+
+
+def test_pack_unpack_iq():
+    from iqwaveform_tpu.utils import pack_iq_f32, unpack_iq
+    import jax
+
+    x = make_tone_noise(256)
+    planes = pack_iq_f32(x)
+    assert planes.shape == (2, 256) and planes.dtype == np.float32
+
+    z = jax.jit(unpack_iq)(jnp.asarray(planes))
+    np.testing.assert_allclose(np.asarray(z), x, atol=1e-6)
+
+
+def test_channelize_power_with_overlap():
+    fs = 1e6
+    nch = 4
+    fft_per_ch = 128
+    x = make_tone_noise(fft_per_ch * nch * 32, fs=fs, f_tone=fs / 8, snr_db=40)
+    freqs, times, power = fourier.channelize_power(
+        x,
+        1 / fs,
+        fft_per_ch,
+        analysis_bins_per_channel=fft_per_ch,
+        window='hann',
+        fft_overlap_per_channel=fft_per_ch // 2,
+        channel_count=nch,
+    )
+    power = np.asarray(power)
+    # overlap doubles (minus one) the number of time samples
+    assert power.shape[0] == 2 * 32 - 1
+    assert power.mean(axis=0).argmax() == 2
