@@ -20,7 +20,6 @@ import typing
 
 import numpy as np
 
-from . import type_stubs
 from .power_analysis import dBtopow, envtodB, iq_to_bin_power, powtodB, sample_ccdf
 from .fourier import iq_to_stft_spectrogram
 from .utils import lazy_import, lru_cache, optional_import

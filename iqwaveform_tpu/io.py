@@ -15,7 +15,6 @@ from pathlib import Path
 
 import numpy as np
 
-from . import type_stubs
 from .utils import lazy_import
 
 signal = lazy_import('scipy.signal')

@@ -17,7 +17,6 @@ across chips.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import typing
 
 import jax
@@ -32,7 +31,7 @@ from ..ops.filtering import (
 )
 from ..ops.window_design import equivalent_noise_bandwidth, get_window
 from ..parallel.mesh import TIME_AXIS, Mesh
-from ..parallel.sharded import _local_frames, _right_halo, _sharded_ola_body
+from ..parallel.sharded import _local_frames, _sharded_ola_body
 
 BATCH_AXIS = 'rx_batch'
 

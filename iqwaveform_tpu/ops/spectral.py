@@ -14,7 +14,6 @@ chunking).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..utils import (

@@ -27,9 +27,6 @@ TPU-native design (not a translation):
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

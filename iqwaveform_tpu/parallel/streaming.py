@@ -14,7 +14,6 @@ inversion (accuracy = bin width; see sharded.quantile_from_histogram).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
