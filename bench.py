@@ -11,14 +11,16 @@ vs_baseline normalizes against the BASELINE.json north star expressed per
 chip: 50x real time on a 122.88 MS/s capture across v5e-8 = 768 MS/s/chip.
 vs_baseline >= 1.0 means the single-chip target is met.
 
-Robustness: the tunneled axon backend intermittently wedges or rejects
-large programs, so configurations are tried from the full monitor down to
-a plain spectrogram pipeline, each under a SIGALRM watchdog; the first
-that completes is reported (metric name identifies which).
+Robustness: the tunneled axon backend intermittently wedges inside
+uninterruptible native calls, so each configuration runs in its own
+subprocess under a hard timeout; configurations are tried from the full
+monitor down to a plain spectrogram pipeline and the first that completes
+is reported (metric name identifies which).
 """
 
 import json
-import signal
+import os
+import subprocess
 import sys
 import time
 
@@ -29,18 +31,6 @@ PER_CHIP_TARGET_MSPS = 50 * 122.88 / 8  # = 768 MS/s per chip
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
-
-
-class Timeout(Exception):
-    pass
-
-
-def _alarm(seconds):
-    def handler(signum, frame):
-        raise Timeout()
-
-    signal.signal(signal.SIGALRM, handler)
-    signal.alarm(seconds)
 
 
 def _measure(step, x, fence_key=None):
@@ -66,12 +56,13 @@ def _measure(step, x, fence_key=None):
     return dt
 
 
-def bench_monitor(nfft_hint):
+def bench_monitor(nfft_hint: int):
     """full monitor pipeline (resample -> channelize -> stats -> APD)."""
     import jax
     import jax.numpy as jnp
 
     from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
+    from iqwaveform_tpu.utils import unpack_iq
 
     design = design_wideband_monitor(
         122.88e6,
@@ -93,12 +84,10 @@ def bench_monitor(nfft_hint):
     rng = np.random.default_rng(0)
     # ship IQ as float32 (real, imag) planes: the axon tunnel rejects
     # complex64 host->device transfers; complex is rebuilt inside jit
-    from iqwaveform_tpu.utils import unpack_iq
-
     ri = jnp.asarray(
-        np.stack(
-            [rng.standard_normal(n), rng.standard_normal(n)]
-        ).astype('float32')
+        np.stack([rng.standard_normal(n), rng.standard_normal(n)]).astype(
+            'float32'
+        )
     )
 
     step = jax.jit(lambda planes: mon.step(unpack_iq(planes)))
@@ -112,13 +101,14 @@ def bench_spectrogram():
     import jax.numpy as jnp
 
     from iqwaveform_tpu import fourier, powtodB
-
     from iqwaveform_tpu.utils import unpack_iq
 
     n = 2**24
     rng = np.random.default_rng(0)
     ri = jnp.asarray(
-        np.stack([rng.standard_normal(n), rng.standard_normal(n)]).astype('float32')
+        np.stack([rng.standard_normal(n), rng.standard_normal(n)]).astype(
+            'float32'
+        )
     )
 
     @jax.jit
@@ -136,37 +126,55 @@ def bench_spectrogram():
     return 'spectrogram_stats_1chip', n / dt / 1e6
 
 
-def main():
-    attempts = [
-        (420, lambda: bench_monitor(8192)),
-        (240, lambda: bench_monitor(2048)),
-        (180, bench_spectrogram),
-    ]
+CONFIGS = {
+    'monitor8192': lambda: bench_monitor(8192),
+    'monitor2048': lambda: bench_monitor(2048),
+    'spectrogram': bench_spectrogram,
+}
 
-    for budget, fn in attempts:
-        try:
-            _alarm(budget)
-            metric, msps = fn()
-            signal.alarm(0)
-        except Timeout:
-            _log(f'bench: attempt timed out after {budget}s; falling back')
-            continue
-        except Exception as e:
-            signal.alarm(0)
-            _log(f'bench: attempt failed ({type(e).__name__}: {str(e)[:80]}); falling back')
-            continue
 
-        print(
-            json.dumps(
-                {
-                    'metric': metric,
-                    'value': round(msps, 1),
-                    'unit': 'MS/s',
-                    'vs_baseline': round(msps / PER_CHIP_TARGET_MSPS, 3),
-                }
-            )
+def run_config(name: str):
+    metric, msps = CONFIGS[name]()
+    print(
+        json.dumps(
+            {
+                'metric': metric,
+                'value': round(msps, 1),
+                'unit': 'MS/s',
+                'vs_baseline': round(msps / PER_CHIP_TARGET_MSPS, 3),
+            }
         )
+    )
+
+
+def main():
+    # child mode: run one configuration in-process
+    if len(sys.argv) > 1:
+        run_config(sys.argv[1])
         return
+
+    # parent mode: try configurations in killable subprocesses (native
+    # hangs in the TPU tunnel are immune to SIGALRM)
+    attempts = [('monitor8192', 480), ('monitor2048', 300), ('spectrogram', 240)]
+
+    for name, budget in attempts:
+        _log(f'bench: trying {name} (budget {budget}s)')
+        try:
+            result = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                timeout=budget,
+                capture_output=True,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            _log(f'bench: {name} timed out; falling back')
+            continue
+
+        sys.stderr.write(result.stderr)
+        if result.returncode == 0 and result.stdout.strip():
+            sys.stdout.write(result.stdout.strip().splitlines()[-1] + '\n')
+            return
+        _log(f'bench: {name} failed (rc={result.returncode}); falling back')
 
     print(
         json.dumps(
