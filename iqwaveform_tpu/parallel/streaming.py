@@ -24,9 +24,36 @@ from ..ops.window_design import get_window
 
 __all__ = [
     'PersistenceCarry',
+    'load_carry',
+    'save_carry',
     'streaming_apd',
     'streaming_persistence_spectrum',
 ]
+
+
+def save_carry(path: str, carry) -> None:
+    """checkpoint a streaming-reduction carry (any pytree of arrays) so a
+    long capture analysis can resume after interruption — the only state
+    worth checkpointing in this library (SURVEY.md §5: "nothing to resume;
+    all transforms are stateless ... beyond streaming-reduction carry
+    state")."""
+    leaves, treedef = jax.tree_util.tree_flatten(carry)
+    np.savez(
+        path,
+        __treedef__=np.frombuffer(str(treedef).encode(), dtype=np.uint8),
+        **{f'leaf_{i}': np.asarray(v) for i, v in enumerate(leaves)},
+    )
+
+
+def load_carry(path: str, like):
+    """restore a carry checkpointed with save_carry. ``like`` provides the
+    pytree structure (e.g. a fresh init_carry / PersistenceCarry)."""
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    restored = [
+        jnp.asarray(data[f'leaf_{i}']) for i in range(len(leaves))
+    ]
+    return jax.tree_util.tree_unflatten(treedef, restored)
 
 
 class PersistenceCarry(NamedTuple):

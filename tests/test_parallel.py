@@ -231,3 +231,31 @@ def test_quantile_from_histogram_uniform():
     edges = np.linspace(0.0, 1.0, 101)
     q = parallel.quantile_from_histogram(hist, edges, np.array([0.25, 0.5, 0.75]))
     np.testing.assert_allclose(q[:, 0], [0.25, 0.5, 0.75], atol=0.02)
+
+
+def test_carry_checkpoint_roundtrip(tmp_path):
+    """streaming carries save/restore exactly (SURVEY.md §5 resume)."""
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.parallel import streaming
+
+    carry = streaming.PersistenceCarry(
+        hist=jnp.arange(12, dtype=jnp.int32).reshape(3, 4),
+        psum=jnp.ones(3),
+        pmax=jnp.full(3, 2.0),
+        pmin=jnp.full(3, -2.0),
+        count=jnp.asarray(7, jnp.int32),
+    )
+    path = str(tmp_path / 'carry.npz')
+    streaming.save_carry(path, carry)
+
+    blank = streaming.PersistenceCarry(
+        hist=jnp.zeros((3, 4), jnp.int32),
+        psum=jnp.zeros(3),
+        pmax=jnp.zeros(3),
+        pmin=jnp.zeros(3),
+        count=jnp.asarray(0, jnp.int32),
+    )
+    restored = streaming.load_carry(path, blank)
+    np.testing.assert_array_equal(np.asarray(restored.hist), np.asarray(carry.hist))
+    np.testing.assert_array_equal(np.asarray(restored.count), 7)
