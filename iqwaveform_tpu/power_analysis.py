@@ -2,6 +2,7 @@
 power_analysis.py). Implementations live in iqwaveform_tpu.ops.power."""
 
 from .ops.power import (  # noqa: F401
+    histogram_edge_counts,
     dBlinmean,
     dBlinsum,
     dBtopow,

@@ -332,3 +332,23 @@ def test_clock_synchronizer_end_to_end():
     # output trimmed to whole 2-slot blocks
     assert out.size % (2 * phy.contiguous_size) == 0
     assert out.size > 0
+
+
+def test_corr_at_indices_802_16():
+    """CP correlation with the 802.16 index table peaks at alignment."""
+    phy = ofdm.Phy802_16(5e6, nfft=128, frame_duration=2e-3)
+    rng = np.random.default_rng(0)
+    cps = np.asarray(phy.cp_sizes)
+    # one frame of CP-structured symbols + silence padding to frame_size
+    wave = []
+    for i in range(phy.symbols_per_frame):
+        s = (rng.standard_normal(phy.nfft) + 1j * rng.standard_normal(phy.nfft))
+        wave += [s[-cps[i] :], s]
+    body = np.concatenate(wave)
+    pad = phy.frame_size - body.size
+    wave = np.concatenate([body, np.zeros(max(pad, 0))] * 2).astype('complex64')
+
+    inds = phy.index_cyclic_prefix(symbols=np.arange(8))
+    corr = np.abs(np.asarray(ofdm.corr_at_indices(inds, wave, phy.nfft)))
+    assert corr.argmax() == 0
+    assert corr[0] > 0.9
