@@ -123,11 +123,14 @@ def read_sigmf(
 def read_sigmf_to_df(
     metadata_path: str, force_sample_rate: float = None, sigmf_data_ext='.npy'
 ):
-    """(reference io.py:99-106)"""
+    """(reference io.py:99-106; stacking enabled so the captures become
+    DataFrame columns — the reference passes the unstacked capture list to
+    waveform_to_frame, which cannot build the frame)"""
     x_split, center_freqs, Ts, cal = read_sigmf(
         metadata_path,
         force_sample_rate=force_sample_rate,
         sigmf_data_ext=sigmf_data_ext,
+        stack=True,
     )
 
     return waveform_to_frame(

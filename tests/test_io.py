@@ -167,3 +167,18 @@ def test_iter_capture_chunks(tmp_path):
         io.iter_capture_chunks(path, 256, sample_format='cf32_le', drop_last=False)
     )
     assert sum(c.shape[0] for c in chunks) == 1050
+
+
+def test_read_sigmf_to_df(sigmf_capture):
+    meta_path, data = sigmf_capture
+    df = io.read_sigmf_to_df(meta_path)
+    # two captures of 1000 samples stacked as columns? reference stacks
+    # only when stack=True; read_sigmf_to_df passes the split list through
+    assert df is not None
+
+
+def test_read_sigmf_to_df_columns(sigmf_capture):
+    meta_path, data = sigmf_capture
+    df = io.read_sigmf_to_df(meta_path)
+    assert df.shape == (1000, 2)
+    assert df.columns.name == 'Frequency (Hz)'
