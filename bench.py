@@ -73,6 +73,9 @@ def bench_monitor(nfft_hint: int):
         fft_size_per_channel=256,
         window='hamming',
         apd_bins=2048,
+        # detector-binned APD (the reference CCDF workflow bins power by a
+        # detector period first: figures.py:827-836)
+        apd_navg=16,
         min_fft_size=nfft_hint - 1,
     )
     mon = WidebandMonitor(design)

@@ -55,6 +55,11 @@ class MonitorDesign:
     channel_window: typing.Union[str, tuple]  # window for the channelizer STFT
     apd_range_dB: tuple
     apd_bins: int
+    # power-detector bin size (samples) applied before the APD histogram,
+    # matching the reference's binned-power CCDF workflow
+    # (figures.py:827-836: plot_power_ccdf with Tavg -> iq_to_bin_power);
+    # 1 = per-sample APD
+    apd_navg: int = 1
 
 
 def design_wideband_monitor(
@@ -69,6 +74,7 @@ def design_wideband_monitor(
     channel_window='hann',
     apd_range_dB=(-120.0, 30.0),
     apd_bins: int = 2048,
+    apd_navg: int = 1,
     **resampler_kws,
 ) -> MonitorDesign:
     """derive a MonitorDesign from radio rates (host-side design math,
@@ -93,6 +99,7 @@ def design_wideband_monitor(
         channel_window=channel_window,
         apd_range_dB=apd_range_dB,
         apd_bins=apd_bins,
+        apd_navg=apd_navg,
     )
 
 
@@ -221,11 +228,15 @@ class WidebandMonitor:
         ch_mean = channel_power.mean(axis=0)
         ch_max = channel_power.max(axis=0)
 
-        # stage 5: APD histogram of resampled samples (sort + edge search;
-        # ~30x faster on TPU than a scatter-add bincount)
+        # stage 5: APD histogram (sort + edge search; ~30x faster on TPU
+        # than a scatter-add bincount), optionally over detector-binned
+        # power (reference binned-power CCDF workflow, figures.py:827-836)
         from ..ops.power import histogram_edge_counts
 
         p = y.real * y.real + y.imag * y.imag
+        if d.apd_navg > 1:
+            p = p[: (p.shape[0] // d.apd_navg) * d.apd_navg]
+            p = p.reshape(-1, d.apd_navg).mean(axis=1)
         apd = histogram_edge_counts(p, self._apd_edges_pow).astype(jnp.int32)
 
         if axis_name is not None:
@@ -359,6 +370,9 @@ class WidebandMonitor:
         from ..ops.power import histogram_edge_counts
 
         p = y.real * y.real + y.imag * y.imag
+        if d.apd_navg > 1:
+            p = p[: (p.shape[0] // d.apd_navg) * d.apd_navg]
+            p = p.reshape(-1, d.apd_navg).mean(axis=1)
         apd = histogram_edge_counts(p, self._apd_edges_pow).astype(jnp.float32)
 
         psd_dB = 10.0 * jnp.log10(spg + 1e-25)

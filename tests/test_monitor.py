@@ -143,3 +143,17 @@ def test_monitor_streaming_accumulation(design):
         rtol=1e-4,
     )
 
+
+
+def test_monitor_apd_navg():
+    """detector-binned APD counts n/navg bins and matches direct binning."""
+    design = design_wideband_monitor(
+        2e6, 1e6, bw=0.8e6, channel_count=4, fft_size_per_channel=64,
+        window='hamming', apd_bins=256, min_fft_size=255, fs_sdr=2e6,
+        apd_navg=16,
+    )
+    mon = WidebandMonitor(design)
+    n = mon.min_input_multiple() * 8
+    x = make_tone_noise(n, fs=2e6, f_tone=150e3, snr_db=30)
+    out = jax.jit(mon.step)(jnp.asarray(x))
+    assert int(np.asarray(out['apd_counts']).sum()) == (n // 2) // 16
