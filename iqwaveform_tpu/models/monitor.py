@@ -470,4 +470,7 @@ class WidebandMonitor:
         hop_out = d.nfft_out - self.noverlap_out
         lcm_out = math.lcm(hop_out, self._nfft_big)
         per_shard_in = lcm_out * self.hop_in // hop_out
+        # whole frame groups per shard (n_frames % R == 0) unlock the
+        # gather-free grouped OLA path in parallel.sharded
+        per_shard_in = math.lcm(per_shard_in, d.nfft)
         return per_shard_in * n_time_shards

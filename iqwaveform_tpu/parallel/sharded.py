@@ -190,57 +190,94 @@ def _sharded_ola_body(
     axis_name,
 ):
     """stft -> zero passband -> frequency trim/pad -> istft, all local
-    except the two noverlap-sized ppermutes."""
+    except the two noverlap-sized ppermutes.
+
+    Frames stay *group-separated* end to end when shapes allow: group g
+    holds frames starting at offsets (g + k*R)*hop, which are (a)
+    non-overlapping, so each group is a plain contiguous reshape of the
+    shifted input (no gather), and (b) adjacent in the output, so each
+    group's IFFT result concatenates contiguously into the overlap-add
+    buffer (no re-grouping). The reference interleaves frames at STFT and
+    re-groups at ISTFT (fourier.py:545-581, 630-647); keeping the grouped
+    layout throughout removes both shuffles.
+    """
     hop_in = nfft - noverlap_in
     hop_out = nfft_out - noverlap_out
     S = x_local.shape[0]
     n_frames = S // hop_in
+    R_in = nfft // hop_in if noverlap_in > 0 else 1
+    R_out = nfft_out // hop_out
 
-    # --- forward: frames + window + fft ---
+    grouped = (
+        noverlap_in > 0
+        and n_frames % R_in == 0
+        and R_in == R_out
+        and nfft % hop_in == 0
+        and nfft_out % hop_out == 0
+    )
+
+    def spectral_transform(Y):
+        """zero passband + frequency resample, per frame batch."""
+        if zero_lo > 0:
+            Y = Y.at[:, :zero_lo].set(0)
+        if zero_hi is not None and zero_hi < nfft:
+            Y = Y.at[:, zero_hi:].set(0)
+
+        # downsample_stft semantics (fourier.py:866-924): copy the
+        # passband range, zero-fill the rest
+        if nfft_out != nfft:
+            if nfft_out < nfft:
+                ysel = Y[:, bounds_in[0] : bounds_in[1]]
+                if tuple(bounds_out) == (0, nfft_out):
+                    Y = ysel
+                else:
+                    Y = jnp.zeros(Y.shape[:1] + (nfft_out,), dtype=Y.dtype)
+                    Y = Y.at[:, bounds_out[0] : bounds_out[1]].set(ysel)
+            else:
+                pad_left = (nfft_out - nfft) // 2
+                pad_right = pad_left + (nfft_out - nfft) % 2
+                Y = jnp.pad(Y, ((0, 0), (pad_left, pad_right)))
+        return Y
+
+    wind = (w_in / jnp.abs(w_in[::hop_in]).sum()).astype(x_local.dtype)
+
     if noverlap_in > 0:
         halo = _right_halo(x_local, noverlap_in, axis_name)
         x_ext = jnp.concatenate([x_local, halo])
     else:
         x_ext = x_local
-    frames = _local_frames(x_ext, nfft, hop_in, n_frames)
-    # norm=None overlapped scaling (see _sharded_stft_local)
-    wind = (w_in / jnp.abs(w_in[::hop_in]).sum()).astype(frames.dtype)
-    Y = jnp.fft.fft(frames * wind[None, :], axis=1)
 
-    # --- passband zeroing (static bin bounds) ---
-    if zero_lo > 0:
-        Y = Y.at[:, :zero_lo].set(0)
-    if zero_hi is not None and zero_hi < nfft:
-        Y = Y.at[:, zero_hi:].set(0)
-
-    # --- frequency-domain resample (downsample_stft semantics,
-    # fourier.py:866-924: copy the passband range, zero-fill the rest) ---
-    if nfft_out != nfft:
-        if nfft_out < nfft:
-            ysel = Y[:, bounds_in[0] : bounds_in[1]]
-            if tuple(bounds_out) == (0, nfft_out):
-                Y = ysel
-            else:
-                Y = jnp.zeros(Y.shape[:1] + (nfft_out,), dtype=Y.dtype)
-                Y = Y.at[:, bounds_out[0] : bounds_out[1]].set(ysel)
-        else:
-            pad_left = (nfft_out - nfft) // 2
-            pad_right = pad_left + (nfft_out - nfft) % 2
-            Y = jnp.pad(Y, ((0, 0), (pad_left, pad_right)))
-
-    # --- inverse: ifft + time fftshift + grouped overlap-add ---
-    xstack = jnp.fft.ifft(Y, axis=1)
-    xstack = xstack * w_shift_out[None, :]
-
-    R = nfft_out // hop_out
     S_out = n_frames * hop_out
     out_len = S_out + noverlap_out
-    xr = jnp.zeros((out_len,), dtype=xstack.dtype)
-    for offs in range(R):
-        group = xstack[offs::R].reshape(-1)
-        start = offs * hop_out
-        length = min(group.shape[0], out_len - start)
-        xr = xr.at[start : start + length].add(group[:length])
+
+    if grouped:
+        # gather-free path: R contiguous shifted reshapes in, R contiguous
+        # slice-adds out
+        xr = jnp.zeros((out_len,), dtype=x_ext.dtype)
+        M = n_frames // R_in
+        for g in range(R_in):
+            frames_g = jax.lax.dynamic_slice(
+                x_ext, (g * hop_in,), (M * nfft,)
+            ).reshape(M, nfft)
+            Yg = jnp.fft.fft(frames_g * wind[None, :], axis=1)
+            Yg = spectral_transform(Yg)
+            xg = jnp.fft.ifft(Yg, axis=1) * w_shift_out[None, :]
+            flat = xg.reshape(-1)  # group frames are output-contiguous
+            start = g * hop_out
+            length = min(flat.shape[0], out_len - start)
+            xr = xr.at[start : start + length].add(flat[:length])
+    else:
+        frames = _local_frames(x_ext, nfft, hop_in, n_frames)
+        Y = jnp.fft.fft(frames * wind[None, :], axis=1)
+        Y = spectral_transform(Y)
+        xstack = jnp.fft.ifft(Y, axis=1) * w_shift_out[None, :]
+
+        xr = jnp.zeros((out_len,), dtype=xstack.dtype)
+        for offs in range(R_out):
+            group = xstack[offs::R_out].reshape(-1)
+            start = offs * hop_out
+            length = min(group.shape[0], out_len - start)
+            xr = xr.at[start : start + length].add(group[:length])
 
     # --- boundary exchange: my tail adds into right neighbor's head ---
     if noverlap_out > 0 and axis_name is not None:
