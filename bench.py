@@ -76,6 +76,8 @@ def bench_monitor(nfft_hint: int):
         # detector-binned APD (the reference CCDF workflow bins power by a
         # detector period first: figures.py:827-836)
         apd_navg=16,
+        # four-step DFT-matmul FFTs on the MXU (ops.mxu_fft)
+        fft_backend='mxu',
         min_fft_size=nfft_hint - 1,
     )
     mon = WidebandMonitor(design)

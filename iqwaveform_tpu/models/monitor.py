@@ -60,6 +60,9 @@ class MonitorDesign:
     # (figures.py:827-836: plot_power_ccdf with Tavg -> iq_to_bin_power);
     # 1 = per-sample APD
     apd_navg: int = 1
+    # 'xla' = jnp.fft; 'mxu' = four-step DFT matmuls (ops.mxu_fft) — much
+    # faster on TPU for composite sizes, identical to float32 roundoff
+    fft_backend: str = 'xla'
 
 
 def design_wideband_monitor(
@@ -75,6 +78,7 @@ def design_wideband_monitor(
     apd_range_dB=(-120.0, 30.0),
     apd_bins: int = 2048,
     apd_navg: int = 1,
+    fft_backend: str = 'xla',
     **resampler_kws,
 ) -> MonitorDesign:
     """derive a MonitorDesign from radio rates (host-side design math,
@@ -100,6 +104,7 @@ def design_wideband_monitor(
         apd_range_dB=apd_range_dB,
         apd_bins=apd_bins,
         apd_navg=apd_navg,
+        fft_backend=fft_backend,
     )
 
 
@@ -179,6 +184,16 @@ class WidebandMonitor:
         # axon tunnel cannot D2H-copy non-float32 device arrays)
         self._apd_edges_pow = (10 ** (edges_dB / 10.0)).astype('float32')
 
+        # FFT implementation for the hot loops
+        if d.fft_backend == 'mxu':
+            from ..ops.mxu_fft import fft_mxu, ifft_mxu
+
+            self._fft, self._ifft = fft_mxu, ifft_mxu
+        elif d.fft_backend == 'xla':
+            self._fft, self._ifft = jnp.fft.fft, jnp.fft.ifft
+        else:
+            raise ValueError(f"fft_backend must be 'xla' or 'mxu', not {d.fft_backend!r}")
+
         # channel analysis-bin trim
         self._skip_bins = d.channel_count * (
             d.fft_size_per_channel - d.analysis_bins_per_channel
@@ -205,6 +220,8 @@ class WidebandMonitor:
             zero_lo=self._zero_lo,
             zero_hi=self._zero_hi,
             axis_name=axis_name,
+            fft_fn=self._fft,
+            ifft_fn=self._ifft,
         )
 
         # stage 2: channelizer STFT (noverlap=0, norm='power')
@@ -212,7 +229,7 @@ class WidebandMonitor:
         n_frames = y.shape[0] // nfft_big
         frames = y[: n_frames * nfft_big].reshape(n_frames, nfft_big)
         wind = (self._w_ch / nfft_big).astype(frames.dtype)
-        Y = jnp.fft.fft(frames * wind[None, :], axis=1)
+        Y = self._fft(frames * wind[None, :], axis=1)
         spg = Y.real * Y.real + Y.imag * Y.imag  # (frames, nfft_big)
 
         # stage 3: per-channel power (trim analysis bins, sum per channel)
@@ -314,7 +331,7 @@ class WidebandMonitor:
         wind = (self._w_in / jnp.abs(self._w_in[:: hop_in]).sum()).astype(
             frames.dtype
         )
-        Y = jnp.fft.fft(frames * wind[None, :], axis=1)
+        Y = self._fft(frames * wind[None, :], axis=1)
 
         if self._zero_lo > 0:
             Y = Y.at[:, : self._zero_lo].set(0)
@@ -333,7 +350,7 @@ class WidebandMonitor:
                 pad_l = (d.nfft_out - d.nfft) // 2
                 Y = jnp.pad(Y, ((0, 0), (pad_l, d.nfft_out - d.nfft - pad_l)))
 
-        xstack = jnp.fft.ifft(Y, axis=1) * self._w_shift_out[None, :]
+        xstack = self._ifft(Y, axis=1) * self._w_shift_out[None, :]
 
         R = d.nfft_out // hop_out
         S_out = n_frames * hop_out
@@ -359,7 +376,7 @@ class WidebandMonitor:
         n_frames = y.shape[0] // nfft_big
         frames = y[: n_frames * nfft_big].reshape(n_frames, nfft_big)
         wind = (self._w_ch / nfft_big).astype(frames.dtype)
-        Y = jnp.fft.fft(frames * wind[None, :], axis=1)
+        Y = self._fft(frames * wind[None, :], axis=1)
         spg = Y.real * Y.real + Y.imag * Y.imag
 
         sb = self._skip_bins

@@ -1,0 +1,108 @@
+"""FFT on the MXU: four-step Cooley-Tukey as dense DFT matmuls.
+
+XLA's TPU FFT lowers to a vector-unit implementation that leaves the
+systolic array idle. For the batched mid-size FFTs that dominate this
+framework's pipelines (1k-16k points, thousands of frames), the four-step
+factorization n = a*b turns each transform into two dense complex matmuls
+with MXU-native shapes:
+
+    A = x.reshape(batch, a, b)          # row-major split i = i1*b + i2
+    B = F_a @ A                         # length-a DFTs down the columns
+    C = B * W                           # twiddles W[k1, i2] = w_n^(k1*i2)
+    D = C @ F_b                         # length-b DFTs along the rows
+    X[k2*a + k1] = D[k1, k2]            # transposed readout
+
+F_a (a x a), F_b (b x b) and W (a x b) are host-precomputed constants.
+Complex matmuls lower to real MXU matmuls; with HIGHEST precision the
+result matches jnp.fft.fft to float32 roundoff (~1e-6 relative).
+
+Cost: 2 n (a + b) complex MACs per transform vs (5/2) n log2 n for a true
+FFT — for a = b = sqrt(n) that is asymptotically worse by
+2 sqrt(n)/log2(n), but every MAC runs at MXU rate, which beats the
+VPU-bound XLA FFT by an order of magnitude at these sizes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import lru_cache
+
+__all__ = ['fft_mxu', 'ifft_mxu', 'plan_factors']
+
+
+@lru_cache()
+def plan_factors(n: int) -> tuple:
+    """pick the (a, b) split: balanced, both MXU-friendly if possible."""
+    best = None
+    for a in range(2, int(math.isqrt(n)) + 1):
+        if n % a == 0:
+            best = (n // a, a)  # a >= b ordering below
+    if best is None:
+        raise ValueError(f'n={n} is prime; no four-step factorization')
+    a, b = best
+    # prefer the larger factor first (feeds the bigger matmul)
+    return (a, b) if a >= b else (b, a)
+
+
+@lru_cache()
+def _dft_constants(n: int, inverse: bool):
+    """host-side DFT matrices + twiddles (embed into traces as constants)."""
+    a, b = plan_factors(n)
+    sign = 2j if inverse else -2j
+
+    i1 = np.arange(a)
+    i2 = np.arange(b)
+    Fa = np.exp(sign * np.pi * np.outer(i1, i1) / a).astype('complex64')
+    Fb = np.exp(sign * np.pi * np.outer(i2, i2) / b).astype('complex64')
+    W = np.exp(sign * np.pi * np.outer(i1, i2) / n).astype('complex64')
+    return a, b, Fa, Fb, W
+
+
+def _four_step(x, n: int, inverse: bool, precision):
+    a, b, Fa, Fb, W = _dft_constants(n, inverse)
+
+    batch = x.shape[:-1]
+    A = x.reshape(batch + (a, b))
+
+    # length-a DFTs down the columns: (a x a) @ (..., a, b)
+    B = jnp.einsum('ij,...jk->...ik', Fa, A, precision=precision)
+    C = B * W  # twiddles broadcast over batch
+    # length-b DFTs along the rows: (..., a, b) @ (b x b)
+    D = jnp.einsum('...ij,jk->...ik', C, Fb, precision=precision)
+
+    # transposed readout: X[k2*a + k1] = D[k1, k2]
+    X = jnp.swapaxes(D, -1, -2).reshape(batch + (n,))
+    if inverse:
+        X = X / n
+    return X
+
+
+def fft_mxu(x, axis: int = -1, *, precision=jax.lax.Precision.HIGHEST):
+    """FFT along ``axis`` via MXU matmuls. Static length must be composite."""
+    x = jnp.asarray(x)
+    if not jnp.iscomplexobj(x):
+        x = x.astype(jnp.complex64)
+    n = x.shape[axis]
+    if axis not in (-1, x.ndim - 1):
+        x = jnp.moveaxis(x, axis, -1)
+        out = _four_step(x, n, False, precision)
+        return jnp.moveaxis(out, -1, axis)
+    return _four_step(x, n, False, precision)
+
+
+def ifft_mxu(x, axis: int = -1, *, precision=jax.lax.Precision.HIGHEST):
+    """inverse FFT along ``axis`` via MXU matmuls."""
+    x = jnp.asarray(x)
+    if not jnp.iscomplexobj(x):
+        x = x.astype(jnp.complex64)
+    n = x.shape[axis]
+    if axis not in (-1, x.ndim - 1):
+        x = jnp.moveaxis(x, axis, -1)
+        out = _four_step(x, n, True, precision)
+        return jnp.moveaxis(out, -1, axis)
+    return _four_step(x, n, True, precision)

@@ -188,6 +188,8 @@ def _sharded_ola_body(
     zero_lo,
     zero_hi,
     axis_name,
+    fft_fn=jnp.fft.fft,
+    ifft_fn=jnp.fft.ifft,
 ):
     """stft -> zero passband -> frequency trim/pad -> istft, all local
     except the two noverlap-sized ppermutes.
@@ -259,18 +261,18 @@ def _sharded_ola_body(
             frames_g = jax.lax.dynamic_slice(
                 x_ext, (g * hop_in,), (M * nfft,)
             ).reshape(M, nfft)
-            Yg = jnp.fft.fft(frames_g * wind[None, :], axis=1)
+            Yg = fft_fn(frames_g * wind[None, :], axis=1)
             Yg = spectral_transform(Yg)
-            xg = jnp.fft.ifft(Yg, axis=1) * w_shift_out[None, :]
+            xg = ifft_fn(Yg, axis=1) * w_shift_out[None, :]
             flat = xg.reshape(-1)  # group frames are output-contiguous
             start = g * hop_out
             length = min(flat.shape[0], out_len - start)
             xr = xr.at[start : start + length].add(flat[:length])
     else:
         frames = _local_frames(x_ext, nfft, hop_in, n_frames)
-        Y = jnp.fft.fft(frames * wind[None, :], axis=1)
+        Y = fft_fn(frames * wind[None, :], axis=1)
         Y = spectral_transform(Y)
-        xstack = jnp.fft.ifft(Y, axis=1) * w_shift_out[None, :]
+        xstack = ifft_fn(Y, axis=1) * w_shift_out[None, :]
 
         xr = jnp.zeros((out_len,), dtype=xstack.dtype)
         for offs in range(R_out):

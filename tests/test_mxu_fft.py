@@ -1,0 +1,79 @@
+"""MXU four-step FFT tests (oracle: numpy float64 FFT)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iqwaveform_tpu.ops.mxu_fft import fft_mxu, ifft_mxu, plan_factors
+
+
+@pytest.mark.parametrize('n', [64, 100, 1024, 2048, 4096, 16384])
+def test_fft_mxu_matches_numpy(n):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))).astype(
+        'complex64'
+    )
+    ref = np.fft.fft(x.astype('complex128'), axis=1)
+    got = np.asarray(fft_mxu(jnp.asarray(x), axis=1))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_ifft_roundtrip():
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((4, 2048)) + 1j * rng.standard_normal((4, 2048))).astype(
+        'complex64'
+    )
+    back = np.asarray(ifft_mxu(fft_mxu(jnp.asarray(x), axis=1), axis=1))
+    np.testing.assert_allclose(back, x, atol=1e-5)
+
+
+def test_axis_argument():
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((256, 4)) + 1j * rng.standard_normal((256, 4))).astype(
+        'complex64'
+    )
+    ref = np.fft.fft(x.astype('complex128'), axis=0)
+    got = np.asarray(fft_mxu(jnp.asarray(x), axis=0))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_prime_size_raises():
+    with pytest.raises(ValueError):
+        plan_factors(127)
+
+
+def test_monitor_mxu_backend_matches_xla():
+    import jax
+
+    from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
+
+    from conftest import make_tone_noise
+
+    kw = dict(
+        bw=0.8e6, channel_count=4, fft_size_per_channel=64,
+        window='hamming', apd_bins=256, min_fft_size=255, fs_sdr=2e6,
+    )
+    d_xla = design_wideband_monitor(2e6, 1e6, fft_backend='xla', **kw)
+    d_mxu = design_wideband_monitor(2e6, 1e6, fft_backend='mxu', **kw)
+
+    mon_x, mon_m = WidebandMonitor(d_xla), WidebandMonitor(d_mxu)
+    n = mon_x.min_input_multiple() * 4
+    x = jnp.asarray(make_tone_noise(n, fs=2e6, f_tone=150e3, snr_db=30))
+
+    out_x = jax.jit(mon_x.step)(x)
+    out_m = jax.jit(mon_m.step)(x)
+
+    np.testing.assert_allclose(
+        np.asarray(out_m['psd_mean']), np.asarray(out_x['psd_mean']), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_m['channel_power_mean']),
+        np.asarray(out_x['channel_power_mean']),
+        rtol=1e-4,
+    )
+    # APD bin boundaries are sensitive to roundoff; totals must agree and
+    # per-bin counts to a small miscount
+    assert (
+        int(np.abs(np.asarray(out_m['apd_counts']) - np.asarray(out_x['apd_counts'])).sum())
+        <= n // 64
+    )
