@@ -63,6 +63,9 @@ class MonitorDesign:
     # 'xla' = jnp.fft; 'mxu' = four-step DFT matmuls (ops.mxu_fft) — much
     # faster on TPU for composite sizes, identical to float32 roundoff
     fft_backend: str = 'xla'
+    # matmul precision for the mxu backend: 'highest' (6-pass bf16,
+    # ~3e-7 rel) or 'high' (3-pass, ~2e-5 max rel / ~1e-6 RMS, ~2x faster)
+    fft_precision: str = 'highest'
 
 
 def design_wideband_monitor(
@@ -79,6 +82,7 @@ def design_wideband_monitor(
     apd_bins: int = 2048,
     apd_navg: int = 1,
     fft_backend: str = 'xla',
+    fft_precision: str = 'highest',
     **resampler_kws,
 ) -> MonitorDesign:
     """derive a MonitorDesign from radio rates (host-side design math,
@@ -105,6 +109,7 @@ def design_wideband_monitor(
         apd_bins=apd_bins,
         apd_navg=apd_navg,
         fft_backend=fft_backend,
+        fft_precision=fft_precision,
     )
 
 
@@ -186,9 +191,18 @@ class WidebandMonitor:
 
         # FFT implementation for the hot loops
         if d.fft_backend == 'mxu':
+            import functools as _ft
+
+            import jax as _jax
+
             from ..ops.mxu_fft import fft_mxu, ifft_mxu
 
-            self._fft, self._ifft = fft_mxu, ifft_mxu
+            prec = {
+                'highest': _jax.lax.Precision.HIGHEST,
+                'high': 'high',
+            }[d.fft_precision]
+            self._fft = _ft.partial(fft_mxu, precision=prec)
+            self._ifft = _ft.partial(ifft_mxu, precision=prec)
         elif d.fft_backend == 'xla':
             self._fft, self._ifft = jnp.fft.fft, jnp.fft.ifft
         else:
