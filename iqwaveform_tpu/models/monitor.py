@@ -190,6 +190,7 @@ class WidebandMonitor:
         self._apd_edges_pow = (10 ** (edges_dB / 10.0)).astype('float32')
 
         # FFT implementation for the hot loops
+        self._fused_ola = None
         if d.fft_backend == 'mxu':
             import functools as _ft
 
@@ -203,6 +204,21 @@ class WidebandMonitor:
             }[d.fft_precision]
             self._fft = _ft.partial(fft_mxu, precision=prec)
             self._ifft = _ft.partial(ifft_mxu, precision=prec)
+
+            from ..ops.mxu_fft import fused_ola_mxu, fused_ola_supported
+
+            if d.nfft_out != d.nfft and fused_ola_supported(
+                d.nfft, d.nfft_out, self._bounds_in, self._bounds_out
+            ):
+                self._fused_ola = _ft.partial(
+                    fused_ola_mxu,
+                    nfft=d.nfft,
+                    nfft_out=d.nfft_out,
+                    zero_lo=self._zero_lo,
+                    zero_hi=self._zero_hi,
+                    bounds_in=self._bounds_in,
+                    precision=prec,
+                )
         elif d.fft_backend == 'xla':
             self._fft, self._ifft = jnp.fft.fft, jnp.fft.ifft
         else:
@@ -236,6 +252,7 @@ class WidebandMonitor:
             axis_name=axis_name,
             fft_fn=self._fft,
             ifft_fn=self._ifft,
+            fused_fn=self._fused_ola,
         )
 
         # stage 2: channelizer STFT (noverlap=0, norm='power')

@@ -190,6 +190,7 @@ def _sharded_ola_body(
     axis_name,
     fft_fn=jnp.fft.fft,
     ifft_fn=jnp.fft.ifft,
+    fused_fn=None,
 ):
     """stft -> zero passband -> frequency trim/pad -> istft, all local
     except the two noverlap-sized ppermutes.
@@ -261,9 +262,14 @@ def _sharded_ola_body(
             frames_g = jax.lax.dynamic_slice(
                 x_ext, (g * hop_in,), (M * nfft,)
             ).reshape(M, nfft)
-            Yg = fft_fn(frames_g * wind[None, :], axis=1)
-            Yg = spectral_transform(Yg)
-            xg = ifft_fn(Yg, axis=1) * w_shift_out[None, :]
+            if fused_fn is not None:
+                # transpose-free fft->zero->trim->ifft in factored
+                # coordinates (ops.mxu_fft.fused_ola_mxu)
+                xg = fused_fn(frames_g * wind[None, :]) * w_shift_out[None, :]
+            else:
+                Yg = fft_fn(frames_g * wind[None, :], axis=1)
+                Yg = spectral_transform(Yg)
+                xg = ifft_fn(Yg, axis=1) * w_shift_out[None, :]
             flat = xg.reshape(-1)  # group frames are output-contiguous
             start = g * hop_out
             length = min(flat.shape[0], out_len - start)

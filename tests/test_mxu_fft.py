@@ -77,3 +77,50 @@ def test_monitor_mxu_backend_matches_xla():
         int(np.abs(np.asarray(out_m['apd_counts']) - np.asarray(out_x['apd_counts'])).sum())
         <= n // 64
     )
+
+
+def test_fused_ola_matches_separate():
+    from iqwaveform_tpu.ops.mxu_fft import (
+        fused_ola_mxu,
+        fused_ola_supported,
+        fft_mxu,
+        ifft_mxu,
+    )
+
+    nfft, nfft_out = 1024, 512
+    bounds_in = (256, 768)
+    zero_lo, zero_hi = 300, 700
+    assert fused_ola_supported(nfft, nfft_out, bounds_in, (0, nfft_out))
+
+    rng = np.random.default_rng(0)
+    frames = (
+        rng.standard_normal((6, nfft)) + 1j * rng.standard_normal((6, nfft))
+    ).astype('complex64')
+
+    # naive: fft -> zero -> slice -> ifft
+    Y = np.asarray(fft_mxu(jnp.asarray(frames), axis=1))
+    Y[:, :zero_lo] = 0
+    Y[:, zero_hi:] = 0
+    Y = Y[:, bounds_in[0] : bounds_in[1]]
+    expected = np.asarray(ifft_mxu(jnp.asarray(Y), axis=1))
+
+    got = np.asarray(
+        fused_ola_mxu(
+            jnp.asarray(frames),
+            nfft=nfft,
+            nfft_out=nfft_out,
+            zero_lo=zero_lo,
+            zero_hi=zero_hi,
+            bounds_in=bounds_in,
+        )
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-6)
+
+
+def test_fused_ola_supported_conditions():
+    from iqwaveform_tpu.ops.mxu_fft import fused_ola_supported
+
+    assert fused_ola_supported(16384, 8192, (4096, 12288), (0, 8192))
+    assert not fused_ola_supported(16384, 8192, (4095, 12287), (0, 8192))
+    assert not fused_ola_supported(16384, 8192, (4096, 12288), (1, 8191))
+    assert not fused_ola_supported(127, 127, (0, 127), (0, 127))
