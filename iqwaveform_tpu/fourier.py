@@ -35,6 +35,7 @@ from .ops.filtering import (  # noqa: F401
     time_ifftshift,
     zero_stft_by_freq,
 )
+from .ops.mxu_fft import fft_mxu, ifft_mxu  # noqa: F401
 from .ops.resample_poly import oaconvolve, upfirdn  # noqa: F401
 from .ops.spectral import (  # noqa: F401
     channelize_power,

@@ -50,20 +50,32 @@ def get_max_fft_chunk():
     return MAX_FFT_CHUNK_SAMPLES
 
 
-def fft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None):
-    """forward FFT along ``axis`` (reference fourier.py:200-218)."""
+def fft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None, backend='xla'):
+    """forward FFT along ``axis`` (reference fourier.py:200-218).
+
+    backend='mxu' uses the four-step DFT-matmul transform (ops.mxu_fft)
+    on jax inputs of composite static length.
+    """
     xp = array_namespace(x)
     if xp is jnp:
+        if backend == 'mxu':
+            from .mxu_fft import fft_mxu
+
+            return fft_mxu(x, axis=axis)
         return jnp.fft.fft(x, axis=axis)
     if workers is None:
         workers = max(CPU_COUNT // 2, 1)
     return scipy_fft.fft(x, axis=axis, workers=workers, overwrite_x=overwrite_x)
 
 
-def ifft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None):
+def ifft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None, backend='xla'):
     """inverse FFT along ``axis`` (reference fourier.py:221-245)."""
     xp = array_namespace(x)
     if xp is jnp:
+        if backend == 'mxu':
+            from .mxu_fft import ifft_mxu
+
+            return ifft_mxu(x, axis=axis)
         return jnp.fft.ifft(x, axis=axis)
     if workers is None:
         workers = max(CPU_COUNT // 2, 1)

@@ -3,19 +3,21 @@
 The TPU-native equivalent of the reference's numba CPU / numba-CUDA
 gather-MAC kernels (_jit/cpu.py:6-42, _jit/cuda.py:7-43 — C16 in
 SURVEY.md §2). The CUDA kernel assigns one output lag per thread and
-iterates all cp sample indices; this kernel instead uses the O(N)
-moving-sum identity (see models.ofdm.corr_at_indices):
+iterates all cp sample indices; this kernel exploits two linearities
+instead:
 
-    out[j] = sum_s movsum(z, ncp)[start_s + j],   z[t] = x[t] conj(x[t+nfft])
+    out[j] = sum_s movsum(z, ncp)[start_s + j],  z[t] = x[t] conj(x[t+nfft])
+           = movsum( sum_s z[start_s + l0 : start_s + l0 + span] )[j]
 
-Per (lag-tile, start) step it DMAs two complex slabs from HBM, forms the
-lag product and its ncp-wide running sum with a cumulative sum in VMEM,
-and accumulates the window into the tile — vector work on the VPU with no
-per-sample gathers.
+so per lag tile it (1) DMAs and *accumulates* the per-start slabs — four
+float32 rows: Re z, Im z, |a|^2, |b|^2 — and then (2) applies the
+ncp-wide running sum to the accumulated slab as ONE (8, span) @
+(span, tile) matmul against a banded ones matrix on the MXU. No cumsum,
+no gathers, no per-start window work.
 
 The production path is the pure-XLA formulation in models.ofdm (identical
-math, XLA-scheduled); this kernel is the hand-scheduled alternative and
-runs under ``interpret=True`` on CPU for tests.
+math); this kernel is the hand-scheduled alternative and runs under
+``interpret=True`` on CPU for tests.
 """
 
 from __future__ import annotations
@@ -31,79 +33,76 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ['corr_at_indices_pallas']
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _corr_kernel(
     starts_ref,  # scalar prefetch: (n_starts,) int32
     xr_hbm,
     xi_hbm,
-    out_r,
-    out_i,
-    pa_out,
-    pb_out,
+    band_ref,  # (span_p, tile) f32 banded ones (VMEM)
+    out_ref,  # (8, tile) f32: rows 0..3 = corr_r, corr_i, pa, pb
     slab_ar,
     slab_ai,
     slab_br,
     slab_bi,
+    acc_ref,  # (8, span_p) f32 accumulator
     sems,
     *,
     nfft: int,
-    ncp: int,
+    span: int,
     tile: int,
     n_starts: int,
-    norm: bool,
 ):
     t = pl.program_id(0)
     l0 = t * tile
-    span = tile + ncp - 1  # samples needed to produce `tile` window sums
 
-    def load(dst, src, offset):
-        dma = pltpu.make_async_copy(src.at[pl.ds(offset, span)], dst, sems)
-        dma.start()
-        dma.wait()
+    acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def movsum(v):
-        # running sum of width ncp: w[j] = sum(v[j:j+ncp]), j in [0, tile)
-        cs = jnp.cumsum(v)
-        hi = jax.lax.slice(cs, (ncp - 1,), (ncp - 1 + tile,))
-        lo = jnp.concatenate(
-            [jnp.zeros((1,), v.dtype), jax.lax.slice(cs, (0,), (tile - 1,))]
-        )
-        return hi - lo
-
-    def body(i, acc):
-        acc_r, acc_i, acc_pa, acc_pb = acc
+    def body(i, _):
         s = starts_ref[i]
 
-        load(slab_ar, xr_hbm, s + l0)
-        load(slab_ai, xi_hbm, s + l0)
-        load(slab_br, xr_hbm, s + l0 + nfft)
-        load(slab_bi, xi_hbm, s + l0 + nfft)
+        for dst, src, off in (
+            (slab_ar, xr_hbm, 0),
+            (slab_ai, xi_hbm, 0),
+            (slab_br, xr_hbm, nfft),
+            (slab_bi, xi_hbm, nfft),
+        ):
+            dma = pltpu.make_async_copy(
+                src.at[pl.ds(s + l0 + off, span)], dst, sems
+            )
+            dma.start()
+            dma.wait()
 
         ar, ai = slab_ar[:], slab_ai[:]
         br, bi = slab_br[:], slab_bi[:]
 
-        # z = a * conj(b)
-        zr = ar * br + ai * bi
-        zi = ai * br - ar * bi
+        # z = a * conj(b); accumulate the four reduction rows
+        acc_ref[0, :span] += ar * br + ai * bi  # Re z
+        acc_ref[1, :span] += ai * br - ar * bi  # Im z
+        acc_ref[2, :span] += ar * ar + ai * ai  # |a|^2
+        acc_ref[3, :span] += br * br + bi * bi  # |b|^2
+        return 0
 
-        acc_r = acc_r + movsum(zr)
-        acc_i = acc_i + movsum(zi)
-        if norm:
-            acc_pa = acc_pa + movsum(ar * ar + ai * ai)
-            acc_pb = acc_pb + movsum(br * br + bi * bi)
-        return acc_r, acc_i, acc_pa, acc_pb
+    jax.lax.fori_loop(0, n_starts, body, 0)
 
-    zeros = jnp.zeros((tile,), jnp.float32)
-    acc_r, acc_i, acc_pa, acc_pb = jax.lax.fori_loop(
-        0, n_starts, body, (zeros, zeros, zeros, zeros)
+    # the ncp-wide running sum of all four rows at once: one MXU matmul
+    out_ref[:] = jnp.dot(
+        acc_ref[:], band_ref[:], preferred_element_type=jnp.float32
     )
 
-    out_r[:] = acc_r
-    out_i[:] = acc_i
-    pa_out[:] = acc_pa
-    pb_out[:] = acc_pb
 
-
-def corr_at_indices_pallas(starts, x, nfft: int, ncp: int, norm: bool = True, *, tile: int = 512, interpret: bool = False):
+def corr_at_indices_pallas(
+    starts,
+    x,
+    nfft: int,
+    ncp: int,
+    norm: bool = True,
+    *,
+    tile: int = 512,
+    interpret: bool = False,
+):
     """cyclic-prefix correlation via the Pallas kernel.
 
     Args:
@@ -112,7 +111,7 @@ def corr_at_indices_pallas(starts, x, nfft: int, ncp: int, norm: bool = True, *,
         x: complex waveform (1-D)
         nfft, ncp: numerology sizes
         norm: normalize by the windowed power (reference _jit/cpu.py:34-40)
-        tile: lags computed per grid step
+        tile: lags computed per grid step (multiple of 128)
         interpret: run in the Pallas interpreter (CPU tests)
 
     Returns:
@@ -122,13 +121,15 @@ def corr_at_indices_pallas(starts, x, nfft: int, ncp: int, norm: bool = True, *,
     n_starts = int(starts.shape[0])
     n_lags = nfft + ncp
 
+    tile = _round_up(tile, 128)
     n_tiles = -(-n_lags // tile)
     span = tile + ncp - 1
+    span_p = _round_up(span, 128)
 
     x = jnp.asarray(x)
     # zero-pad so every slab read is in bounds; out-of-range pairs then
     # contribute zero, matching the reference kernel's bounds check
-    max_read = int(starts.max()) + (n_tiles * tile) + ncp - 1 + nfft
+    max_read = int(starts.max()) + (n_tiles * tile) + ncp - 1 + nfft + span_p
     pad = max(0, max_read + 1 - x.shape[0])
     xr = jnp.concatenate([jnp.real(x), jnp.zeros((pad,), jnp.float32)]).astype(
         jnp.float32
@@ -137,49 +138,50 @@ def corr_at_indices_pallas(starts, x, nfft: int, ncp: int, norm: bool = True, *,
         jnp.float32
     )
 
+    # banded running-sum matrix: band[s, j] = 1 iff 0 <= s - j < ncp
+    srange = np.arange(span_p)[:, None]
+    jrange = np.arange(tile)[None, :]
+    band = (((srange - jrange) >= 0) & ((srange - jrange) < ncp)).astype('float32')
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (span_p, tile), lambda i, s: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=[
-            pl.BlockSpec((tile,), lambda i, s: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda i, s: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda i, s: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda i, s: (i,), memory_space=pltpu.VMEM),
-        ],
+        out_specs=pl.BlockSpec(
+            (8, tile), lambda i, s: (0, i), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[
             pltpu.VMEM((span,), jnp.float32),
             pltpu.VMEM((span,), jnp.float32),
             pltpu.VMEM((span,), jnp.float32),
             pltpu.VMEM((span,), jnp.float32),
+            pltpu.VMEM((8, span_p), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
 
-    out_shape = [
-        jax.ShapeDtypeStruct((n_tiles * tile,), jnp.float32) for _ in range(4)
-    ]
-
-    out_r, out_i, pa, pb = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _corr_kernel,
             nfft=nfft,
-            ncp=ncp,
+            span=span,
             tile=tile,
             n_starts=n_starts,
-            norm=norm,
         ),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((8, n_tiles * tile), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(starts), xr, xi)
+    )(jnp.asarray(starts), xr, xi, jnp.asarray(band))
 
-    corr = jax.lax.complex(out_r, out_i)[:n_lags]
+    corr = jax.lax.complex(out[0], out[1])[:n_lags]
     if norm:
-        denom = jnp.sqrt(pa * pb)[:n_lags]
+        denom = jnp.sqrt(out[2] * out[3])[:n_lags]
         corr = corr / denom.astype(corr.real.dtype)
     else:
         corr = corr / (n_starts * ncp)

@@ -59,78 +59,107 @@ def build_polyphase_matrix(h: np.ndarray, up: int, down: int):
     return W, Lin, Lout, pad
 
 
-def _upfirdn_block_kernel(x_hbm, w_ref, out_ref, slab, sem, *, Lin, K, T, Lout):
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _upfirdn_block_kernel(
+    x_hbm, w_ref, out_ref, slab, sem, *, Lin, K, K_p, T, Lout, Lout_p
+):
     b = pl.program_id(0)
     t = pl.program_id(1)
 
-    # overlapping input slab: T*Lin samples + (K - Lin) halo
+    # overlapping input slab for 8 batch rows: T*Lin samples + halo
     start = t * (T * Lin)
+    span = (T - 1) * Lin + K_p
     dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(start, T * Lin + K - Lin)],
+        x_hbm.at[pl.ds(b * 8, 8), pl.ds(start, span)],
         slab,
         sem,
     )
     dma.start()
     dma.wait()
 
-    vals = slab[:]
+    vals = slab[:]  # (8, span)
 
-    # window matrix X[j, t'] = slab[t'*Lin + j]: K static strided slices
+    # window matrix X[r, j, t'] = slab[r, t'*Lin + j]: K_p strided slices
+    # (rows j >= K multiply zero-padded weights)
     rows = [
-        jax.lax.slice(vals, (j,), (j + (T - 1) * Lin + 1,), (Lin,))
-        for j in range(K)
+        jax.lax.slice(vals, (0, j), (8, j + (T - 1) * Lin + 1), (1, Lin))
+        for j in range(K_p)
     ]
-    X = jnp.stack(rows, axis=0)  # (K, T)
+    X = jnp.stack(rows, axis=1)  # (8, K_p, T)
 
-    # the polyphase MAC as one MXU matmul
-    Y = jnp.dot(w_ref[:], X, preferred_element_type=jnp.float32)  # (Lout, T)
+    # the polyphase MAC as one batched MXU matmul
+    Y = jnp.einsum(
+        'lk,bkt->blt', w_ref[:], X, preferred_element_type=jnp.float32
+    )  # (8, Lout_p, T)
 
-    out_ref[:] = Y.T.reshape(1, T * Lout)
+    out_ref[:] = (
+        jnp.swapaxes(Y[:, :Lout, :], 1, 2).reshape(8, T * Lout)
+    )
 
 
 def _upfirdn_pallas_real(x2d, W, Lin, Lout, pad, n_out, *, block_T=None, interpret=False):
     """batched real-input upfirdn through the Pallas kernel.
 
-    x2d: (B, N) float32; W: (Lout, K) float32.
+    x2d: (B, N) float32; W: (Lout, K) float32. Shapes are padded to TPU
+    tiling: 8 batch rows per block, weight matrix padded to (8m, 128m),
+    output tiles a multiple of 128 wide.
     """
     B, N = x2d.shape
     K = W.shape[1]
+    K_p = _round_up(K, 128)
+    Lout_p = _round_up(Lout, 8)
 
     nb = -(-n_out // Lout)  # output blocks
     if block_T is None:
-        # target roughly 512-wide output tiles
-        block_T = max(1, min(nb, 512 // max(Lout, 1) + 1))
+        # smallest tile with T*Lout % 128 == 0, near 512 outputs wide
+        base = max(1, 512 // max(Lout, 1))
+        quantum = _round_up(128, math.gcd(128, Lout)) // math.gcd(128, Lout)
+        block_T = _round_up(base, quantum)
     nt = -(-nb // block_T)
     nb_padded = nt * block_T
 
+    B_p = _round_up(B, 8)
+
     # pad so every block's slab read is in bounds:
-    # slab for tile t spans [t*T*Lin, t*T*Lin + T*Lin + K - Lin)
-    need = nb_padded * Lin + (K - Lin)
-    x_pad = jnp.pad(x2d, ((0, 0), (pad, need - pad - N)))
+    # slab for tile t spans [t*T*Lin, t*T*Lin + (T-1)*Lin + K_p)
+    need = (nb_padded - 1) * Lin + (block_T - 1) * Lin + K_p
+    x_pad = jnp.pad(x2d, ((0, B_p - B), (pad, max(0, need - pad - N) + 8)))
+
+    W_pad = np.zeros((Lout_p, K_p), dtype='float32')
+    W_pad[:Lout, :K] = W
 
     out = pl.pallas_call(
         functools.partial(
-            _upfirdn_block_kernel, Lin=Lin, K=K, T=block_T, Lout=Lout
+            _upfirdn_block_kernel,
+            Lin=Lin,
+            K=K,
+            K_p=K_p,
+            T=block_T,
+            Lout=Lout,
+            Lout_p=Lout_p,
         ),
-        grid=(B, nt),
+        grid=(B_p // 8, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
             pl.BlockSpec(
-                W.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM
+                (Lout_p, K_p), lambda b, t: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_T * Lout), lambda b, t: (b, t), memory_space=pltpu.VMEM
+            (8, block_T * Lout), lambda b, t: (b, t), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, nb_padded * Lout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B_p, nb_padded * Lout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((block_T * Lin + K - Lin,), jnp.float32),
+            pltpu.VMEM((8, (block_T - 1) * Lin + K_p), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x_pad, jnp.asarray(W, dtype='float32'))
+    )(x_pad, jnp.asarray(W_pad))
 
-    return out[:, :n_out]
+    return out[:B, :n_out]
 
 
 def upfirdn_pallas(h, x, up: int = 1, down: int = 1, *, interpret=False):

@@ -312,6 +312,7 @@ def sharded_ola_filter(
     passband=(None, None),
     nfft_out: Optional[int] = None,
     axis_name: str = TIME_AXIS,
+    fft_backend: str = 'xla',
 ):
     """bandpass + rational resample of a time-sharded capture via STFT
     overlap-add (the sharded counterpart of ops.filtering.ola_filter;
@@ -353,6 +354,27 @@ def sharded_ola_filter(
         nfft, nfft_out, pb_start, pb_end
     )
 
+    if fft_backend == 'mxu':
+        from ..ops.mxu_fft import fft_mxu, fused_ola_mxu, fused_ola_supported, ifft_mxu
+
+        fft_fn, ifft_fn = fft_mxu, ifft_mxu
+        fused_fn = None
+        if nfft_out != nfft and fused_ola_supported(
+            nfft, nfft_out, bounds_in, bounds_out
+        ):
+            fused_fn = functools.partial(
+                fused_ola_mxu,
+                nfft=nfft,
+                nfft_out=nfft_out,
+                zero_lo=zero_lo,
+                zero_hi=zero_hi,
+                bounds_in=bounds_in,
+            )
+    elif fft_backend == 'xla':
+        fft_fn, ifft_fn, fused_fn = jnp.fft.fft, jnp.fft.ifft, None
+    else:
+        raise ValueError(f"fft_backend must be 'xla' or 'mxu', not {fft_backend!r}")
+
     fn = jax.shard_map(
         functools.partial(
             _sharded_ola_body,
@@ -367,6 +389,9 @@ def sharded_ola_filter(
             zero_lo=zero_lo,
             zero_hi=zero_hi,
             axis_name=axis_name,
+            fft_fn=fft_fn,
+            ifft_fn=ifft_fn,
+            fused_fn=fused_fn,
         ),
         mesh=mesh,
         in_specs=P(axis_name),

@@ -98,7 +98,7 @@ def test_fused_ola_matches_separate():
     ).astype('complex64')
 
     # naive: fft -> zero -> slice -> ifft
-    Y = np.asarray(fft_mxu(jnp.asarray(frames), axis=1))
+    Y = np.array(fft_mxu(jnp.asarray(frames), axis=1))
     Y[:, :zero_lo] = 0
     Y[:, zero_hi:] = 0
     Y = Y[:, bounds_in[0] : bounds_in[1]]

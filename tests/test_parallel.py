@@ -259,3 +259,17 @@ def test_carry_checkpoint_roundtrip(tmp_path):
     restored = streaming.load_carry(path, blank)
     np.testing.assert_array_equal(np.asarray(restored.hist), np.asarray(carry.hist))
     np.testing.assert_array_equal(np.asarray(restored.count), 7)
+
+
+def test_sharded_ola_filter_mxu_backend(mesh):
+    fs = 1e6
+    nfft, nfft_out = 512, 256
+    n = 8 * nfft * 16
+    x = make_tone_noise(n, fs=fs, f_tone=50e3, snr_db=60)
+    xs = parallel.shard_time_axis(jnp.asarray(x), mesh)
+
+    kw = dict(mesh=mesh, fs=fs, nfft=nfft, nfft_out=nfft_out,
+              window='hamming', passband=(-1e5, 1e5))
+    y_xla = np.asarray(parallel.sharded_ola_filter(xs, fft_backend='xla', **kw))
+    y_mxu = np.asarray(parallel.sharded_ola_filter(xs, fft_backend='mxu', **kw))
+    np.testing.assert_allclose(y_mxu, y_xla, atol=2e-5)
