@@ -43,15 +43,12 @@ def _corr_kernel(
     xi_hbm,
     band_ref,  # (span_p, tile) f32 banded ones (VMEM)
     out_ref,  # (8, tile) f32: rows 0..3 = corr_r, corr_i, pa, pb
-    slab_ar,
-    slab_ai,
-    slab_br,
-    slab_bi,
+    slab_ref,  # (8, span_p) f32: rows 0,1 = a planes; rows 2,3 = b planes
     acc_ref,  # (8, span_p) f32 accumulator
     sems,
     *,
     nfft: int,
-    span: int,
+    span_p: int,
     tile: int,
     n_starts: int,
 ):
@@ -63,26 +60,30 @@ def _corr_kernel(
     def body(i, _):
         s = starts_ref[i]
 
-        for dst, src, off in (
-            (slab_ar, xr_hbm, 0),
-            (slab_ai, xi_hbm, 0),
-            (slab_br, xr_hbm, nfft),
-            (slab_bi, xi_hbm, nfft),
+        for row, src, off in (
+            (0, xr_hbm, 0),
+            (1, xi_hbm, 0),
+            (2, xr_hbm, nfft),
+            (3, xi_hbm, nfft),
         ):
             dma = pltpu.make_async_copy(
-                src.at[pl.ds(s + l0 + off, span)], dst, sems
+                src.at[pl.ds(s + l0 + off, span_p)],
+                slab_ref.at[row, :],
+                sems,
             )
             dma.start()
             dma.wait()
 
-        ar, ai = slab_ar[:], slab_ai[:]
-        br, bi = slab_br[:], slab_bi[:]
+        ar, ai = slab_ref[0, :], slab_ref[1, :]
+        br, bi = slab_ref[2, :], slab_ref[3, :]
 
-        # z = a * conj(b); accumulate the four reduction rows
-        acc_ref[0, :span] += ar * br + ai * bi  # Re z
-        acc_ref[1, :span] += ai * br - ar * bi  # Im z
-        acc_ref[2, :span] += ar * ar + ai * ai  # |a|^2
-        acc_ref[3, :span] += br * br + bi * bi  # |b|^2
+        # z = a * conj(b); accumulate the four reduction rows (full
+        # aligned width; band rows beyond span are zero so the extra
+        # samples cannot reach the output)
+        acc_ref[0, :] += ar * br + ai * bi  # Re z
+        acc_ref[1, :] += ai * br - ar * bi  # Im z
+        acc_ref[2, :] += ar * ar + ai * ai  # |a|^2
+        acc_ref[3, :] += br * br + bi * bi  # |b|^2
         return 0
 
     jax.lax.fori_loop(0, n_starts, body, 0)
@@ -157,10 +158,7 @@ def corr_at_indices_pallas(
             (8, tile), lambda i, s: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((span,), jnp.float32),
-            pltpu.VMEM((span,), jnp.float32),
-            pltpu.VMEM((span,), jnp.float32),
-            pltpu.VMEM((span,), jnp.float32),
+            pltpu.VMEM((8, span_p), jnp.float32),
             pltpu.VMEM((8, span_p), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -170,7 +168,7 @@ def corr_at_indices_pallas(
         functools.partial(
             _corr_kernel,
             nfft=nfft,
-            span=span,
+            span_p=span_p,
             tile=tile,
             n_starts=n_starts,
         ),

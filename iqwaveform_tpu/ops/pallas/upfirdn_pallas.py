@@ -64,29 +64,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _upfirdn_block_kernel(
-    x_hbm, w_ref, out_ref, slab, sem, *, Lin, K, K_p, T, Lout, Lout_p
+    x_hbm, w_ref, out_ref, slab, sem, *, Lin, K_p, T, W_ph, Lout, Lout_p
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
 
-    # overlapping input slab for 8 batch rows: T*Lin samples + halo
-    start = t * (T * Lin)
-    span = (T - 1) * Lin + K_p
+    # phase-decomposed slab for 8 batch rows: x_hbm[b', r, m] = x[m*Lin+r];
+    # the tile needs phase columns [t*T, t*T + W_ph)
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(b * 8, 8), pl.ds(start, span)],
+        x_hbm.at[pl.ds(b * 8, 8), :, pl.ds(t * T, W_ph)],
         slab,
         sem,
     )
     dma.start()
     dma.wait()
 
-    vals = slab[:]  # (8, span)
-
-    # window matrix X[r, j, t'] = slab[r, t'*Lin + j]: K_p strided slices
-    # (rows j >= K multiply zero-padded weights)
+    # window matrix X[r', j, t'] = x[(t*T + t')*Lin + j]
+    #             = slab[r', j % Lin, j // Lin + t']  — contiguous slices
     rows = [
-        jax.lax.slice(vals, (0, j), (8, j + (T - 1) * Lin + 1), (1, Lin))
-        for j in range(K_p)
+        slab[:, j % Lin, (j // Lin) : (j // Lin) + T] for j in range(K_p)
     ]
     X = jnp.stack(rows, axis=1)  # (8, K_p, T)
 
@@ -95,17 +91,16 @@ def _upfirdn_block_kernel(
         'lk,bkt->blt', w_ref[:], X, preferred_element_type=jnp.float32
     )  # (8, Lout_p, T)
 
-    out_ref[:] = (
-        jnp.swapaxes(Y[:, :Lout, :], 1, 2).reshape(8, T * Lout)
-    )
+    out_ref[:] = jnp.swapaxes(Y[:, :Lout, :], 1, 2).reshape(8, T * Lout)
 
 
 def _upfirdn_pallas_real(x2d, W, Lin, Lout, pad, n_out, *, block_T=None, interpret=False):
     """batched real-input upfirdn through the Pallas kernel.
 
     x2d: (B, N) float32; W: (Lout, K) float32. Shapes are padded to TPU
-    tiling: 8 batch rows per block, weight matrix padded to (8m, 128m),
-    output tiles a multiple of 128 wide.
+    tiling (8 batch rows per block, weights padded to (8m, 128m), output
+    tiles a multiple of 128), and the input is phase-decomposed on the
+    host so every in-kernel window slice is contiguous.
     """
     B, N = x2d.shape
     K = W.shape[1]
@@ -116,17 +111,20 @@ def _upfirdn_pallas_real(x2d, W, Lin, Lout, pad, n_out, *, block_T=None, interpr
     if block_T is None:
         # smallest tile with T*Lout % 128 == 0, near 512 outputs wide
         base = max(1, 512 // max(Lout, 1))
-        quantum = _round_up(128, math.gcd(128, Lout)) // math.gcd(128, Lout)
+        quantum = 128 // math.gcd(128, Lout)
         block_T = _round_up(base, quantum)
     nt = -(-nb // block_T)
     nb_padded = nt * block_T
 
     B_p = _round_up(B, 8)
 
-    # pad so every block's slab read is in bounds:
-    # slab for tile t spans [t*T*Lin, t*T*Lin + (T-1)*Lin + K_p)
-    need = (nb_padded - 1) * Lin + (block_T - 1) * Lin + K_p
-    x_pad = jnp.pad(x2d, ((0, B_p - B), (pad, max(0, need - pad - N) + 8)))
+    q_max = (K_p - 1) // Lin
+    W_ph = block_T + q_max  # phase columns per tile
+
+    # phase-decompose: x_ph[b, r, m] = x_pad[b, m*Lin + r]
+    M = nt * block_T + q_max + 1
+    x_pad = jnp.pad(x2d, ((0, B_p - B), (pad, max(0, M * Lin - pad - N))))
+    x_ph = jnp.swapaxes(x_pad[:, : M * Lin].reshape(B_p, M, Lin), 1, 2)
 
     W_pad = np.zeros((Lout_p, K_p), dtype='float32')
     W_pad[:Lout, :K] = W
@@ -135,9 +133,9 @@ def _upfirdn_pallas_real(x2d, W, Lin, Lout, pad, n_out, *, block_T=None, interpr
         functools.partial(
             _upfirdn_block_kernel,
             Lin=Lin,
-            K=K,
             K_p=K_p,
             T=block_T,
+            W_ph=W_ph,
             Lout=Lout,
             Lout_p=Lout_p,
         ),
@@ -153,11 +151,11 @@ def _upfirdn_pallas_real(x2d, W, Lin, Lout, pad, n_out, *, block_T=None, interpr
         ),
         out_shape=jax.ShapeDtypeStruct((B_p, nb_padded * Lout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, (block_T - 1) * Lin + K_p), jnp.float32),
+            pltpu.VMEM((8, Lin, W_ph), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x_pad, jnp.asarray(W_pad))
+    )(x_ph, jnp.asarray(W_pad))
 
     return out[:B, :n_out]
 
