@@ -260,7 +260,20 @@ def corr_at_indices(inds, x, nfft: int, norm: bool = True, out=None, *, backend:
             raise ValueError('the pallas backend requires contiguous index rows')
         from ..ops.pallas.corr_pallas import corr_at_indices_pallas
 
-        result = corr_at_indices_pallas(starts, jnp.asarray(x), int(nfft), int(ncp), bool(norm))
+        try:
+            result = corr_at_indices_pallas(
+                starts, jnp.asarray(x), int(nfft), int(ncp), bool(norm)
+            )
+        except Exception as err:  # pragma: no cover - backend-specific
+            import warnings
+
+            warnings.warn(
+                f'pallas corr kernel unavailable on this backend '
+                f'({err!r:.120}); falling back to the XLA formulation'
+            )
+            result = _corr_at_indices_structured(
+                starts, x, int(nfft), int(ncp), bool(norm)
+            )
     elif backend != 'xla':
         raise ValueError(f"backend must be 'xla' or 'pallas', not {backend!r}")
     elif structured:

@@ -175,12 +175,22 @@ def upfirdn(
     if backend == 'pallas':
         from .pallas.upfirdn_pallas import upfirdn_pallas
 
-        if axis not in (-1, x.ndim - 1):
-            x_moved = jnp.moveaxis(x, axis, -1)
-            y = upfirdn_pallas(h, x_moved, up, down)
-            return jnp.moveaxis(y, -1, axis)
-        return upfirdn_pallas(h, x, up, down)
-    if backend != 'xla':
+        try:
+            if axis not in (-1, x.ndim - 1):
+                x_moved = jnp.moveaxis(x, axis, -1)
+                y = upfirdn_pallas(h, x_moved, up, down)
+                return jnp.moveaxis(y, -1, axis)
+            return upfirdn_pallas(h, x, up, down)
+        except Exception as err:  # pragma: no cover - backend-specific
+            # some TPU attachments (e.g. remote-compile tunnels) support
+            # only a Mosaic subset; production path is the XLA conv anyway
+            import warnings
+
+            warnings.warn(
+                f'pallas upfirdn unavailable on this backend ({err!r:.120}); '
+                'falling back to the XLA conv path'
+            )
+    elif backend != 'xla':
         raise ValueError(f"backend must be 'xla' or 'pallas', not {backend!r}")
 
     return _upfirdn_jax(h, x, up, down, axis, precision)
