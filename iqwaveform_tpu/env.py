@@ -22,24 +22,25 @@ _captions = {}
 from matplotlib.backends import backend_svg  # noqa: E402
 
 
-def _guess_title(fig):
-    """figure suptitle, else the last axes title, else 'untitled'
-    (reference env.py:24-34)."""
-    if fig._suptitle is not None:
-        return fig._suptitle.get_text()
-
-    for ax in fig.get_axes()[::-1]:
-        title_ = ax.get_title()
-        if title_:
-            return title_
-    return 'untitled'
-
-
-def _title_to_label(title_):
-    """replace runs of non-alphanumeric characters with '-'."""
+def _figure_label(fig) -> str:
+    """slugified figure title: the suptitle, else the last axes title,
+    else 'untitled' (reference env.py:24-40)."""
     import re
 
-    return re.compile(r'[\W_]+').sub('-', title_).lower()
+    candidates = []
+    if fig._suptitle is not None:
+        candidates.append(fig._suptitle.get_text())
+    candidates.extend(ax.get_title() for ax in fig.get_axes()[::-1])
+    title = next((t for t in candidates if t), 'untitled')
+
+    return re.sub(r'[\W_]+', '-', title).lower()
+
+
+def _title_metadata(fig) -> str:
+    """'label##caption' metadata string for image exports."""
+    label = _figure_label(fig)
+    caption = _captions.get(id(fig), '')
+    return f'{label}##{caption}' if caption else label
 
 
 @functools.wraps(backend_svg.FigureCanvasSVG.print_svg)
@@ -47,10 +48,7 @@ def print_svg(self, *a, **k):
     """inject 'Title' metadata (label##caption) into SVG exports
     (reference env.py:20-48)."""
     k = dict(k)
-    label = _title_to_label(_guess_title(self.figure))
-    caption_text = _captions.get(id(self.figure), '')
-    title_ = f'{label}##{caption_text}' if caption_text else label
-    k.setdefault('metadata', {})['Title'] = title_
+    k.setdefault('metadata', {})['Title'] = _title_metadata(self.figure)
 
     return backend_svg.FigureCanvasSVG._print_svg(self, *a, **k)
 
@@ -79,17 +77,11 @@ def set_matplotlib_formats(formats, *args, **kws):
 
     @functools.wraps(pylabtools.print_figure)
     def wrapper(fig, fmt='png', *a, **k):
-        k = dict(k)
-        label = _title_to_label(_guess_title(fig))
-        caption_text = _captions.get(id(fig), '')
+        ret = pylabtools._print_figure(fig, fmt=fmt, *a, **dict(k))
 
-        ret = pylabtools._print_figure(fig, fmt=fmt, *a, **k)
-
-        markup = (
-            f'<tt>{label}.{fmt}:</tt>'
-            f'{"<br>" + caption_text if caption_text else " (no caption data)"}'
-        )
-        display(HTML(markup))
+        caption = _captions.get(id(fig), '')
+        suffix = f'<br>{caption}' if caption else ' (no caption data)'
+        display(HTML(f'<tt>{_figure_label(fig)}.{fmt}:</tt>{suffix}'))
 
         return ret
 

@@ -472,6 +472,50 @@ def _get_cmap(name):
     return mpl.pyplot.get_cmap(name)
 
 
+def _draw_spectrogram(spg, Ts, *, ax, vmin, vmax, cmap, transpose,
+                      colorbar, rasterized):
+    """shared renderer behind the two public spectrogram heatmap entry
+    points (reference figures.py:461-583)."""
+    from matplotlib import pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots()
+    if cmap is None:
+        cmap = _get_cmap('magma')
+
+    axis_kws = dict(
+        xlabel='Time elapsed (s)',
+        ylabel='Baseband Frequency',
+        y_unit='Hz',
+    )
+    data = spg.T
+    if transpose:
+        axis_kws = dict(
+            ylabel='Time elapsed (s)',
+            xlabel='Baseband Frequency',
+            x_unit='Hz',
+        )
+        data = spg
+
+    c = pcolormesh_df(
+        powtodB(data),
+        ax=ax,
+        cmap=cmap,
+        vmin=vmin,
+        vmax=vmax,
+        rasterized=rasterized,
+        **axis_kws,
+    )
+
+    if colorbar:
+        freq_res = 1 / Ts / spg.shape[1]
+        plt.colorbar(
+            c, ax=ax, label=f'Bin power (dBm/{_freq_res_label(freq_res)})'
+        )
+
+    return ax
+
+
 def plot_spectrogram_heatmap_from_iq(
     iq,
     window,
@@ -484,41 +528,20 @@ def plot_spectrogram_heatmap_from_iq(
     """spectrogram heatmap computed from an IQ waveform
     (reference figures.py:461-515). Creates axes when ax is None and
     returns them (the reference returns the None it was given)."""
-    from matplotlib import pyplot as plt
-
-    if ax is None:
-        _, ax = plt.subplots()
-
-    index_span = (
-        None if time_span[0] is None else int(np.rint(time_span[0] / Ts)),
-        None if time_span[1] is None else int(np.rint(time_span[1] / Ts)),
+    lo, hi = (
+        None if bound is None else int(np.rint(bound / Ts)) for bound in time_span
     )
-
-    iq = iq[index_span[0] : index_span[1]]
+    iq = iq[lo:hi]
 
     window = np.asarray(window)
     spg = iq_to_stft_spectrogram(
         iq, window=window, nfft=window.size, Ts=Ts, overlap=True
     )
 
-    if cmap is None:
-        cmap = _get_cmap('magma')
-
-    c = pcolormesh_df(
-        powtodB(spg.T),
-        xlabel='Time elapsed (s)',
-        ylabel='Baseband Frequency',
-        y_unit='Hz',
-        ax=ax,
-        cmap=cmap,
-        vmin=vmin,
+    ax = _draw_spectrogram(
+        spg, Ts, ax=ax, vmin=vmin, vmax=None, cmap=cmap, transpose=False,
+        colorbar=True, rasterized=True,
     )
-
-    freq_res = 1 / Ts / window.size
-    plt.colorbar(
-        c, ax=ax, label=f'Bin power (dBm/{_freq_res_label(freq_res)})'
-    )
-
     return ax, spg
 
 
@@ -537,46 +560,10 @@ def plot_spectrogram_heatmap(
     """heatmap of a precomputed spectrogram DataFrame
     (reference figures.py:518-583). Creates axes when ax is None and
     returns them (the reference returns the None it was given)."""
-    from matplotlib import pyplot as plt
-
-    if ax is None:
-        _, ax = plt.subplots()
-
-    if cmap is None:
-        cmap = _get_cmap('magma')
-
-    if transpose:
-        c = pcolormesh_df(
-            powtodB(spg),
-            ylabel='Time elapsed (s)',
-            xlabel='Baseband Frequency',
-            x_unit='Hz',
-            ax=ax,
-            cmap=cmap,
-            vmin=vmin,
-            vmax=vmax,
-            rasterized=rasterized,
-        )
-    else:
-        c = pcolormesh_df(
-            powtodB(spg.T),
-            xlabel='Time elapsed (s)',
-            ylabel='Baseband Frequency',
-            y_unit='Hz',
-            ax=ax,
-            cmap=cmap,
-            vmin=vmin,
-            vmax=vmax,
-            rasterized=rasterized,
-        )
-
-    freq_res = 1 / Ts / spg.shape[1]
-
-    if colorbar:
-        plt.colorbar(
-            c, ax=ax, label=f'Bin power (dBm/{_freq_res_label(freq_res)})'
-        )
-
+    ax = _draw_spectrogram(
+        spg, Ts, ax=ax, vmin=vmin, vmax=vmax, cmap=cmap, transpose=transpose,
+        colorbar=colorbar, rasterized=rasterized,
+    )
     return ax, spg
 
 

@@ -37,45 +37,49 @@ __all__ = [
 ]
 
 
+# NTIA sensor annotation fields -> (output key, value transform)
+_NTIA_CAL_FIELDS = {
+    'ntia-sensor:temperature': ('ambient temperature (K)', lambda c: c + 273.15),
+    'ntia-sensor:noise_figure_sensor': ('noise figure (dB)', lambda v: v),
+    'ntia-sensor:gain_preselector': ('gain (dB)', lambda v: v),
+}
+
+
 def extract_ntia_calibration_metadata(metadata: dict) -> dict:
-    """(reference io.py:13-32)"""
-    temp_K = None
-    noise_fig_dB = None
-    gain_dB = None
+    """pull calibration values from an NTIA CalibrationAnnotation
+    (reference io.py:13-32)."""
+    cal = {key: None for key, _ in _NTIA_CAL_FIELDS.values()}
 
-    for a in metadata['annotations']:
-        if a['ntia-core:annotation_type'] == 'CalibrationAnnotation':
-            temp_K = a['ntia-sensor:temperature'] + 273.15  # C to K
-            noise_fig_dB = a['ntia-sensor:noise_figure_sensor']
-            gain_dB = a['ntia-sensor:gain_preselector']
-            break
-    else:
-        gain_dB = None
+    annotations = (
+        a
+        for a in metadata['annotations']
+        if a['ntia-core:annotation_type'] == 'CalibrationAnnotation'
+    )
+    for annotation in annotations:
+        for field, (key, convert) in _NTIA_CAL_FIELDS.items():
+            cal[key] = convert(annotation[field])
+        break
 
-    return {
-        'ambient temperature (K)': temp_K,
-        'noise figure (dB)': noise_fig_dB,
-        'gain (dB)': gain_dB,
-    }
+    return cal
 
 
 def read_sigmf_metadata(metadata_fn, ntia=False):
     """read capture table + sample rate (+ NTIA calibration) from SigMF
     metadata (reference io.py:35-55)."""
-    with open(metadata_fn, 'r') as fd:
-        metadata = json.load(fd)
+    metadata = json.loads(Path(metadata_fn).read_text())
 
-    df = pd.DataFrame(metadata['captures'])
-    df.columns = [n.replace('core:', '') for n in df.columns]
+    # {sample_start: value} maps for each capture field
+    def by_start(field):
+        return {
+            c['core:sample_start']: c[f'core:{field}']
+            for c in metadata['captures']
+        }
 
-    if ntia:
-        cal = extract_ntia_calibration_metadata(metadata)
-    else:
-        cal = {}
+    cal = extract_ntia_calibration_metadata(metadata) if ntia else {}
 
     return (
-        dict(df.set_index('sample_start').frequency),
-        dict(df.set_index('sample_start').datetime),
+        by_start('frequency'),
+        by_start('datetime'),
         metadata['global']['core:sample_rate'],
         cal,
     )

@@ -118,6 +118,13 @@ def to_blocks(y, size, truncate=False):
     return y[..., :new_size].reshape(new_shape)
 
 
+def _whole_ratio(value, quantum, message: str) -> int:
+    """round value/quantum to an int, raising ``message`` when not whole."""
+    if not isroundmod(value, quantum):
+        raise ValueError(message)
+    return round(value / quantum)
+
+
 def _index_or_all(x, name, size, xp=np):
     """(reference ofdm.py:79-94)"""
     if isinstance(x, str) and x == 'all':
@@ -301,47 +308,49 @@ class SyncParams(typing.NamedTuple):
     symbol_indexes: list
 
 
+_SYNC_SEQ_LEN = 127  # occupied subcarriers of the PSS/SSS M-sequences
+
+
+@lru_cache()
+def _bpsk_lfsr(tap_a: int, tap_b: int, seed: tuple) -> np.ndarray:
+    """BPSK-mapped length-127 LFSR sequence: reg[i] = reg[i-a] ^ reg[i-b],
+    returned as +/-1 values (3GPP TS 38.211 §7.4.2)."""
+    reg = np.zeros(_SYNC_SEQ_LEN, dtype=np.int8)
+    reg[: len(seed)] = seed
+    for i in range(len(seed), _SYNC_SEQ_LEN):
+        reg[i] = reg[i - tap_a] ^ reg[i - tap_b]
+    return (1 - 2 * reg).astype(np.int32)
+
+
 def _pss_m_sequence(N_id2: int) -> list:
     """M-sequence of the 5G-NR primary synchronization signal
-    (reference ofdm.py:133-151; 3GPP TS 38.211 §7.4.2.2).
+    (reference ofdm.py:133-151; 3GPP TS 38.211 §7.4.2.2): the base LFSR
+    (taps 3,7; seed 0110111) cyclically shifted by 43*N_id2.
 
     Args:
         N_id2: one of (0,1,2), the sector portion of the cell ID
     """
-    x = [0, 1, 1, 0, 1, 1, 1]
-
-    for i in range(7, 127):
-        x.append((x[i - 3] + x[i - 7]) % 2)
-
-    m = [(n + 43 * N_id2) % 127 for n in range(127)]
-
-    return [(1 - 2 * x[_m]) for _m in m]
+    base = _bpsk_lfsr(3, 7, (0, 1, 1, 0, 1, 1, 1))
+    return list(np.roll(base, -43 * N_id2))
 
 
 def _sss_m_sequence(N_id: int) -> list:
     """M-sequence of the 5G-NR secondary synchronization signal
-    (reference ofdm.py:154-188; 3GPP TS 38.211 §7.4.2.3).
+    (reference ofdm.py:154-188; 3GPP TS 38.211 §7.4.2.3): the product of
+    two shifted LFSR sequences keyed by the cell identity.
 
     Args:
         N_id: the cell ID in range(1008)
     """
-    x_0 = [1, 0, 0, 0, 0, 0, 0]
-    x_1 = [1, 0, 0, 0, 0, 0, 0]
+    n_id1, n_id2 = divmod(N_id, 3)
 
-    N_id_1 = N_id // 3
-    N_id_2 = N_id % 3
+    shift_0 = 15 * (n_id1 // 112) + 5 * n_id2
+    shift_1 = n_id1 % 112
 
-    for i in range(7, 127):
-        x_0.append((x_0[i - 3] + x_0[i - 7]) % 2)
-        x_1.append((x_1[i - 6] + x_1[i - 7]) % 2)
+    seq_0 = np.roll(_bpsk_lfsr(3, 7, (1, 0, 0, 0, 0, 0, 0)), -shift_0)
+    seq_1 = np.roll(_bpsk_lfsr(6, 7, (1, 0, 0, 0, 0, 0, 0)), -shift_1)
 
-    m_0 = 15 * (N_id_1 // 112) + 5 * N_id_2
-    m_1 = N_id_1 % 112
-
-    return [
-        (1 - 2 * x_0[(n + m_0) % 127]) * (1 - 2 * x_1[(n + m_1) % 127])
-        for n in range(127)
-    ]
+    return list(seq_0 * seq_1)
 
 
 def _generate_5g_nr_sync_sequence(
@@ -361,24 +370,23 @@ def _generate_5g_nr_sync_sequence(
 
     if not isroundmod(subcarrier_spacing, 15e3):
         raise ValueError('subcarrier_spacing must be a multiple of 15000')
-
-    min_sample_rate = SC_COUNT * subcarrier_spacing
-    if sample_rate < min_sample_rate:
-        raise ValueError(f'sample_rate must be at least {min_sample_rate} S/s')
-
-    if isroundmod(sample_rate, subcarrier_spacing):
-        size_out = round(sample_rate / subcarrier_spacing)
-    else:
-        raise ValueError('sample_rate must be a multiple of subcarrier spacing')
-
-    if center_frequency == 0:
-        frequency_offset = 0
-    elif isroundmod(center_frequency, subcarrier_spacing):
-        frequency_offset = round(center_frequency / subcarrier_spacing)
-    else:
+    if sample_rate < SC_COUNT * subcarrier_spacing:
         raise ValueError(
-            'center_frequency must be a whole multiple of subcarrier_spacing'
+            f'sample_rate must be at least {SC_COUNT * subcarrier_spacing} S/s'
         )
+
+    size_out = _whole_ratio(
+        sample_rate, subcarrier_spacing,
+        'sample_rate must be a multiple of subcarrier spacing',
+    )
+    frequency_offset = (
+        0
+        if center_frequency == 0
+        else _whole_ratio(
+            center_frequency, subcarrier_spacing,
+            'center_frequency must be a whole multiple of subcarrier_spacing',
+        )
+    )
 
     if size_out == SC_COUNT and frequency_offset == 0:
         pad_lo = 0
@@ -413,60 +421,64 @@ def _generate_5g_nr_sync_sequence(
     return xp.asarray(seq_time)
 
 
-@lru_cache()
-def pss_5g_nr(
-    sample_rate: float,
-    subcarrier_spacing: float,
-    center_frequency=0,
-    pad_cp=True,
-    *,
-    xp=np,
-    dtype='complex64',
-):
+def _sync_sequence_bank(seq_func, max_id: int, doc: str):
+    """factory for the cached PSS/SSS bank generators
+    (reference ofdm.py:261-330)."""
+
+    @lru_cache()
+    def bank(
+        sample_rate: float,
+        subcarrier_spacing: float,
+        center_frequency=0,
+        pad_cp=True,
+        *,
+        xp=np,
+        dtype='complex64',
+    ):
+        return _generate_5g_nr_sync_sequence(
+            seq_func=seq_func,
+            max_id=max_id,
+            sample_rate=sample_rate,
+            subcarrier_spacing=subcarrier_spacing,
+            center_frequency=center_frequency,
+            pad_cp=pad_cp,
+            xp=xp,
+            dtype=dtype,
+        )
+
+    bank.__doc__ = doc
+    return bank
+
+
+pss_5g_nr = _sync_sequence_bank(
+    _pss_m_sequence,
+    2,
     """PSS correlation sequences at the given sample rate, one per N_id2
-    (reference ofdm.py:261-294).
+    (reference ofdm.py:261-294). Convolve against an IQ waveform of the
+    same rate for a synchronization correlation sequence.
+
+    Args:
+        sample_rate: output rate (S/s), a multiple of subcarrier_spacing
+            and at least 127*subcarrier_spacing
+        subcarrier_spacing: subcarrier spacing (Hz), a multiple of 15e3
 
     Returns:
         array with dimensions (N_id2 index, PSS sample index)
-    """
-    return _generate_5g_nr_sync_sequence(
-        seq_func=_pss_m_sequence,
-        max_id=2,
-        sample_rate=sample_rate,
-        subcarrier_spacing=subcarrier_spacing,
-        center_frequency=center_frequency,
-        pad_cp=pad_cp,
-        xp=xp,
-        dtype=dtype,
-    )
+    """,
+)
+pss_5g_nr.__name__ = 'pss_5g_nr'
 
-
-@lru_cache()
-def sss_5g_nr(
-    sample_rate: float,
-    subcarrier_spacing: float,
-    center_frequency=0,
-    pad_cp=True,
-    *,
-    xp=np,
-    dtype='complex64',
-):
+sss_5g_nr = _sync_sequence_bank(
+    _sss_m_sequence,
+    1007,
     """SSS correlation sequences at the given sample rate, one per cell ID
     (reference ofdm.py:297-330).
 
     Returns:
         array with dimensions (cell ID index, sync sample index)
-    """
-    return _generate_5g_nr_sync_sequence(
-        seq_func=_sss_m_sequence,
-        max_id=1007,
-        sample_rate=sample_rate,
-        subcarrier_spacing=subcarrier_spacing,
-        center_frequency=center_frequency,
-        pad_cp=pad_cp,
-        xp=xp,
-        dtype=dtype,
-    )
+    """,
+)
+sss_5g_nr.__name__ = 'sss_5g_nr'
 
 
 @lru_cache()
@@ -489,50 +501,40 @@ def pss_params(
             f'sample_rate must be a multiple of {128 * subcarrier_spacing}'
         )
 
-    if np.isclose(subcarrier_spacing, 15e3):
-        # Case A
-        offsets = [2, 8]
-        mult = 14
-        if shared_spectrum:
-            nrange = range(5)
-        else:
-            # below 3 GHz (1.88 GHz unpaired), the upper cases are unused
-            nrange = range(4)
-    elif np.isclose(subcarrier_spacing, 30e3):
-        # treated as "Case C" (reference ofdm.py:378-387; Case B TODO there)
-        offsets = [2, 8]
-        mult = 14
-        if shared_spectrum:
-            nrange = range(10)
-        else:
-            nrange = range(4)
+    # SSB burst patterns per TS 38.213 §4.1: {scs: (case, offsets, stride,
+    # n below 3 GHz, n with shared spectrum)}. 30 kHz is treated as Case C
+    # (reference ofdm.py:378-387; Case B is a TODO there too).
+    ssb_cases = {
+        15e3: ('A', (2, 8), 14, 4, 5),
+        30e3: ('C', (2, 8), 14, 4, 10),
+    }
+    for scs, params in ssb_cases.items():
+        if np.isclose(subcarrier_spacing, scs):
+            _, offsets, stride, n_low, n_shared = params
+            break
     else:
         raise ValueError(
             'only 15 kHz and 30 kHz SCS (Case A, C) are currently supported (Case A,B,C)'
         )
 
-    symbol_indexes = []
-    for n in nrange:
-        for offset in offsets:
-            symbol_indexes.append(offset + mult * n)
+    n_count = n_shared if shared_spectrum else n_low
+    symbol_indexes = [
+        offset + stride * n for n in range(n_count) for offset in offsets
+    ]
 
     slot_count = ceil(symbol_indexes[-1] / 14)
-    slot_duration = 10e-3 / (10 * subcarrier_spacing / 15e3)
-    duration = slot_count * slot_duration
-    corr_size = round(duration * sample_rate)
+    duration = slot_count * 10e-3 / (10 * subcarrier_spacing / 15e3)
 
-    if isroundmod(discovery_periodicity, 10e-3):
-        frames_per_sync = round(discovery_periodicity / 10e-3)
-    else:
-        raise ValueError('discovery_periodicity must be a multiple of 10e-3')
-
-    cp_samples = round(9 / 128 * sample_rate / subcarrier_spacing)
+    frames_per_sync = _whole_ratio(
+        discovery_periodicity, 10e-3,
+        'discovery_periodicity must be a multiple of 10e-3',
+    )
 
     return SyncParams(
-        cp_samples=cp_samples,
+        cp_samples=round(9 / 128 * sample_rate / subcarrier_spacing),
         frame_size=frame_size,
         slot_count=slot_count,
-        corr_size=corr_size,
+        corr_size=round(duration * sample_rate),
         frames_per_sync=frames_per_sync,
         symbol_indexes=symbol_indexes,
         duration=duration,
@@ -653,6 +655,22 @@ class PhyOFDM:
     def index_cyclic_prefix(self):
         raise NotImplementedError
 
+    def _cp_index_grid(self, offset_axes) -> np.ndarray:
+        """broadcast-sum a list of 1-D offset axes plus the cp-sample axis
+        into the correlation index tensor (shared by the per-standard
+        index_cyclic_prefix builders; reference ofdm.py:617-640, 776-795).
+        """
+        axes = [np.atleast_1d(np.squeeze(np.asarray(ax))) for ax in offset_axes]
+        axes.append(np.arange(int(self.cp_sizes[1])))
+        axes = [ax for ax in axes if ax.size > 1 or len(axes) <= 2]
+
+        total = np.zeros((1,) * len(axes), dtype=int)
+        for dim, ax in enumerate(axes):
+            shape = [1] * len(axes)
+            shape[dim] = ax.size
+            total = total + ax.reshape(shape)
+        return total
+
 
 class Phy3GPP(PhyOFDM):
     """Sampling and index parameters and lookup tables for 3GPP 5G-NR
@@ -744,24 +762,11 @@ class Phy3GPP(PhyOFDM):
             symbols, '"symbols" argument', size=self.FFT_PER_SLOT, xp=np
         )
 
-        grid = []
-        # axis 0: symbol number within each slot
-        grid.append(self.cp_start_idx[symbols])
-        # axis 1: slot number
-        grid.append(self.contiguous_size * slots)
-        # axis 2: frame number
-        grid.append(frames * frame_size)
-        # axis 3: cp sample index
-        grid.append(np.arange(int(self.cp_sizes[1])))
-
-        grid = [np.atleast_1d(np.squeeze(g)) for g in grid if np.size(g) > 1]
-        inds, *offsets = np.meshgrid(*grid, indexing='ij', copy=False)
-
-        inds = inds.copy()
-        for offset in offsets:
-            inds = inds + offset
-
-        return inds
+        return self._cp_index_grid([
+            self.cp_start_idx[symbols],  # symbol number within each slot
+            self.contiguous_size * slots,  # slot number
+            frames * frame_size,  # frame number
+        ])
 
 
 class Phy802_16(PhyOFDM):
@@ -813,33 +818,33 @@ class Phy802_16(PhyOFDM):
         """
         if not isinstance(channel_bandwidth, Number):
             raise TypeError('expected numeric value for channel_bandwidth')
-        elif channel_bandwidth < 1.25e6:
-            raise ValueError(
-                'standardized values for channel_bandwidth not supported yet'
-            )
-        elif not np.isclose(channel_bandwidth % 125e3, 0, atol=1e-6):
-            raise ValueError('channel bandwidth must be set in increments of 125 kHz')
 
-        if nfft not in self.VALID_FFT_SIZES:
-            raise ValueError(f'nfft must be one of {self.VALID_FFT_SIZES}')
+        checks = (
+            (channel_bandwidth >= 1.25e6,
+             'standardized values for channel_bandwidth not supported yet'),
+            (np.isclose(channel_bandwidth % 125e3, 0, atol=1e-6),
+             'channel bandwidth must be set in increments of 125 kHz'),
+            (nfft in self.VALID_FFT_SIZES,
+             f'nfft must be one of {self.VALID_FFT_SIZES}'),
+            (cp_ratio in self.VALID_CP_RATIOS,
+             f'cp_ratio must be one of {self.VALID_CP_RATIOS}'),
+            (frame_duration in self.VALID_FRAME_DURATIONS,
+             f'frame_duration must be one of {self.VALID_FRAME_DURATIONS}'),
+        )
+        for ok, message in checks:
+            if not ok:
+                raise ValueError(message)
+        self.cp_ratio = cp_ratio
 
-        if cp_ratio in self.VALID_CP_RATIOS:
-            self.cp_ratio = cp_ratio
-        else:
-            raise ValueError(f'cp_ratio must be one of {self.VALID_CP_RATIOS}')
-
-        if frame_duration not in self.VALID_FRAME_DURATIONS:
-            raise ValueError(
-                f'frame_duration must be one of {self.VALID_FRAME_DURATIONS}'
-            )
-
-        for freq_divisor, n in self.SAMPLING_FACTOR_BY_FREQUENCY_DIV.items():
-            if np.isclose(channel_bandwidth % freq_divisor, 0, atol=1e-6):
-                sampling_factor = self.sampling_factor = n
-                break
-        else:
-            # no table match: standardized default
-            sampling_factor = self.sampling_factor = 8 / 7
+        sampling_factor = next(
+            (
+                n
+                for div, n in self.SAMPLING_FACTOR_BY_FREQUENCY_DIV.items()
+                if np.isclose(channel_bandwidth % div, 0, atol=1e-6)
+            ),
+            8 / 7,  # no table match: standardized default
+        )
+        self.sampling_factor = sampling_factor
 
         std_sample_rate = np.floor(sampling_factor * channel_bandwidth / 8000) * 8000
         cp_size = int(np.rint(cp_ratio * nfft))
@@ -887,19 +892,10 @@ class Phy802_16(PhyOFDM):
             symbols, '"symbols" argument', size=self.symbols_per_frame, xp=np
         )
 
-        grid = [
+        return self._cp_index_grid([
             self.cp_start_idx[symbols],  # symbol number in each frame
             frames * self.frame_size,  # frame number
-            np.arange(int(self.cp_sizes[1])),  # cp sample index
-        ]
-
-        a = np.meshgrid(*grid, indexing='ij', copy=False)
-
-        inds = a[0].copy()
-        for sub in a[1:]:
-            inds = inds + sub
-
-        return inds
+        ])
 
 
 empty_complex64 = np.zeros(0, dtype=np.complex64)

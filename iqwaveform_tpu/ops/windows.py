@@ -4,8 +4,13 @@ Feature parity: reference windows.py:1-123 (knab, modified_bessel, cosh,
 acg, register_extra_windows).
 
 These are host-side design functions: they run in float64 numpy at trace
-time and their outputs become compile-time constants in jitted pipelines,
-exactly like the reference (whose windows are host numpy fed to cupy).
+time and their outputs become compile-time constants in jitted pipelines.
+The knab/cosh/modified-Bessel windows all share the confined-window form
+
+    w(t) = f(pi*alpha*sqrt(1 - (2t)^2)) / (f(pi*alpha) * sqrt(1 - (2t)^2))
+
+for t in [-1/2, 1/2] with a window-specific kernel f and endpoint limit;
+they are generated here from one parameterized template.
 """
 
 from __future__ import annotations
@@ -20,88 +25,66 @@ signal = lazy_import('scipy.signal')
 __all__ = ['acg', 'cosh', 'knab', 'modified_bessel', 'register_extra_windows']
 
 
-def _len_guards(M):
-    """Handle small or incorrect window lengths (reference windows.py:10-14)."""
+def _check_length(M) -> bool:
+    """True when the trivial all-ones window should be returned."""
     if int(M) != M or M < 0:
         raise ValueError('Window length M must be a non-negative integer')
     return M <= 1
 
 
-def _extend(M, sym):
-    """Extend window by 1 sample if needed for DFT-even symmetry
-    (reference windows.py:17-22)."""
-    if not sym:
-        return M + 1, True
-    else:
-        return M, False
+def _dft_even_size(M: int, sym: bool):
+    """periodic windows are built one sample longer and truncated."""
+    return (M + 1, True) if not sym else (M, False)
 
 
-def _truncate(w, needed):
-    """(reference windows.py:25-30)"""
-    if needed:
-        return w[:-1]
-    else:
-        return w
+def _confined_family(kernel, endpoint_rule):
+    """build a confined-window function from its kernel f and endpoint
+    limit rule (see module docstring)."""
+
+    def window(M: int, alpha, sym=True) -> np.ndarray:
+        if _check_length(M):
+            return np.ones(M)
+        n, truncate = _dft_even_size(M, sym)
+
+        t = np.linspace(-0.5, 0.5, n)
+        root = np.sqrt(1.0 - (2.0 * t) ** 2)
+
+        with np.errstate(divide='ignore', invalid='ignore'):
+            w = kernel(np.pi * alpha * root) / (kernel(np.pi * alpha) * root)
+
+        # the t = +/-1/2 endpoints are 0/0 limits with window-specific values
+        w[0] = w[-1] = endpoint_rule(alpha)
+
+        # unit-energy normalization (reference windows.py:44,63,80)
+        w = w / np.sqrt(np.sum(w**2))
+
+        return w[:-1] if truncate else w
+
+    return window
 
 
-def knab(M: int, alpha, sym=True) -> np.ndarray:
-    """Knab window (reference windows.py:33-46): sinh-based window with
-    endpoint limit pi*alpha/sinh(pi*alpha), normalized to unit energy."""
-    if _len_guards(M):
-        return np.ones(M)
-    M, needs_trunc = _extend(M, sym)
+# knab: f = sinh, endpoint lim = pi*alpha/sinh(pi*alpha)
+# (reference windows.py:33-46)
+knab = _confined_family(np.sinh, lambda a: np.pi * a / np.sinh(np.pi * a))
+knab.__name__ = 'knab'
+knab.__doc__ = """Knab window (reference windows.py:33-46)."""
 
-    t = np.linspace(-0.5, 0.5, M)
+# cosh family: endpoint lim = 1/cosh(pi*alpha) (reference windows.py:68-82)
+cosh = _confined_family(np.cosh, lambda a: 1.0 / np.cosh(np.pi * a))
+cosh.__name__ = 'cosh'
+cosh.__doc__ = """cosh window (reference windows.py:68-82)."""
 
-    sqrt_term = np.sqrt(1 - (2 * t) ** 2)
-    w = np.sinh((np.pi * alpha) * sqrt_term) / (np.sinh(np.pi * alpha) * sqrt_term)
-
-    w[0] = w[-1] = np.pi * alpha / np.sinh(np.pi * alpha)
-    w /= np.sqrt(np.sum(w**2))
-
-    return _truncate(w, needs_trunc)
-
-
-def modified_bessel(M, alpha, sym=True):
+# modified Bessel: f = I1, endpoints defined as 0 (reference windows.py:49-65)
+modified_bessel = _confined_family(lambda v: special.i1(v), lambda a: 0.0)
+modified_bessel.__name__ = 'modified_bessel'
+modified_bessel.__doc__ = (
     """Modified-Bessel window (reference windows.py:49-65)."""
-    if _len_guards(M):
-        return np.ones(M)
-    M, needs_trunc = _extend(M, sym)
-
-    t = np.linspace(-0.5, 0.5, M)
-
-    sqrt_term = np.sqrt(1 - (2 * t) ** 2)
-    w = special.i1((np.pi * alpha) * sqrt_term) / (
-        special.i1(np.pi * alpha) * sqrt_term
-    )
-
-    w[0] = w[-1] = 0
-
-    w /= np.sqrt(np.sum(w**2))
-
-    return _truncate(w, needs_trunc)
-
-
-def cosh(M: int, alpha, sym=True) -> np.ndarray:
-    """cosh window (reference windows.py:68-82)."""
-    if _len_guards(M):
-        return np.ones(M)
-    M, needs_trunc = _extend(M, sym)
-
-    t = np.linspace(-0.5, 0.5, M)
-
-    sqrt_term = np.sqrt(1 - (2 * t) ** 2)
-    w = np.cosh((np.pi * alpha) * sqrt_term) / (np.cosh(np.pi * alpha) * sqrt_term)
-
-    w[0] = w[-1] = 1 / np.cosh(np.pi * alpha)
-
-    w /= np.sqrt(np.sum(w**2))
-
-    return _truncate(w, needs_trunc)
+)
 
 
 def acg(M: int, sigma_t: float, sym=True, dtype='float64'):
-    """approximate confined gaussian window (reference windows.py:85-112).
+    """approximate confined gaussian window (reference windows.py:85-112),
+    a close approximation of the Slepian window.
 
     Args:
         M: window size, in samples
@@ -112,20 +95,20 @@ def acg(M: int, sigma_t: float, sym=True, dtype='float64'):
         bandwidth for given RMS temporal width," Signal Processing Vol. 102,
         Sept. 2014, pp. 240-246.
     """
-    if _len_guards(M):
+    if _check_length(M):
         return np.ones(M)
 
-    M, needs_trunc = _extend(M, sym)
+    n, truncate = _dft_even_size(M, sym)
 
-    def G(k, sigma_t=sigma_t):
-        inner = (k - (M - 1) / 2) / (2 * M * sigma_t)
-        return np.exp(-(inner**2))
+    def gaussian(k):
+        return np.exp(-(((k - (n - 1) / 2) / (2 * n * sigma_t)) ** 2))
 
-    k = np.arange(M, dtype=dtype)
-    w = G(k) - G(-0.5) * (G(k + M) + G(k - M)) / (G(-0.5 + M) + G(-0.5 - M))
-    w /= w.max()
+    k = np.arange(n, dtype=dtype)
+    correction = gaussian(-0.5) / (gaussian(-0.5 + n) + gaussian(-0.5 - n))
+    w = gaussian(k) - correction * (gaussian(k + n) + gaussian(k - n))
+    w = w / w.max()
 
-    return _truncate(w, needs_trunc)
+    return w[:-1] if truncate else w
 
 
 _registered = False
@@ -166,8 +149,7 @@ def register_extra_windows():
 
     windows_mod = signal.windows._windows
     if hasattr(windows_mod, '_win_equiv'):
-        registry = windows_mod._win_equiv
-        registry.update(extras)
+        windows_mod._win_equiv.update(extras)
     elif hasattr(windows_mod, '_WIN_FUNCS'):
         for name, func in extras.items():
             windows_mod._WIN_FUNCS[name] = (_adapt_signature(func), True)
