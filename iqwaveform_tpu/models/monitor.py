@@ -217,6 +217,7 @@ class WidebandMonitor:
                     zero_lo=self._zero_lo,
                     zero_hi=self._zero_hi,
                     bounds_in=self._bounds_in,
+                    bounds_out=self._bounds_out,
                     precision=prec,
                 )
         elif d.fft_backend == 'xla':

@@ -1,7 +1,8 @@
 """DSP transforms: windows, FFT, STFT/ISTFT, filtering, power analysis."""
 
-from . import fft, filtering, power, resample_poly, spectral, stft, window_design, windows
+from . import fft, filtering, mxu_fft, power, resample_poly, spectral, stft, window_design, windows
 from .fft import fftfreq, get_max_fft_chunk, ifft, set_max_fft_chunk
+from .mxu_fft import fft_mxu, fused_ola_mxu, ifft_mxu
 from .fft import fft as fft_fn
 from .filtering import (
     ResamplerDesign,

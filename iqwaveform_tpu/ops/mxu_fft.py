@@ -113,26 +113,43 @@ def ifft_mxu(x, axis: int = -1, *, precision=jax.lax.Precision.HIGHEST):
 
 def fused_ola_supported(nfft: int, nfft_out: int, bounds_in, bounds_out) -> bool:
     """True when the fused factored-coordinate path applies: both sizes
-    share the leading factor a, the frequency trim slices whole k2 columns
-    (bounds multiples of a), and the output has no zero-fill margins."""
+    share the leading factor a and the effective full-width input window
+    (input bin that lands on output bin 0) is a-aligned.
+
+    Narrow passbands are supported by copying a full nfft_out-wide input
+    window and folding the output zero margins into the 2-D mask — the
+    margins are zeroed either way, so only the bin alignment matters."""
     try:
         a, b = plan_factors(nfft)
     except ValueError:
         return False
     if nfft_out > nfft or nfft_out % a != 0:
         return False
-    if tuple(bounds_out) != (0, nfft_out):
-        return False
-    lo, hi = bounds_in
-    return lo % a == 0 and hi % a == 0 and (hi - lo) == nfft_out
+    in_start = bounds_in[0] - bounds_out[0]
+    return (
+        in_start >= 0
+        and in_start + nfft_out <= nfft
+        and in_start % a == 0
+    )
 
 
 @lru_cache()
 def _fused_ola_constants(
-    nfft: int, nfft_out: int, zero_lo: int, zero_hi, lo: int, hi: int
+    nfft: int,
+    nfft_out: int,
+    zero_lo: int,
+    zero_hi,
+    in_lo: int,
+    in_hi: int,
+    out_lo: int,
 ):
     a, b = plan_factors(nfft)
     b2 = nfft_out // a
+
+    # full-width aligned input window: input bin in_start lands on output
+    # bin 0; bins outside [in_lo, in_hi) are masked to zero (the output's
+    # zero margins), so over-copying is harmless
+    in_start = in_lo - out_lo
 
     i1 = np.arange(a)
     i2 = np.arange(b)
@@ -140,15 +157,17 @@ def _fused_ola_constants(
     W = np.exp(-2j * np.pi * np.outer(i1, i2) / nfft).astype('complex64')
     # forward length-b DFT restricted to the kept k2 columns (the trim
     # fused into the matmul)
-    k2_kept = np.arange(lo // a, hi // a)
+    k2_kept = np.arange(in_start // a, (in_start + nfft_out) // a)
     Fb_kept = np.exp(-2j * np.pi * np.outer(i2, k2_kept) / b).astype('complex64')
 
-    # passband zero mask on the kept (k1, k2') grid: natural bin index
-    # k = k2*a + k1
+    # combined mask on the kept (k1, k2') grid: natural input bin index
+    # k = k2*a + k1 must lie in the passband AND in the copied range
     k1g, k2g = np.meshgrid(np.arange(a), k2_kept, indexing='ij')
     k_nat = k2g * a + k1g
     zhi = nfft if zero_hi is None else zero_hi
-    mask = ((k_nat >= zero_lo) & (k_nat < zhi)).astype('float32')
+    mask = (
+        (k_nat >= zero_lo) & (k_nat < zhi) & (k_nat >= in_lo) & (k_nat < in_hi)
+    ).astype('float32')
 
     # inverse constants for n' = nfft_out = a * b2, consumed directly in
     # factored (k1, k2') order
@@ -170,6 +189,7 @@ def fused_ola_mxu(
     zero_lo: int,
     zero_hi,
     bounds_in,
+    bounds_out=(0, None),
     precision=jax.lax.Precision.HIGHEST,
 ):
     """forward FFT -> passband zero -> frequency trim -> inverse FFT of a
@@ -185,9 +205,10 @@ def fused_ola_mxu(
     frames: (M, nfft) complex -> (M, nfft_out) complex time domain
     (without the ISTFT time-shift window, which the caller applies).
     """
-    lo, hi = bounds_in
+    in_lo, in_hi = bounds_in
     a, b, b2, Fa, W, Fb_kept, mask, Fb2_inv, Wp_conj, Fa_inv = _fused_ola_constants(
-        nfft, nfft_out, int(zero_lo), zero_hi, int(lo), int(hi)
+        nfft, nfft_out, int(zero_lo), zero_hi, int(in_lo), int(in_hi),
+        int(bounds_out[0]),
     )
 
     M = frames.shape[0]

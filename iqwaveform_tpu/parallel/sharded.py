@@ -369,6 +369,7 @@ def sharded_ola_filter(
                 zero_lo=zero_lo,
                 zero_hi=zero_hi,
                 bounds_in=bounds_in,
+                bounds_out=bounds_out,
             )
     elif fft_backend == 'xla':
         fft_fn, ifft_fn, fused_fn = jnp.fft.fft, jnp.fft.ifft, None
