@@ -180,6 +180,7 @@ def stft(
     overwrite_x=False,
     return_axis_arrays: bool = True,
     out=None,
+    fft_backend: str = 'xla',
 ):
     """short-time Fourier transform (reference fourier.py:927-1057).
 
@@ -194,6 +195,8 @@ def stft(
         axis: waveform axis
         truncate: allow truncation of x to whole fft blocks (noverlap==0)
         norm: None or 'power' (RMS-normalized window)
+        fft_backend: 'xla' or 'mxu' (four-step DFT matmuls, ops.mxu_fft;
+            much faster on TPU for composite sizes)
 
     Returns:
         (freqs, times, Y) or Y if return_axis_arrays is False. Frequencies
@@ -252,7 +255,7 @@ def stft(
         )
 
     # no fftshift needed since it was baked into the window
-    y = fft(xstack, axis=axis + 1)
+    y = fft(xstack, axis=axis + 1, backend=fft_backend)
 
     if not return_axis_arrays:
         return y
@@ -277,11 +280,12 @@ def istft(
     out=None,
     overwrite_x=False,
     axis: int = 0,
+    fft_backend: str = 'xla',
 ):
     """reconstruct a waveform from its STFT (reference fourier.py:1060-1104)."""
     xp = array_namespace(y)
 
-    xstack = ifft(y, axis=axis + 1)
+    xstack = ifft(y, axis=axis + 1, backend=fft_backend)
 
     # correct the fft shift in the time domain (host-cached window; see
     # the constant-embedding note in stft())
@@ -310,6 +314,7 @@ def spectrogram(
     axis: int = 0,
     truncate: bool = True,
     return_axis_arrays: bool = True,
+    fft_backend: str = 'xla',
 ):
     """power spectrogram, scaled so noise bandwidth equals the frequency
     resolution (reference fourier.py:1203-1233)."""
@@ -324,6 +329,7 @@ def spectrogram(
         truncate=truncate,
         norm='power',
         return_axis_arrays=return_axis_arrays,
+        fft_backend=fft_backend,
     )
 
     if return_axis_arrays:

@@ -170,3 +170,25 @@ def test_fused_ola_narrow_passband_matches_separate():
         )
     )
     np.testing.assert_allclose(got, expected, atol=2e-6)
+
+
+def test_stft_mxu_backend_matches_xla():
+    from conftest import make_tone_noise
+    from iqwaveform_tpu import fourier
+
+    x = jnp.asarray(make_tone_noise(1024 * 16))
+    a = fourier.stft(
+        x, fs=1e6, window='hann', nperseg=1024, noverlap=512,
+        return_axis_arrays=False,
+    )
+    b = fourier.stft(
+        x, fs=1e6, window='hann', nperseg=1024, noverlap=512,
+        return_axis_arrays=False, fft_backend='mxu',
+    )
+    scale = float(np.abs(np.asarray(a)).max())
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6 * scale)
+
+    # istft roundtrip through the mxu backend
+    xr = fourier.istft(b, nfft=1024, noverlap=512, fft_backend='mxu')
+    xr_ref = fourier.istft(a, nfft=1024, noverlap=512)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(xr_ref), atol=1e-5)
