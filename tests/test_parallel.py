@@ -273,3 +273,28 @@ def test_sharded_ola_filter_mxu_backend(mesh):
     y_xla = np.asarray(parallel.sharded_ola_filter(xs, fft_backend='xla', **kw))
     y_mxu = np.asarray(parallel.sharded_ola_filter(xs, fft_backend='mxu', **kw))
     np.testing.assert_allclose(y_mxu, y_xla, atol=2e-5)
+
+
+def test_sharded_ola_filter_blackmanharris(mesh):
+    """R=5 COLA window through the sharded grouped path."""
+    fs = 1e6
+    nfft = 500  # divisible by 5
+    hop = nfft - round(nfft * 4 / 5)
+    n = 8 * hop * 50
+    x = make_tone_noise(n, fs=fs)
+    xs = parallel.shard_time_axis(jnp.asarray(x), mesh)
+
+    ys = np.asarray(
+        parallel.sharded_ola_filter(
+            xs, mesh=mesh, fs=fs, nfft=nfft, window='blackmanharris',
+            passband=(-2e5, 2e5),
+        )
+    )
+    y = np.asarray(
+        fourier.ola_filter(
+            x, fs=fs, nfft=nfft, window='blackmanharris',
+            passband=(-2e5, 2e5), extend=True,
+        )
+    )
+    m = min(ys.shape[0], y.shape[0]) - round(nfft * 4 / 5)
+    np.testing.assert_allclose(ys[:m], y[:m], atol=1e-4)
