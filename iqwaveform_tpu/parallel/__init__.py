@@ -4,6 +4,7 @@ reductions."""
 from .mesh import TIME_AXIS, pad_to_shard_multiple, shard_time_axis, time_mesh
 from .sharded import (
     ccdf_from_counts,
+    sharded_channelize_power,
     quantile_from_histogram,
     sharded_apd_histogram,
     sharded_ola_filter,
@@ -25,6 +26,7 @@ __all__ = [
     'quantile_from_histogram',
     'shard_time_axis',
     'sharded_apd_histogram',
+    'sharded_channelize_power',
     'sharded_ola_filter',
     'sharded_psd_stats',
     'sharded_spectrogram',

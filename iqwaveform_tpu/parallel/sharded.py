@@ -40,6 +40,7 @@ from ..ops.window_design import equivalent_noise_bandwidth, get_window
 from .mesh import TIME_AXIS, Mesh
 
 __all__ = [
+    'sharded_channelize_power',
     'sharded_spectrogram',
     'sharded_ola_filter',
     'sharded_psd_stats',
@@ -172,6 +173,49 @@ def sharded_spectrogram(
         axis_name=axis_name,
     )
     return power_analysis.envtopow(Y)
+
+
+def sharded_channelize_power(
+    x,
+    *,
+    mesh: Mesh,
+    Ts: float,
+    fft_size_per_channel: int,
+    analysis_bins_per_channel: int = None,
+    window='hann',
+    channel_count: int = 1,
+    axis_name: str = TIME_AXIS,
+):
+    """per-channel power time series of a time-sharded capture — the
+    sharded counterpart of ops.spectral.channelize_power (reference
+    fourier.py:1330-1415; SURVEY.md §2 'batch sharding over channels for
+    the channelizer').
+
+    Frames shard along time (each chip channelizes its own shard; the
+    channel reshape + power sum are frame-local, so no collectives beyond
+    the zero STFT halo are needed at noverlap=0).
+
+    Returns:
+        (frames, channel_count) power time series sharded along frames
+    """
+    if analysis_bins_per_channel is None:
+        analysis_bins_per_channel = fft_size_per_channel
+
+    nperseg = fft_size_per_channel * channel_count
+    spg = sharded_spectrogram(
+        x, mesh=mesh, window=window, nperseg=nperseg, axis_name=axis_name
+    )
+
+    skip = channel_count * (fft_size_per_channel - analysis_bins_per_channel)
+    if skip % 2 == 1:
+        raise ValueError('must pass an even number of bins to skip')
+    if skip:
+        spg = spg[:, skip // 2 : spg.shape[1] - skip // 2]
+
+    per_channel = spg.reshape(
+        spg.shape[0], channel_count, analysis_bins_per_channel
+    )
+    return per_channel.sum(axis=2)
 
 
 def _sharded_ola_body(

@@ -298,3 +298,24 @@ def test_sharded_ola_filter_blackmanharris(mesh):
     )
     m = min(ys.shape[0], y.shape[0]) - round(nfft * 4 / 5)
     np.testing.assert_allclose(ys[:m], y[:m], atol=1e-4)
+
+
+def test_sharded_channelize_power(mesh):
+    fs = 1e6
+    nch = 4
+    fft_per_ch = 128
+    n = 8 * fft_per_ch * nch * 8
+    x = make_tone_noise(n, fs=fs, f_tone=fs / 8, snr_db=40)
+    xs = parallel.shard_time_axis(jnp.asarray(x), mesh)
+
+    power_s = parallel.sharded_channelize_power(
+        xs, mesh=mesh, Ts=1 / fs, fft_size_per_channel=fft_per_ch,
+        window='hann', channel_count=nch,
+    )
+    _, _, power = fourier.channelize_power(
+        x, 1 / fs, fft_per_ch, analysis_bins_per_channel=fft_per_ch,
+        window='hann', channel_count=nch,
+    )
+    np.testing.assert_allclose(
+        np.asarray(power_s), np.asarray(power), rtol=1e-4
+    )
