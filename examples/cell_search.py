@@ -6,6 +6,14 @@ identity, timing offset, and correlation quality.
 Run: python examples/cell_search.py
 """
 
+import os
+
+import jax
+
+# demo on CPU unless explicitly pointed at TPU hardware
+if not os.environ.get('EXAMPLE_ON_TPU'):
+    jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np
 
 from iqwaveform_tpu.models import CellSearch, ofdm

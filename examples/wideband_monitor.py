@@ -14,7 +14,13 @@ import matplotlib
 
 matplotlib.use('Agg')
 
+import os
+
 import jax
+
+# demo on CPU unless explicitly pointed at TPU hardware
+if not os.environ.get('EXAMPLE_ON_TPU'):
+    jax.config.update('jax_platforms', 'cpu')
 import matplotlib.pyplot as plt
 import numpy as np
 
@@ -103,6 +109,7 @@ def main(out_dir='.'):
     axs[1, 1].set_xlabel('channel')
 
     fig.tight_layout()
+    os.makedirs(out_dir, exist_ok=True)
     path = f'{out_dir}/wideband_monitor.png'
     fig.savefig(path, dpi=110)
     print('wrote', path)

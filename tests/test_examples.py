@@ -1,0 +1,48 @@
+"""Smoke tests: every example script runs end-to-end as a subprocess.
+
+Examples are the first code a migrating user runs; these tests keep them
+from rotting as the API evolves. Each example forces the CPU backend
+unless EXAMPLE_ON_TPU is set, so the subprocesses never touch the chip.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_example(name, *argv, timeout=300):
+    env = dict(os.environ)
+    env.pop('EXAMPLE_ON_TPU', None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'examples', name), *argv],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, f'{name} failed:\n{proc.stdout}\n{proc.stderr}'
+    return proc.stdout
+
+
+def test_cell_search_example():
+    out = _run_example('cell_search.py')
+    assert 'cell identity recovered' in out
+    assert 'N_id=635' in out
+
+
+def test_wideband_monitor_example(tmp_path):
+    out = _run_example('wideband_monitor.py', str(tmp_path))
+    assert 'wideband_monitor.png' in out
+    assert (tmp_path / 'wideband_monitor.png').stat().st_size > 10_000
+
+
+def test_sharded_monitor_example():
+    out = _run_example('sharded_monitor.py')
+    assert 'apd totals:' in out
+    # 2-D mesh path on the 8-device virtual host
+    assert "'rx_batch': 2" in out or 'rx_batch' in out
