@@ -33,10 +33,14 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _measure(step, x, fence_key=None):
+def _measure(step, x, fence_key=None, trials=3):
     """difference timing with a float32-readback fence (axon's
     block_until_ready returns at dispatch; execution is in-order, so
-    reading the last output fences the queue)."""
+    reading the last output fences the queue).
+
+    The per-trial estimate (t_12reps - t_2reps)/10 subtracts the fixed
+    tunnel round-trip, but a hiccup landing in the SUBTRACTED 2-rep term
+    biases throughput up — so take the median over several trials."""
 
     def run_and_fence(reps):
         t0 = time.perf_counter()
@@ -49,14 +53,18 @@ def _measure(step, x, fence_key=None):
 
     t_compile = run_and_fence(1)
     _log(f'bench: compile+first step {t_compile:.1f}s')
+    run_and_fence(2)  # warm
     reps_lo, reps_hi = 2, 12
-    t_lo = run_and_fence(reps_lo)
-    t_hi = run_and_fence(reps_hi)
-    dt = (t_hi - t_lo) / (reps_hi - reps_lo)
-    return dt
+    dts = []
+    for _ in range(trials):
+        t_lo = run_and_fence(reps_lo)
+        t_hi = run_and_fence(reps_hi)
+        dts.append((t_hi - t_lo) / (reps_hi - reps_lo))
+    _log('bench: trial dts [ms] ' + ', '.join(f'{d * 1e3:.2f}' for d in dts))
+    return float(np.median(dts))
 
 
-def bench_monitor(nfft_hint: int):
+def bench_monitor(nfft_hint: int, ola_kernel: str = 'matmul', fft_precision: str = 'highest'):
     """full monitor pipeline (resample -> channelize -> stats -> APD)."""
     import jax
     import jax.numpy as jnp
@@ -78,10 +86,18 @@ def bench_monitor(nfft_hint: int):
         apd_navg=16,
         # four-step DFT-matmul FFTs on the MXU (ops.mxu_fft)
         fft_backend='mxu',
+        # 'pallas' = VMEM-resident fused OLA kernel; with the 3-pass bf16
+        # split ('high') it is ~1.55x faster than the XLA einsum path at
+        # ~7e-6 RMS (see ops/pallas/fused_ola_pallas.py)
+        ola_kernel=ola_kernel,
+        fft_precision=fft_precision,
         min_fft_size=nfft_hint - 1,
     )
     mon = WidebandMonitor(design)
-    _log(f'bench: monitor nfft={design.nfft}->{design.nfft_out}')
+    _log(
+        f'bench: monitor nfft={design.nfft}->{design.nfft_out} '
+        f'ola_kernel={ola_kernel} precision={fft_precision}'
+    )
 
     quantum = mon.min_input_multiple()
     n = int(np.ceil(2**24 / quantum)) * quantum
@@ -97,7 +113,8 @@ def bench_monitor(nfft_hint: int):
 
     step = jax.jit(lambda planes: mon.step(unpack_iq(planes)))
     dt = _measure(step, ri, fence_key='psd_mean')
-    return f'monitor_pipeline_nfft{design.nfft}_1chip', n / dt / 1e6
+    tag = '_pallas' if ola_kernel == 'pallas' else ''
+    return f'monitor_pipeline_nfft{design.nfft}{tag}_1chip', n / dt / 1e6
 
 
 def bench_spectrogram():
@@ -132,6 +149,7 @@ def bench_spectrogram():
 
 
 CONFIGS = {
+    'monitor8192p': lambda: bench_monitor(8192, ola_kernel='pallas', fft_precision='high'),
     'monitor8192': lambda: bench_monitor(8192),
     'monitor2048': lambda: bench_monitor(2048),
     'spectrogram': bench_spectrogram,
@@ -160,7 +178,12 @@ def main():
 
     # parent mode: try configurations in killable subprocesses (native
     # hangs in the TPU tunnel are immune to SIGALRM)
-    attempts = [('monitor8192', 480), ('monitor2048', 300), ('spectrogram', 240)]
+    attempts = [
+        ('monitor8192p', 480),
+        ('monitor8192', 420),
+        ('monitor2048', 300),
+        ('spectrogram', 240),
+    ]
 
     for name, budget in attempts:
         _log(f'bench: trying {name} (budget {budget}s)')

@@ -66,6 +66,11 @@ class MonitorDesign:
     # matmul precision for the mxu backend: 'highest' (6-pass bf16,
     # ~3e-7 rel) or 'high' (3-pass, ~2e-5 max rel / ~1e-6 RMS, ~2x faster)
     fft_precision: str = 'highest'
+    # fused OLA spectral-transform implementation when the factored path
+    # applies: 'matmul' = XLA einsums (ops.mxu_fft.fused_ola_mxu);
+    # 'pallas' = VMEM-resident kernel (ops.pallas.fused_ola_pallas) — the
+    # whole per-frame chain in one kernel, ~no HBM intermediates
+    ola_kernel: str = 'matmul'
 
 
 def design_wideband_monitor(
@@ -83,6 +88,7 @@ def design_wideband_monitor(
     apd_navg: int = 1,
     fft_backend: str = 'xla',
     fft_precision: str = 'highest',
+    ola_kernel: str = 'matmul',
     **resampler_kws,
 ) -> MonitorDesign:
     """derive a MonitorDesign from radio rates (host-side design math,
@@ -110,6 +116,7 @@ def design_wideband_monitor(
         apd_navg=apd_navg,
         fft_backend=fft_backend,
         fft_precision=fft_precision,
+        ola_kernel=ola_kernel,
     )
 
 
@@ -191,6 +198,7 @@ class WidebandMonitor:
 
         # FFT implementation for the hot loops
         self._fused_ola = None
+        self._fused_ola_raw = None
         if d.fft_backend == 'mxu':
             import functools as _ft
 
@@ -220,6 +228,29 @@ class WidebandMonitor:
                     bounds_out=self._bounds_out,
                     precision=prec,
                 )
+                if d.ola_kernel == 'pallas':
+                    from ..ops.pallas.fused_ola_pallas import fused_ola_pallas
+
+                    wind = (
+                        self._w_in
+                        / np.abs(self._w_in[:: self.hop_in]).sum()
+                    ).astype('complex64')
+                    self._fused_ola_raw = _ft.partial(
+                        fused_ola_pallas,
+                        nfft=d.nfft,
+                        nfft_out=d.nfft_out,
+                        zero_lo=self._zero_lo,
+                        zero_hi=self._zero_hi,
+                        bounds_in=self._bounds_in,
+                        bounds_out=self._bounds_out,
+                        w_in=wind,
+                        w_shift_out=np.asarray(self._w_shift_out),
+                        precision=prec,
+                    )
+                elif d.ola_kernel != 'matmul':
+                    raise ValueError(
+                        f"ola_kernel must be 'matmul' or 'pallas', not {d.ola_kernel!r}"
+                    )
         elif d.fft_backend == 'xla':
             self._fft, self._ifft = jnp.fft.fft, jnp.fft.ifft
         else:
@@ -254,6 +285,7 @@ class WidebandMonitor:
             fft_fn=self._fft,
             ifft_fn=self._ifft,
             fused_fn=self._fused_ola,
+            fused_raw_fn=self._fused_ola_raw,
         )
 
         # stage 2: channelizer STFT (noverlap=0, norm='power')

@@ -1,0 +1,268 @@
+"""Pallas TPU kernel: the fused OLA spectral transform in VMEM.
+
+ops.mxu_fft.fused_ola_mxu expresses fft -> zero -> trim -> ifft of each
+OLA frame as four complex matmuls in factored (k1, k2) coordinates. Run
+through XLA those matmuls round-trip every (M, a, b) intermediate through
+HBM — and XLA cannot fuse the twiddle/mask elementwise stages into MXU
+dots, so stage profiling (scripts/profile_stages.py) shows the OLA stage
+traffic-bound. This kernel keeps the entire per-frame chain — window
+multiply, both forward matmuls, twiddle, mask, both inverse matmuls,
+output shift window — resident in VMEM: HBM sees one (a, b) frame read
+and one (a, 2*b2) result write per frame.
+
+Precision: Mosaic lowers only DEFAULT (1-pass bf16, ~4e-3 rel — too
+lossy) and HIGHEST (6-pass, ~1.5e-7). The sweet spot is a manual 3-pass
+bf16 split (hi/lo decomposition, dropping the lo*lo term — the same
+algorithm as XLA's HIGH, which Mosaic does not lower): ~7e-6 RMS vs a
+float64 oracle at half the HIGHEST MXU time. Measured on v5e for the
+monitor shapes (M=2048, 16384->8192): XLA einsum path 6.3 ms, this
+kernel 4.5 ms at HIGHEST, 2.4 ms at 3-pass.
+
+Layout rules for the tunneled Mosaic compiler (see ROADMAP.md): only
+BlockSpec-driven 2-D pipelining (frame planes viewed as (M*a, b) f32),
+no manual DMA, no fori_loop, block minor dims padded to the 128-lane
+tile. In-kernel batched dot_general over T frames per grid step works.
+
+Reference semantics: fourier.py:866-924 (downsample_stft) +
+fourier.py:1107-1181 (ola_filter) — same math as fused_ola_mxu, which
+this kernel is validated against (plus a float64 oracle in
+tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils import lru_cache
+from ..mxu_fft import _fused_ola_constants
+
+__all__ = ['fused_ola_pallas']
+
+_LANES = 128
+
+
+def _on_tpu_like() -> bool:
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat in ('tpu', 'axon')
+
+
+def _pad_minor(x: np.ndarray, width: int) -> np.ndarray:
+    if x.shape[1] == width:
+        return x
+    out = np.zeros((x.shape[0], width), x.dtype)
+    out[:, : x.shape[1]] = x
+    return out
+
+
+def _pad_square(x: np.ndarray, width: int) -> np.ndarray:
+    out = np.zeros((width, width), x.dtype)
+    out[: x.shape[0], : x.shape[1]] = x
+    return out
+
+
+@lru_cache()
+def _kernel_constants(
+    nfft, nfft_out, zero_lo, zero_hi, in_lo, in_hi, out_lo, w_in_key, w_out_key
+):
+    """host-side constant planes, minor dims padded to the 128-lane tile.
+
+    w_in_key/w_out_key are hashable bytes snapshots of the input COLA
+    window and output shift window so the cache keys stay small.
+    """
+    a, b, b2, Fa, W, Fb_kept, mask, Fb2_inv, Wp_conj, Fa_inv = _fused_ola_constants(
+        nfft, nfft_out, zero_lo, zero_hi, in_lo, in_hi, out_lo
+    )
+    b2p = max(_LANES, -(-b2 // _LANES) * _LANES)
+
+    w_in = np.frombuffer(w_in_key, dtype='complex64').reshape(a, b)
+    w_out = np.frombuffer(w_out_key, dtype='complex64').reshape(a, b2)
+
+    def planes(x):
+        x = np.ascontiguousarray(x)
+        return x.real.astype('float32'), x.imag.astype('float32')
+
+    consts = []
+    consts += planes(w_in)  # war, wai (a, b)
+    consts += planes(Fa)  # far, fai (a, a)
+    consts += planes(W)  # twr, twi (a, b)
+    fbr, fbi = planes(Fb_kept)  # (b, b2) -> pad minor
+    consts += [_pad_minor(fbr, b2p), _pad_minor(fbi, b2p)]
+    consts += [_pad_minor(mask.astype('float32'), b2p)]
+    f2r, f2i = planes(Fb2_inv)  # (b2, b2) -> pad square
+    consts += [_pad_square(f2r, b2p), _pad_square(f2i, b2p)]
+    wpr, wpi = planes(Wp_conj)  # (a, b2) -> pad minor
+    consts += [_pad_minor(wpr, b2p), _pad_minor(wpi, b2p)]
+    consts += planes(Fa_inv)  # fir, fii (a, a)
+    wsr, wsi = planes(w_out)  # output shift window (a, b2) -> pad minor
+    consts += [_pad_minor(wsr, b2p), _pad_minor(wsi, b2p)]
+    return a, b, b2, b2p, tuple(consts)
+
+
+def _make_dot(passes: int):
+    """batched-aware dot: lhs (..., j) x rhs (j, k) or batched (T, j, k)."""
+
+    def dnums(x, y):
+        contract = ((x.ndim - 1,), (1 if y.ndim == 3 else 0,))
+        batch = ((0,), (0,)) if y.ndim == 3 else ((), ())
+        return (contract, batch)
+
+    if passes in (1, 6):
+        prec = (
+            jax.lax.Precision.HIGHEST if passes == 6 else jax.lax.Precision.DEFAULT
+        )
+
+        def dot(x, y):
+            return jax.lax.dot_general(
+                x, y, dnums(x, y),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+
+        return dot
+
+    # 3-pass: hi/lo bf16 split, dropping the lo*lo term — the same
+    # algorithm as XLA's HIGH, which Mosaic does not lower natively
+    def dot(x, y):
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        yh = y.astype(jnp.bfloat16)
+        yl = (y - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dd = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=dnums(x, y),
+            preferred_element_type=jnp.float32,
+        )
+        return dd(xh, yh) + dd(xh, yl) + dd(xl, yh)
+
+    return dot
+
+
+def _fused_ola_kernel(
+    ar, ai, war, wai, far, fai, twr, twi, fbr, fbi, mask,
+    f2r, f2i, wpr, wpi, fir, fii, wsr, wsi, out,
+    *, T, a, b, b2p, passes,
+):
+    dot = _make_dot(passes)
+
+    AR = ar[...].reshape(T, a, b)
+    AI = ai[...].reshape(T, a, b)
+    # window multiply (complex)
+    xr = AR * war[...][None] - AI * wai[...][None]
+    xi = AR * wai[...][None] + AI * war[...][None]
+
+    # B = Fa @ X (batched over the T frames in this block)
+    FAR = jnp.broadcast_to(far[...][None], (T, a, a))
+    FAI = jnp.broadcast_to(fai[...][None], (T, a, a))
+    br = dot(FAR, xr) - dot(FAI, xi)
+    bi = dot(FAR, xi) + dot(FAI, xr)
+    # C = B * W (twiddles)
+    cr = br * twr[...][None] - bi * twi[...][None]
+    ci = br * twi[...][None] + bi * twr[...][None]
+    # D = C @ Fb_kept (frequency trim fused into the matmul), then mask
+    dr = (dot(cr, fbr[...]) - dot(ci, fbi[...])) * mask[...][None]
+    di = (dot(cr, fbi[...]) + dot(ci, fbr[...])) * mask[...][None]
+
+    # Cp = D @ Fb2_inv
+    cpr = dot(dr, f2r[...]) - dot(di, f2i[...])
+    cpi = dot(dr, f2i[...]) + dot(di, f2r[...])
+    # Bp = Cp * conj(Wp)
+    bpr = cpr * wpr[...][None] - cpi * wpi[...][None]
+    bpi = cpr * wpi[...][None] + cpi * wpr[...][None]
+    # Ap = Fa_inv @ Bp, then the ISTFT time-shift window
+    FIR = jnp.broadcast_to(fir[...][None], (T, a, a))
+    FII = jnp.broadcast_to(fii[...][None], (T, a, a))
+    apr = dot(FIR, bpr) - dot(FII, bpi)
+    api = dot(FIR, bpi) + dot(FII, bpr)
+    onr = apr * wsr[...][None] - api * wsi[...][None]
+    oni = apr * wsi[...][None] + api * wsr[...][None]
+
+    # pack real|imag side by side: one write, no padding waste
+    out[...] = jnp.concatenate([onr, oni], axis=2).reshape(T * a, 2 * b2p)
+
+
+def _pick_passes(precision) -> int:
+    if precision in ('high', jax.lax.Precision.HIGH):
+        return 3
+    if precision in ('default', jax.lax.Precision.DEFAULT):
+        return 1
+    return 6
+
+
+def fused_ola_pallas(
+    frames,
+    *,
+    nfft: int,
+    nfft_out: int,
+    zero_lo: int,
+    zero_hi,
+    bounds_in,
+    bounds_out=(0, None),
+    w_in: np.ndarray,
+    w_shift_out: np.ndarray,
+    precision=jax.lax.Precision.HIGHEST,
+    frames_per_block: int = 4,
+    interpret: bool = None,
+):
+    """fused OLA spectral transform of a frame batch, windows included.
+
+    Unlike fused_ola_mxu, the input COLA window (``w_in``, complex,
+    pre-scaled) and the output shift window (``w_shift_out``) are folded
+    into the kernel, so ``frames`` are RAW (unwindowed) OLA frames.
+
+    precision: HIGHEST -> 6-pass bf16 (~1.5e-7 RMS vs float64), 'high'
+    -> manual 3-pass split (~7e-6 RMS, ~2x faster), DEFAULT -> 1-pass
+    (~4e-3 — experiments only).
+
+    frames: (M, nfft) complex64 -> (M, nfft_out) complex64.
+    """
+    if interpret is None:
+        # no TPU lowering target -> emulate (keeps CPU tests/virtual
+        # meshes working with the same call sites)
+        interpret = not _on_tpu_like()
+    in_lo, in_hi = bounds_in
+    w_in = np.asarray(w_in, dtype='complex64')
+    w_out = np.asarray(w_shift_out, dtype='complex64')
+    a, b, b2, b2p, consts = _kernel_constants(
+        nfft, nfft_out, int(zero_lo), zero_hi, int(in_lo), int(in_hi),
+        int(bounds_out[0]), w_in.tobytes(), w_out.tobytes(),
+    )
+
+    M = frames.shape[0]
+    T = max(1, frames_per_block)
+    while M % T:
+        T //= 2
+    fr = frames.real.reshape(M * a, b)
+    fi = frames.imag.reshape(M * a, b)
+
+    frame_spec = pl.BlockSpec((T * a, b), lambda m: (m, 0))
+    out_spec = pl.BlockSpec((T * a, 2 * b2p), lambda m: (m, 0))
+
+    def const_spec(c):
+        return pl.BlockSpec(c.shape, lambda m: (0, 0))
+
+    packed = pl.pallas_call(
+        functools.partial(
+            _fused_ola_kernel,
+            T=T, a=a, b=b, b2p=b2p, passes=_pick_passes(precision),
+        ),
+        grid=(M // T,),
+        in_specs=[frame_spec, frame_spec] + [const_spec(c) for c in consts],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((M * a, 2 * b2p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),
+        ),
+        interpret=interpret,
+    )(fr, fi, *consts)
+
+    out = jax.lax.complex(packed[:, :b2], packed[:, b2p : b2p + b2])
+    return out.reshape(M, nfft_out)

@@ -235,6 +235,7 @@ def _sharded_ola_body(
     fft_fn=jnp.fft.fft,
     ifft_fn=jnp.fft.ifft,
     fused_fn=None,
+    fused_raw_fn=None,
 ):
     """stft -> zero passband -> frequency trim/pad -> istft, all local
     except the two noverlap-sized ppermutes.
@@ -306,7 +307,11 @@ def _sharded_ola_body(
             frames_g = jax.lax.dynamic_slice(
                 x_ext, (g * hop_in,), (M * nfft,)
             ).reshape(M, nfft)
-            if fused_fn is not None:
+            if fused_raw_fn is not None:
+                # VMEM-resident pallas kernel with both windows folded in
+                # (ops.pallas.fused_ola_pallas)
+                xg = fused_raw_fn(frames_g)
+            elif fused_fn is not None:
                 # transpose-free fft->zero->trim->ifft in factored
                 # coordinates (ops.mxu_fft.fused_ola_mxu)
                 xg = fused_fn(frames_g * wind[None, :]) * w_shift_out[None, :]

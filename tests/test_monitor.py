@@ -4,6 +4,8 @@ Oracle: the single-stage ops implementations composed manually, plus
 physical invariants (power conservation, tone channel location).
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -157,3 +159,37 @@ def test_monitor_apd_navg():
     x = make_tone_noise(n, fs=2e6, f_tone=150e3, snr_db=30)
     out = jax.jit(mon.step)(jnp.asarray(x))
     assert int(np.asarray(out['apd_counts']).sum()) == (n // 2) // 16
+
+
+def test_monitor_pallas_ola_kernel_matches_matmul():
+    """ola_kernel='pallas' (interpret on CPU) must match the matmul path
+    in the passband; stopband bins sit at the float32 roundoff floor."""
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=512,
+        apd_navg=16, fft_backend='mxu', min_fft_size=8191,
+    )
+    m1 = WidebandMonitor(design)
+    m2 = WidebandMonitor(dataclasses.replace(design, ola_kernel='pallas'))
+    assert m2._fused_ola_raw is not None, 'pallas fused path did not arm'
+
+    n = m1.min_input_multiple()
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        'complex64'
+    )
+    o1 = jax.jit(m1.step)(jnp.asarray(x))
+    o2 = jax.jit(m2.step)(jnp.asarray(x))
+
+    cp1 = np.asarray(o1['channel_power'])
+    cp2 = np.asarray(o2['channel_power'])
+    # edge channels sit in the zeroed stopband (~1e-15 leakage power):
+    # compare relative to the full-scale channel power
+    np.testing.assert_allclose(cp1, cp2, atol=1e-5 * cp1.max())
+    np.testing.assert_array_equal(
+        np.asarray(o1['apd_counts']), np.asarray(o2['apd_counts'])
+    )
+    psd1, psd2 = np.asarray(o1['psd_mean']), np.asarray(o2['psd_mean'])
+    inband = psd1 > -100
+    assert inband.sum() > 1000
+    np.testing.assert_allclose(psd1[inband], psd2[inband], atol=0.01)
