@@ -64,7 +64,7 @@ def _measure(step, x, fence_key=None, trials=3):
     return float(np.median(dts))
 
 
-def bench_monitor(nfft_hint: int, ola_kernel: str = 'matmul', fft_precision: str = 'highest'):
+def bench_monitor(nfft_hint: int, ola_kernel: str = 'matmul', fft_precision: str = 'highest', apd_kernel: str = 'sort'):
     """full monitor pipeline (resample -> channelize -> stats -> APD)."""
     import jax
     import jax.numpy as jnp
@@ -90,6 +90,9 @@ def bench_monitor(nfft_hint: int, ola_kernel: str = 'matmul', fft_precision: str
         # split ('high') it is ~1.55x faster than the XLA einsum path at
         # ~7e-6 RMS (see ops/pallas/fused_ola_pallas.py)
         ola_kernel=ola_kernel,
+        # 'pallas' = direct edge-compare histogram (identical counts,
+        # ~3x faster; see ops/pallas/hist_pallas.py)
+        apd_kernel=apd_kernel,
         fft_precision=fft_precision,
         min_fft_size=nfft_hint - 1,
     )
@@ -149,7 +152,7 @@ def bench_spectrogram():
 
 
 CONFIGS = {
-    'monitor8192p': lambda: bench_monitor(8192, ola_kernel='pallas', fft_precision='high'),
+    'monitor8192p': lambda: bench_monitor(8192, ola_kernel='pallas', fft_precision='high', apd_kernel='pallas'),
     'monitor8192': lambda: bench_monitor(8192),
     'monitor2048': lambda: bench_monitor(2048),
     'spectrogram': bench_spectrogram,

@@ -19,6 +19,7 @@ from .filtering import (
     zero_stft_by_freq,
 )
 from .power import (
+    binned_mean_matmul,
     dBlinmean,
     dBlinsum,
     dBtopow,

@@ -48,6 +48,7 @@ warnings.filterwarnings('ignore', message='.*divide by zero.*')
 warnings.filterwarnings('ignore', message='.*invalid value encountered.*')
 
 __all__ = [
+    'binned_mean_matmul',
     'dBlinmean',
     'dBlinsum',
     'dBtopow',
@@ -471,6 +472,42 @@ def histogram_edge_counts(a, edges):
     cum = jnp.searchsorted(a_sorted, jnp.asarray(edges), side='right')
     n = a_sorted.shape[0]
     return jnp.concatenate([cum[:1], jnp.diff(cum), n - cum[-1:]])
+
+
+def binned_mean_matmul(p, navg: int, *, precision=None):
+    """mean over consecutive ``navg``-sample groups as a block-diagonal
+    MXU matmul: (N/C, C) @ S with C = 128*navg and S[j, k] = 1/navg for
+    j//navg == k. The reshape(-1, navg).mean(1) formulation reduces over
+    a navg-wide minor axis, which vectorizes poorly on TPU (measured
+    0.88 ms vs 0.03 ms at 8.4M samples, navg=16); the matmul keeps the
+    lane dimension at the native 128.
+
+    Requires p.size % (128*navg) == 0 (falls back to reshape-mean
+    otherwise). ~1e-7 relative difference vs reshape-mean (f32 sum
+    association only)."""
+    import jax
+
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    p = p.reshape(-1)
+    C = 128 * navg
+    if navg == 1:
+        return p
+    if p.shape[0] % C:
+        return p.reshape(-1, navg).mean(axis=1)
+    S = _binned_mean_matrix(C, navg)
+    out = jnp.einsum(
+        'ij,jk->ik', p.reshape(-1, C), S, precision=precision
+    )
+    return out.reshape(-1)
+
+
+@lru_cache()
+def _binned_mean_matrix(C: int, navg: int):
+    S = np.zeros((C, 128), 'float32')
+    for j in range(C):
+        S[j, j // navg] = 1.0 / navg
+    return S
 
 
 def sample_ccdf(a, edges, density: bool = True):

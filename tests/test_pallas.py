@@ -4,6 +4,7 @@ Oracles: scipy.signal.upfirdn and the XLA corr_at_indices formulation.
 Real-TPU compiled-mode validation runs in scripts/validate_tpu.py.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.signal
@@ -92,3 +93,37 @@ def test_corr_pallas_peak_at_alignment():
     )
     assert corr.argmax() == 0
     assert corr[0] > 0.99
+
+
+def test_histogram_edge_counts_pallas_matches_sort():
+    """direct edge-compare kernel (interpret on CPU) must produce
+    identical counts to the sort+searchsorted path, including values at,
+    below, and above the edge range."""
+    from iqwaveform_tpu.ops.pallas.hist_pallas import (
+        histogram_edge_counts_pallas,
+    )
+    from iqwaveform_tpu.ops.power import histogram_edge_counts
+
+    rng = np.random.default_rng(0)
+    edges = np.sort(rng.standard_normal(96)).astype('float32')
+    # include exact edge values (boundary semantics) and out-of-range
+    vals = np.concatenate([
+        rng.standard_normal(3000),
+        edges[::7],
+        [-100.0, 100.0],
+    ]).astype('float32')
+
+    ref = np.asarray(histogram_edge_counts(jnp.asarray(vals), edges))
+    got = np.asarray(histogram_edge_counts_pallas(jnp.asarray(vals), edges))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_binned_mean_matmul_matches_reshape():
+    from iqwaveform_tpu.ops.power import binned_mean_matmul
+
+    rng = np.random.default_rng(1)
+    for navg, n in ((16, 128 * 16 * 7), (4, 128 * 4 * 3), (5, 777 * 5)):
+        p = jnp.asarray(rng.standard_normal(n).astype('float32') ** 2)
+        ref = np.asarray(p.reshape(-1, navg).mean(axis=1))
+        got = np.asarray(binned_mean_matmul(p, navg))
+        np.testing.assert_allclose(got, ref, rtol=2e-6)
