@@ -394,7 +394,12 @@ class WidebandMonitor:
         def body(x_local):
             return jax.vmap(lambda row: self._body_1d(row, self.time_axis))(x_local)
 
-        fn = jax.shard_map(body, mesh=self.mesh, in_specs=in_spec, out_specs=out_specs)
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+        # annotation, which the default vma check rejects inside shard_map
+        fn = jax.shard_map(
+            body, mesh=self.mesh, in_specs=in_spec, out_specs=out_specs,
+            check_vma=False,
+        )
         return fn(iq)
 
     # ---- streaming accumulation over long captures ----

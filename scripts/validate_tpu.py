@@ -136,12 +136,79 @@ def main():
             failures.append('corr pallas')
             print('corr_at_indices pallas (tpu)    EXCEPTION:', msg, flush=True)
 
-    # --- monitor pipeline ---
+    # --- fused OLA pallas kernel (compiles on this host) ---
     from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
+    from iqwaveform_tpu.ops.mxu_fft import fused_ola_mxu
+    from iqwaveform_tpu.ops.pallas.fused_ola_pallas import fused_ola_pallas
 
+    dsn = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=512,
+        apd_navg=16, fft_backend='mxu', min_fft_size=8191,
+    )
+    monf = WidebandMonitor(dsn)
+    wind = (monf._w_in / np.abs(monf._w_in[:: monf.hop_in]).sum()).astype(
+        'complex64'
+    )
+    frames = (
+        rng.standard_normal((16, dsn.nfft))
+        + 1j * rng.standard_normal((16, dsn.nfft))
+    ).astype('complex64')
+    ola_kws = dict(
+        nfft=dsn.nfft, nfft_out=dsn.nfft_out, zero_lo=monf._zero_lo,
+        zero_hi=monf._zero_hi, bounds_in=monf._bounds_in,
+        bounds_out=monf._bounds_out,
+    )
+    exp_fr = np.asarray(
+        jax.jit(
+            lambda f: fused_ola_mxu(f * jnp.asarray(wind)[None, :], **ola_kws),
+            backend='cpu',
+        )(frames)
+    ) * np.asarray(monf._w_shift_out)[None, :]
+    fr_planes = jnp.asarray(pack_iq_f32(frames.reshape(-1))).reshape(
+        2, 16, dsn.nfft
+    )
+    fused_fn = jax.jit(
+        lambda p: jnp.stack(
+            [
+                jnp.real(o := fused_ola_pallas(
+                    jax.lax.complex(p[0], p[1]), w_in=wind,
+                    w_shift_out=np.asarray(monf._w_shift_out),
+                    precision='high', **ola_kws,
+                )),
+                jnp.imag(o),
+            ]
+        )
+    )
+    try:
+        check('fused_ola pallas x3 (tpu)', fused_fn(fr_planes), exp_fr, 5e-4)
+    except Exception as e:
+        failures.append('fused_ola pallas')
+        print('fused_ola pallas (tpu)          EXCEPTION:',
+              f'{type(e).__name__}: {str(e)[:100]}', flush=True)
+
+    # --- edge-compare histogram pallas kernel ---
+    from iqwaveform_tpu.ops.pallas.hist_pallas import histogram_edge_counts_pallas
+    from iqwaveform_tpu.ops.power import histogram_edge_counts
+
+    edges = (10 ** (np.linspace(-12, 3, 512) / 10.0)).astype('float32')
+    vals = (rng.standard_normal(100_000).astype('float32')) ** 2
+    exp_h = np.asarray(histogram_edge_counts(vals, edges)).astype('float32')
+    hist_fn = jax.jit(
+        lambda v: histogram_edge_counts_pallas(v, edges).astype(jnp.float32)
+    )
+    try:
+        check('histogram pallas (tpu)', hist_fn(jnp.asarray(vals)), exp_h, 0)
+    except Exception as e:
+        failures.append('hist pallas')
+        print('histogram pallas (tpu)          EXCEPTION:',
+              f'{type(e).__name__}: {str(e)[:100]}', flush=True)
+
+    # --- monitor pipeline (fast config) ---
     design = design_wideband_monitor(
         2e6, 1e6, bw=0.8e6, channel_count=4, fft_size_per_channel=64,
         window='hamming', apd_bins=256, min_fft_size=255, fs_sdr=2e6,
+        apd_kernel='pallas',
     )
     mon = WidebandMonitor(design)
     m = mon.min_input_multiple() * 8

@@ -193,3 +193,36 @@ def test_monitor_pallas_ola_kernel_matches_matmul():
     inband = psd1 > -100
     assert inband.sum() > 1000
     np.testing.assert_allclose(psd1[inband], psd2[inband], atol=0.01)
+
+
+def test_monitor_sharded_step_with_pallas_kernels():
+    """sharded_step must run with both pallas kernels armed (interpret on
+    the virtual CPU mesh) and match the single-chip pallas step."""
+    mesh = parallel.time_mesh()
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=128,
+        apd_navg=16, fft_backend='mxu', min_fft_size=8191,
+        ola_kernel='pallas', apd_kernel='pallas',
+    )
+    mon = WidebandMonitor(design, mesh=mesh)
+    n_shards = mesh.shape[TIME_AXIS]
+    n = mon.min_input_multiple(n_shards)
+    rng = np.random.default_rng(0)
+    iq = (
+        rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))
+    ).astype('complex64')
+
+    iq_sharded = jax.device_put(
+        jnp.asarray(iq),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, TIME_AXIS)),
+    )
+    out_s = mon.sharded_step(iq_sharded)
+    out_1 = jax.jit(mon.step)(jnp.asarray(iq[0]))
+
+    np.testing.assert_array_equal(
+        np.asarray(out_s['apd_counts'])[0], np.asarray(out_1['apd_counts'])
+    )
+    cp_s = np.asarray(out_s['channel_power_mean'])[0]
+    cp_1 = np.asarray(out_1['channel_power_mean'])
+    np.testing.assert_allclose(cp_s, cp_1, atol=1e-5 * cp_1.max())
