@@ -64,7 +64,7 @@ def _measure(step, x, fence_key=None, trials=3):
     return float(np.median(dts))
 
 
-def bench_monitor(nfft_hint: int, ola_kernel: str = 'matmul', fft_precision: str = 'highest', apd_kernel: str = 'sort'):
+def bench_monitor(nfft_hint: int, ola_kernel: str = 'matmul', fft_precision: str = 'highest', apd_kernel: str = 'sort', chan_kernel: str = 'xla'):
     """full monitor pipeline (resample -> channelize -> stats -> APD)."""
     import jax
     import jax.numpy as jnp
@@ -93,6 +93,9 @@ def bench_monitor(nfft_hint: int, ola_kernel: str = 'matmul', fft_precision: str
         # 'pallas' = direct edge-compare histogram (identical counts,
         # ~3x faster; see ops/pallas/hist_pallas.py)
         apd_kernel=apd_kernel,
+        # 'pallas' = single-pass channelizer statistics kernel
+        # (ops/pallas/chan_stats_pallas.py)
+        chan_kernel=chan_kernel,
         fft_precision=fft_precision,
         min_fft_size=nfft_hint - 1,
     )
@@ -152,7 +155,7 @@ def bench_spectrogram():
 
 
 CONFIGS = {
-    'monitor8192p': lambda: bench_monitor(8192, ola_kernel='pallas', fft_precision='high', apd_kernel='pallas'),
+    'monitor8192p': lambda: bench_monitor(8192, ola_kernel='pallas', fft_precision='high', apd_kernel='pallas', chan_kernel='pallas'),
     'monitor8192': lambda: bench_monitor(8192),
     'monitor2048': lambda: bench_monitor(2048),
     'spectrogram': bench_spectrogram,

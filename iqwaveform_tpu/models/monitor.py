@@ -75,6 +75,11 @@ class MonitorDesign:
     # (ops.power.histogram_edge_counts); 'pallas' = direct edge-compare
     # kernel (ops.pallas.hist_pallas) — identical counts, ~3x faster
     apd_kernel: str = 'sort'
+    # channelizer-statistics implementation: 'xla' = framed FFT +
+    # reductions; 'pallas' = single-pass fused kernel
+    # (ops.pallas.chan_stats_pallas) — FFT, spectrogram stats, channel
+    # power, and detector binning in one read of the resampled stream
+    chan_kernel: str = 'xla'
 
 
 def design_wideband_monitor(
@@ -94,6 +99,7 @@ def design_wideband_monitor(
     fft_precision: str = 'highest',
     ola_kernel: str = 'matmul',
     apd_kernel: str = 'sort',
+    chan_kernel: str = 'xla',
     **resampler_kws,
 ) -> MonitorDesign:
     """derive a MonitorDesign from radio rates (host-side design math,
@@ -123,6 +129,7 @@ def design_wideband_monitor(
         fft_precision=fft_precision,
         ola_kernel=ola_kernel,
         apd_kernel=apd_kernel,
+        chan_kernel=chan_kernel,
     )
 
 
@@ -274,26 +281,98 @@ class WidebandMonitor:
         if self._skip_bins % 2 == 1:
             raise ValueError('channel trim requires an even number of skipped bins')
 
+        self._chan_stats = None
+        if d.chan_kernel == 'pallas':
+            from ..ops.pallas.chan_stats_pallas import (
+                chan_stats_pallas,
+                chan_stats_supported,
+            )
+
+            if not chan_stats_supported(
+                self._nfft_big, d.channel_count, self._skip_bins, d.apd_navg
+            ):
+                raise ValueError(
+                    "chan_kernel='pallas' requires full-band analysis "
+                    '(no bin trim), 128 | channelizer FFT size with >= 8 '
+                    'sublane rows, whole channels per lane group, and '
+                    'apd_navg dividing 128'
+                )
+            import functools as _ft
+
+            self._chan_stats = _ft.partial(
+                chan_stats_pallas,
+                nfft_big=self._nfft_big,
+                channel_count=d.channel_count,
+                window=np.asarray(self._w_ch) / self._nfft_big,
+                navg=d.apd_navg,
+                precision=d.fft_precision,
+            )
+        elif d.chan_kernel != 'xla':
+            raise ValueError(
+                f"chan_kernel must be 'xla' or 'pallas', not {d.chan_kernel!r}"
+            )
+
+    def _hist(self, p):
+        """APD histogram counts per design.apd_kernel: sort+searchsorted
+        or the direct edge-compare Pallas kernel (identical counts,
+        1.9 -> 0.6 ms at bench shapes)."""
+        from ..ops.power import histogram_edge_counts
+
+        if self.design.apd_kernel == 'pallas':
+            from ..ops.pallas.hist_pallas import histogram_edge_counts_pallas
+
+            return histogram_edge_counts_pallas(p, self._apd_edges_pow)
+        return histogram_edge_counts(p, self._apd_edges_pow)
+
     def _apd_counts(self, y):
         """detector-binned power histogram of the resampled stream
         (reference binned-power CCDF workflow, figures.py:827-836).
 
         Binning uses the block-diagonal MXU matmul (ops.power.
-        binned_mean_matmul: 0.88 -> 0.03 ms at bench shapes); counting
-        uses sort+searchsorted or the direct edge-compare Pallas kernel
-        (identical counts, 1.9 -> 0.6 ms) per design.apd_kernel."""
-        from ..ops.power import binned_mean_matmul, histogram_edge_counts
+        binned_mean_matmul: 0.88 -> 0.03 ms at bench shapes)."""
+        from ..ops.power import binned_mean_matmul
 
         d = self.design
         p = y.real * y.real + y.imag * y.imag
         if d.apd_navg > 1:
             navg_total = (p.shape[0] // d.apd_navg) * d.apd_navg
             p = binned_mean_matmul(p[:navg_total], d.apd_navg)
-        if d.apd_kernel == 'pallas':
-            from ..ops.pallas.hist_pallas import histogram_edge_counts_pallas
+        return self._hist(p)
 
-            return histogram_edge_counts_pallas(p, self._apd_edges_pow)
-        return histogram_edge_counts(p, self._apd_edges_pow)
+    def _chan_apd(self, y):
+        """channelizer + statistics + APD of a resampled chunk.
+
+        Returns (channel_power, psd_dB_sum, psd_dB_max, apd_counts,
+        n_frames) — sums over frames so both the one-shot and streaming
+        paths consume the same pieces. With chan_kernel='pallas' the
+        whole stage is one pass over ``y``
+        (ops.pallas.chan_stats_pallas); mean-of-dB accumulates as
+        sum-of-logs and max commutes with log."""
+        d = self.design
+        nfft_big = self._nfft_big
+        n_frames = y.shape[0] // nfft_big
+
+        if self._chan_stats is not None:
+            cs = self._chan_stats(y[: n_frames * nfft_big])
+            channel_power = cs['channel_power']
+            psd_dB_sum = (10.0 / float(np.log(10.0))) * cs['psd_log_sum']
+            psd_dB_max = 10.0 * jnp.log10(cs['psd_max'] + 1e-25)
+            apd = self._hist(cs['p_binned'])
+            return channel_power, psd_dB_sum, psd_dB_max, apd, n_frames
+
+        frames = y[: n_frames * nfft_big].reshape(n_frames, nfft_big)
+        wind = (self._w_ch / nfft_big).astype(frames.dtype)
+        Y = self._fft(frames * wind[None, :], axis=1)
+        spg = Y.real * Y.real + Y.imag * Y.imag  # (frames, nfft_big)
+
+        sb = self._skip_bins
+        Xa = spg[:, sb // 2 : spg.shape[1] - sb // 2] if sb else spg
+        ch = Xa.reshape(n_frames, d.channel_count, d.analysis_bins_per_channel)
+        channel_power = ch.sum(axis=2)  # (frames, channels)
+
+        psd_dB = 10.0 * jnp.log10(spg + 1e-25)
+        apd = self._apd_counts(y)
+        return channel_power, psd_dB.sum(axis=0), psd_dB.max(axis=0), apd, n_frames
 
     # ---- core single-signal body (traceable; axis_name=None -> 1 chip) ----
 
@@ -320,29 +399,13 @@ class WidebandMonitor:
             fused_raw_fn=self._fused_ola_raw,
         )
 
-        # stage 2: channelizer STFT (noverlap=0, norm='power')
-        nfft_big = self._nfft_big
-        n_frames = y.shape[0] // nfft_big
-        frames = y[: n_frames * nfft_big].reshape(n_frames, nfft_big)
-        wind = (self._w_ch / nfft_big).astype(frames.dtype)
-        Y = self._fft(frames * wind[None, :], axis=1)
-        spg = Y.real * Y.real + Y.imag * Y.imag  # (frames, nfft_big)
-
-        # stage 3: per-channel power (trim analysis bins, sum per channel)
-        sb = self._skip_bins
-        Xa = spg[:, sb // 2 : spg.shape[1] - sb // 2] if sb else spg
-        ch = Xa.reshape(n_frames, d.channel_count, d.analysis_bins_per_channel)
-        channel_power = ch.sum(axis=2)  # (frames, channels)
-
-        # stage 4: statistics
-        psd_dB = 10.0 * jnp.log10(spg + 1e-25)
-        psd_mean = psd_dB.mean(axis=0)
-        psd_max = psd_dB.max(axis=0)
+        # stages 2-5: channelizer STFT, channel power, statistics, APD
+        channel_power, psd_dB_sum, psd_dB_max, apd, n_frames = self._chan_apd(y)
+        psd_mean = psd_dB_sum / n_frames
+        psd_max = psd_dB_max
         ch_mean = channel_power.mean(axis=0)
         ch_max = channel_power.max(axis=0)
-
-        # stage 5: APD histogram over detector-binned power
-        apd = self._apd_counts(y).astype(jnp.int32)
+        apd = apd.astype(jnp.int32)
 
         if axis_name is not None:
             psd_mean = jax.lax.pmean(psd_mean, axis_name)
@@ -464,28 +527,13 @@ class WidebandMonitor:
 
     def _chunk_stats(self, y):
         """channelizer + statistics of one resampled chunk."""
-        d = self.design
-        nfft_big = self._nfft_big
-        n_frames = y.shape[0] // nfft_big
-        frames = y[: n_frames * nfft_big].reshape(n_frames, nfft_big)
-        wind = (self._w_ch / nfft_big).astype(frames.dtype)
-        Y = self._fft(frames * wind[None, :], axis=1)
-        spg = Y.real * Y.real + Y.imag * Y.imag
-
-        sb = self._skip_bins
-        Xa = spg[:, sb // 2 : spg.shape[1] - sb // 2] if sb else spg
-        ch = Xa.reshape(n_frames, d.channel_count, d.analysis_bins_per_channel)
-        channel_power = ch.sum(axis=2)
-
-        apd = self._apd_counts(y).astype(jnp.float32)
-
-        psd_dB = 10.0 * jnp.log10(spg + 1e-25)
+        channel_power, psd_dB_sum, psd_dB_max, apd, n_frames = self._chan_apd(y)
         return {
             'channel_power_sum': channel_power.sum(axis=0),
             'channel_power_max': channel_power.max(axis=0),
-            'psd_sum': psd_dB.sum(axis=0),
-            'psd_max': psd_dB.max(axis=0),
-            'apd_counts': apd,
+            'psd_sum': psd_dB_sum,
+            'psd_max': psd_dB_max,
+            'apd_counts': apd.astype(jnp.float32),
             'n_frames': jnp.asarray(float(n_frames), jnp.float32),
         }
 

@@ -1,0 +1,237 @@
+"""Pallas TPU kernel: channelizer spectrogram statistics in one pass.
+
+Stages 2-5 of the WidebandMonitor step read the resampled stream y
+several times through XLA: channelizer frames + window + FFT (one pass),
+|Y|^2 spectrogram (materialized), dB conversion + mean/max (two more),
+channel reshape-sums, and the APD's power + detector binning (another
+read of y). This kernel does all of it in a single pass over y:
+
+    per frame (nfft_big = a*128 samples, viewed (a, 128) in VMEM):
+      binned detector power     p_bin = mean(|y|^2 over navg)
+      windowed four-step FFT    D[k1, k2] (factored coordinates)
+      spectrogram               spg = |D|^2
+      accumulate                sum(log(spg + eps)), max(spg)
+      channel power             sum over each channel's bin group
+
+The four-step split is chosen as a = nfft_big // 128, b = 128 so the
+natural (a, 128) tile IS the factored layout — no transpose anywhere,
+and the (k1, k2) -> k2*a + k1 unscramble happens on host-side numpy on
+the tiny accumulator arrays. Mean/max of dB commute through the
+factored permutation (mean of logs accumulates; max is monotonic in
+log).
+
+Reference semantics: fourier.py:1330-1415 (channelize_power) +
+fourier.py:1236 (spectrogram statistics) + figures.py:827-836 (binned
+power for the CCDF), fused TPU-side.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils import lru_cache
+from .fused_ola_pallas import _make_dot, _on_tpu_like
+
+__all__ = ['chan_stats_pallas', 'chan_stats_supported']
+
+_LANES = 128
+_EPS = 1e-25
+
+
+def chan_stats_supported(
+    nfft_big: int, channel_count: int, skip_bins: int, navg: int
+) -> bool:
+    """the kernel covers the monitor's hot configuration: full-band
+    analysis (no bin trim), 128 | nfft_big with a >= 8 sublane rows,
+    whole channels per k2 lane group, and navg dividing one lane row."""
+    if skip_bins != 0 or nfft_big % _LANES:
+        return False
+    a = nfft_big // _LANES
+    bins_per_ch = nfft_big // channel_count
+    return (
+        a >= 8
+        and a % 8 == 0
+        and nfft_big % channel_count == 0
+        and bins_per_ch % a == 0
+        and navg >= 1
+        and _LANES % navg == 0
+    )
+
+
+@lru_cache()
+def _chan_constants(nfft_big: int, w_key: bytes):
+    a = nfft_big // _LANES
+    b = _LANES
+    w = np.frombuffer(w_key, dtype='complex64').reshape(a, b)
+
+    i1 = np.arange(a)
+    i2 = np.arange(b)
+    Fa = np.exp(-2j * np.pi * np.outer(i1, i1) / a).astype('complex64')
+    W = np.exp(-2j * np.pi * np.outer(i1, i2) / nfft_big).astype('complex64')
+    Fb = np.exp(-2j * np.pi * np.outer(i2, i2) / b).astype('complex64')
+
+    def planes(x):
+        x = np.ascontiguousarray(x)
+        return x.real.astype('float32'), x.imag.astype('float32')
+
+    consts = []
+    consts += planes(w)
+    consts += planes(Fa)
+    consts += planes(W)
+    consts += planes(Fb)
+    return a, b, tuple(consts)
+
+
+@lru_cache()
+def _group_matrix(b: int, group: int, scale: float):
+    """(b, b) matrix summing consecutive ``group``-lane blocks into the
+    leading b//group output lanes — lane-group reductions as one MXU dot
+    (Mosaic rejects the lane-splitting reshape formulation)."""
+    G = np.zeros((b, b), 'float32')
+    for j in range(b):
+        G[j, j // group] = scale
+    return G
+
+
+def _chan_stats_kernel(
+    yr, yi, war, wai, far, fai, twr, twi, fbr, fbi, gbin, gch,
+    lsum, smax, chp, pbin,
+    *, T, a, b, nch, navg, passes,
+):
+    dot = _make_dot(passes)
+    # exact-leaning precision for the tiny grouping dots (counts feed an
+    # exact histogram comparison)
+    dot6 = _make_dot(6)
+
+    YR = yr[...].reshape(T, a, b)
+    YI = yi[...].reshape(T, a, b)
+
+    # detector-binned power of the raw stream (time domain): the
+    # consecutive-navg lane-group means as one MXU dot (gbin maps lane
+    # groups onto the leading b//navg lanes); pad lanes forced to +inf
+    # so a histogram of the padded layout stays well-defined
+    p = YR * YR + YI * YI
+    pb = dot6(p, gbin[...])  # (T, a, b), first b//navg lanes live
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T * a, b), 1)
+    pbin[...] = jnp.where(
+        lane < b // navg, pb.reshape(T * a, b), jnp.inf
+    )
+
+    # windowed four-step FFT in factored (k1, k2) coordinates
+    xr = YR * war[...][None] - YI * wai[...][None]
+    xi = YR * wai[...][None] + YI * war[...][None]
+    FAR = jnp.broadcast_to(far[...][None], (T, a, a))
+    FAI = jnp.broadcast_to(fai[...][None], (T, a, a))
+    br = dot(FAR, xr) - dot(FAI, xi)
+    bi = dot(FAR, xi) + dot(FAI, xr)
+    cr = br * twr[...][None] - bi * twi[...][None]
+    ci = br * twi[...][None] + bi * twr[...][None]
+    dr = dot(cr, fbr[...]) - dot(ci, fbi[...])
+    di = dot(cr, fbi[...]) + dot(ci, fbr[...])
+    spg = dr * dr + di * di  # (T, a, b): |FFT|^2 at bin k2*a + k1
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        lsum[...] = jnp.zeros_like(lsum)
+        smax[...] = jnp.zeros_like(smax)  # spg >= 0
+
+    lsum[...] += jnp.sum(jnp.log(spg + _EPS), axis=0)
+    smax[...] = jnp.maximum(smax[...], jnp.max(spg, axis=0))
+
+    # channel power: bin k = k2*a + k1 -> channel k2 // g with
+    # g = lanes per channel (bins_per_channel // a); the lane-group sum
+    # is the gch dot, zero-padded to the full lane row by construction
+    chp[...] = dot6(jnp.sum(spg, axis=1), gch[...])
+
+
+def chan_stats_pallas(
+    y,
+    *,
+    nfft_big: int,
+    channel_count: int,
+    window: np.ndarray,
+    navg: int = 1,
+    precision='high',
+    frames_per_block: int = 8,
+    interpret: bool = None,
+):
+    """single-pass channelizer statistics of a resampled stream.
+
+    y: (S,) complex64 with S a multiple of nfft_big.
+    window: complex (nfft_big,) channelizer window (normalization and
+        fftshift baked in, as WidebandMonitor._w_ch / nfft_big).
+
+    Returns dict:
+        psd_log_sum: (nfft_big,) sum over frames of ln(spg + 1e-25),
+            natural bin order
+        psd_max: (nfft_big,) max over frames of spg, natural bin order
+        channel_power: (frames, channel_count) raw per-channel power
+        p_binned: (S // navg,) detector-binned |y|^2 (padding removed)
+    """
+    if interpret is None:
+        interpret = not _on_tpu_like()
+    w = np.asarray(window, dtype='complex64')
+    a, b, consts = _chan_constants(nfft_big, w.tobytes())
+    gbin = _group_matrix(b, navg, 1.0 / navg)
+    gch = _group_matrix(b, b // channel_count, 1.0)
+    consts = consts + (gbin, gch)
+
+    M = y.shape[0] // nfft_big
+    T = max(1, frames_per_block)
+    while M % T:
+        T //= 2
+    yr = y.real.reshape(M * a, b)
+    yi = y.imag.reshape(M * a, b)
+
+    in_spec = pl.BlockSpec((T * a, b), lambda m: (m, 0))
+    acc_spec = pl.BlockSpec((a, b), lambda m: (0, 0))
+
+    def const_spec(c):
+        return pl.BlockSpec(c.shape, lambda m: (0, 0))
+
+    lsum, smax, chp, pbin = pl.pallas_call(
+        functools.partial(
+            _chan_stats_kernel,
+            T=T, a=a, b=b, nch=channel_count, navg=navg,
+            passes={'highest': 6, 'high': 3, 'default': 1}.get(
+                precision if isinstance(precision, str) else 'highest', 3
+            ),
+        ),
+        grid=(M // T,),
+        in_specs=[in_spec, in_spec] + [const_spec(c) for c in consts],
+        out_specs=[
+            acc_spec,
+            acc_spec,
+            pl.BlockSpec((T, b), lambda m: (m, 0)),
+            pl.BlockSpec((T * a, b), lambda m: (m, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((a, b), jnp.float32),
+            jax.ShapeDtypeStruct((a, b), jnp.float32),
+            jax.ShapeDtypeStruct((M, b), jnp.float32),
+            jax.ShapeDtypeStruct((M * a, b), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),
+        ),
+        interpret=interpret,
+    )(yr, yi, *consts)
+
+    # factored (k1, k2) -> natural k = k2*a + k1 is a transpose of the
+    # tiny accumulator blocks
+    psd_log_sum = lsum.T.reshape(-1)
+    psd_max = smax.T.reshape(-1)
+    channel_power = chp[:, :channel_count]
+    p_binned = pbin[:, : b // navg].reshape(-1)
+    return {
+        'psd_log_sum': psd_log_sum,
+        'psd_max': psd_max,
+        'channel_power': channel_power,
+        'p_binned': p_binned,
+    }

@@ -34,9 +34,14 @@ def measure(step, x):
         return time.perf_counter() - t0
 
     t_compile = run_and_fence(1)
-    t_lo = run_and_fence(2)
-    t_hi = run_and_fence(12)
-    return (t_hi - t_lo) / 10, t_compile
+    run_and_fence(2)
+    dts = []
+    for _ in range(3):
+        t_lo = run_and_fence(2)
+        t_hi = run_and_fence(12)
+        dts.append((t_hi - t_lo) / 10)
+    dts.sort()
+    return dts[1], t_compile
 
 
 def main():
@@ -47,11 +52,13 @@ def main():
     from iqwaveform_tpu.utils import unpack_iq
 
     precision = sys.argv[1] if len(sys.argv) > 1 else 'highest'
+    ola_kernel = sys.argv[2] if len(sys.argv) > 2 else 'matmul'
+    apd_kernel = sys.argv[3] if len(sys.argv) > 3 else 'sort'
     design = design_wideband_monitor(
         122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6,
         channel_count=16, fft_size_per_channel=256, window='hamming',
         apd_bins=2048, apd_navg=16, fft_backend='mxu', min_fft_size=8191,
-        fft_precision=precision,
+        fft_precision=precision, ola_kernel=ola_kernel, apd_kernel=apd_kernel,
     )
     mon = WidebandMonitor(design)
     print(f'nfft={design.nfft}->{design.nfft_out}', file=sys.stderr)
@@ -74,7 +81,7 @@ def main():
             bounds_in=mon._bounds_in, bounds_out=mon._bounds_out,
             zero_lo=mon._zero_lo, zero_hi=mon._zero_hi,
             axis_name=None, fft_fn=mon._fft, ifft_fn=mon._ifft,
-            fused_fn=mon._fused_ola,
+            fused_fn=mon._fused_ola, fused_raw_fn=mon._fused_ola_raw,
         )
         return _fence_vec(y * y.conj())
 
@@ -101,7 +108,7 @@ def main():
             bounds_in=mon._bounds_in, bounds_out=mon._bounds_out,
             zero_lo=mon._zero_lo, zero_hi=mon._zero_hi,
             axis_name=None, fft_fn=mon._fft, ifft_fn=mon._ifft,
-            fused_fn=mon._fused_ola,
+            fused_fn=mon._fused_ola, fused_raw_fn=mon._fused_ola_raw,
         )
         nfft_big = mon._nfft_big
         n_frames = y.shape[0] // nfft_big

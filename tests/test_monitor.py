@@ -226,3 +226,49 @@ def test_monitor_sharded_step_with_pallas_kernels():
     cp_s = np.asarray(out_s['channel_power_mean'])[0]
     cp_1 = np.asarray(out_1['channel_power_mean'])
     np.testing.assert_allclose(cp_s, cp_1, atol=1e-5 * cp_1.max())
+
+
+def test_monitor_chan_kernel_matches_xla():
+    """chan_kernel='pallas' (interpret on CPU) must match the XLA
+    channelizer path: exact APD, close channel power, in-band psd."""
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=256,
+        apd_navg=16, fft_backend='mxu', min_fft_size=8191,
+    )
+    m1 = WidebandMonitor(design)
+    m2 = WidebandMonitor(dataclasses.replace(design, chan_kernel='pallas'))
+    assert m2._chan_stats is not None, 'chan pallas path did not arm'
+
+    n = m1.min_input_multiple()
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        'complex64'
+    )
+    o1 = jax.jit(m1.step)(jnp.asarray(x))
+    o2 = jax.jit(m2.step)(jnp.asarray(x))
+
+    np.testing.assert_array_equal(
+        np.asarray(o1['apd_counts']), np.asarray(o2['apd_counts'])
+    )
+    cp1 = np.asarray(o1['channel_power'])
+    np.testing.assert_allclose(
+        cp1, np.asarray(o2['channel_power']), atol=1e-5 * cp1.max()
+    )
+    psd1, psd2 = np.asarray(o1['psd_mean']), np.asarray(o2['psd_mean'])
+    inband = psd1 > -100
+    assert inband.sum() > 1000
+    np.testing.assert_allclose(psd1[inband], psd2[inband], atol=0.01)
+    mx1, mx2 = np.asarray(o1['psd_max']), np.asarray(o2['psd_max'])
+    np.testing.assert_allclose(mx1[inband], mx2[inband], atol=0.01)
+
+
+def test_monitor_chan_kernel_unsupported_config_raises():
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, analysis_bins_per_channel=192,
+        window='hamming', fft_backend='mxu', min_fft_size=8191,
+        chan_kernel='pallas',
+    )
+    with pytest.raises(ValueError, match='full-band'):
+        WidebandMonitor(design)
