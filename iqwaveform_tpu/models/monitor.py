@@ -352,7 +352,7 @@ class WidebandMonitor:
         nfft_big = self._nfft_big
         n_frames = y.shape[0] // nfft_big
 
-        if self._chan_stats is not None:
+        if self._chan_stats is not None and n_frames % 8 == 0:
             cs = self._chan_stats(y[: n_frames * nfft_big])
             channel_power = cs['channel_power']
             psd_dB_sum = (10.0 / float(np.log(10.0))) * cs['psd_log_sum']

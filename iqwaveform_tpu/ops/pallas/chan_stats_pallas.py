@@ -158,7 +158,7 @@ def chan_stats_pallas(
     window: np.ndarray,
     navg: int = 1,
     precision='high',
-    frames_per_block: int = 8,
+    frames_per_block: int = 16,
     interpret: bool = None,
 ):
     """single-pass channelizer statistics of a resampled stream.
@@ -183,9 +183,15 @@ def chan_stats_pallas(
     consts = consts + (gbin, gch)
 
     M = y.shape[0] // nfft_big
-    T = max(1, frames_per_block)
-    while M % T:
-        T //= 2
+    # the per-frame channel-power output block has T sublane rows, so T
+    # must stay a multiple of 8 (and divide the frame count)
+    T = max(8, (frames_per_block // 8) * 8)
+    while T >= 8 and M % T:
+        T -= 8
+    if T < 8:
+        raise ValueError(
+            'chan_stats_pallas requires the frame count to be a multiple of 8'
+        )
     yr = y.real.reshape(M * a, b)
     yi = y.imag.reshape(M * a, b)
 

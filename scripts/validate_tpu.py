@@ -187,6 +187,34 @@ def main():
         print('fused_ola pallas (tpu)          EXCEPTION:',
               f'{type(e).__name__}: {str(e)[:100]}', flush=True)
 
+    # --- channelizer-statistics pallas kernel ---
+    from iqwaveform_tpu.ops.pallas.chan_stats_pallas import chan_stats_pallas
+
+    nfft_big = dsn.fft_size_per_channel * dsn.channel_count
+    S = nfft_big * 16
+    ys = (rng.standard_normal(S) + 1j * rng.standard_normal(S)).astype(
+        'complex64'
+    )
+    w_ch = np.asarray(monf._w_ch) / nfft_big
+    cs_fn = jax.jit(
+        lambda p: chan_stats_pallas(
+            jax.lax.complex(p[0], p[1]), nfft_big=nfft_big,
+            channel_count=dsn.channel_count, window=w_ch,
+            navg=dsn.apd_navg, precision='high',
+        )['channel_power']
+    )
+    frames_h = (ys.reshape(-1, nfft_big) * w_ch)
+    spg_h = np.abs(np.fft.fft(frames_h, axis=1)) ** 2
+    exp_cp = spg_h.reshape(-1, dsn.channel_count, nfft_big // dsn.channel_count).sum(2)
+    ys_planes = jnp.asarray(pack_iq_f32(ys)).reshape(2, S)
+    try:
+        check('chan_stats pallas (tpu)', cs_fn(ys_planes),
+              exp_cp.astype('float32'), 1e-4 * float(exp_cp.max()))
+    except Exception as e:
+        failures.append('chan_stats pallas')
+        print('chan_stats pallas (tpu)         EXCEPTION:',
+              f'{type(e).__name__}: {str(e)[:100]}', flush=True)
+
     # --- edge-compare histogram pallas kernel ---
     from iqwaveform_tpu.ops.pallas.hist_pallas import histogram_edge_counts_pallas
     from iqwaveform_tpu.ops.power import histogram_edge_counts
@@ -209,7 +237,8 @@ def main():
         2e6, 1e6, bw=0.8e6, channel_count=4, fft_size_per_channel=64,
         window='hamming', apd_bins=256, min_fft_size=255, fs_sdr=2e6,
         apd_kernel='pallas',
-    )
+    )  # chan_kernel stays 'xla' here: 4x64 channelizer is below the
+    # kernel's 128-lane layout minimum
     mon = WidebandMonitor(design)
     m = mon.min_input_multiple() * 8
     xm = (rng.standard_normal(m) + 1j * rng.standard_normal(m)).astype('complex64')

@@ -240,7 +240,14 @@ def test_monitor_chan_kernel_matches_xla():
     m2 = WidebandMonitor(dataclasses.replace(design, chan_kernel='pallas'))
     assert m2._chan_stats is not None, 'chan pallas path did not arm'
 
-    n = m1.min_input_multiple()
+    # the kernel requires a multiple of 8 frames (fewer falls back to
+    # XLA, which would make this comparison vacuous)
+    n = m1.min_input_multiple() * 8
+    hop_out = design.nfft_out - m1.noverlap_out
+    n_frames = (n // m1.hop_in) * hop_out // (
+        design.fft_size_per_channel * design.channel_count
+    )
+    assert n_frames % 8 == 0 and n_frames >= 8
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
         'complex64'
