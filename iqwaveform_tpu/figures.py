@@ -88,19 +88,19 @@ def _prune_ticks(ticks: tuple, count: int, prefer: tuple = tuple()) -> np.ndarra
     """prune ticks to `count`, spreading them evenly while preserving the
     `prefer` list when possible (reference figures.py:68-95)."""
     ticks = np.array(ticks).copy()
-    prefer = np.array(prefer)
-    while count < len(ticks):
-        diffs = np.nanmin(
-            np.vstack([np.diff(ticks, prepend=np.nan), np.diff(ticks, append=np.nan)]),
-            axis=0,
-        )
+    keep = set(np.array(prefer)[: min(len(prefer), count)].tolist())
 
-        for i in np.argsort(diffs):
-            if ticks[i] not in prefer[: min(len(prefer), count)]:
-                ticks = np.delete(ticks, i)
-                break
-        else:
+    def crowding(t):
+        gap_left = np.diff(t, prepend=np.nan)
+        gap_right = np.diff(t, append=np.nan)
+        return np.fmin(gap_left, gap_right)
+
+    while len(ticks) > count:
+        order = np.argsort(crowding(ticks))
+        removable = [i for i in order if ticks[i] not in keep]
+        if not removable:
             break
+        ticks = np.delete(ticks, removable[0])
 
     return ticks
 
@@ -307,65 +307,54 @@ def contiguous_segments(df, index_level, threshold=7, relative=True):
     return [df.iloc[i0:i1] for i0, i1 in zip(*i_segments)]
 
 
+def _axis_of(ax, which: str):
+    try:
+        return {'x': ax.xaxis, 'y': ax.yaxis}[which]
+    except KeyError:
+        raise ValueError(f'"which" must be "x" or "y", but got "{which!r}"')
+
+
 def _has_tick_label_collision(ax, which: str, spacing_threshold=10):
     """check whether tick labels overlap along an axis
     (reference figures.py:298-329)."""
-    fig = ax.get_figure()
-
-    if which == 'x':
-        the_ax = ax.xaxis
-    elif which == 'y':
-        the_ax = ax.yaxis
-    else:
-        raise ValueError(f'"which" must be "x" or "y", but got "{repr(which)}"')
-
-    boxen = [
-        t.get_tightbbox(fig.canvas.get_renderer()) for t in the_ax.get_ticklabels()
-    ]
-
-    if which == 'x':
-        boxen = np.array([(b.x0, b.x1) for b in boxen])
-    else:
-        boxen = np.array([(b.y0, b.y1) for b in boxen])
-
-    spacing = boxen[1:, 0] - boxen[:-1, 1]
-
-    return np.min(spacing) < spacing_threshold
+    renderer = ax.get_figure().canvas.get_renderer()
+    lo_hi = []
+    for label in _axis_of(ax, which).get_ticklabels():
+        bbox = label.get_tightbbox(renderer)
+        lo_hi.append((bbox.x0, bbox.x1) if which == 'x' else (bbox.y0, bbox.y1))
+    lo_hi = np.array(lo_hi)
+    gaps = lo_hi[1:, 0] - lo_hi[:-1, 1]
+    return gaps.min() < spacing_threshold
 
 
 def rotate_ticklabels_on_collision(ax, which: str, angles: list, spacing_threshold=3):
-    """(reference figures.py:332-366)"""
+    """step through candidate label rotations until labels stop
+    colliding (reference figures.py:332-366)."""
     from matplotlib import pyplot as plt
 
-    def set_rotation(the_ax, angle):
+    the_ax = _axis_of(ax, which)
+
+    def apply(angle):
+        align = {}
+        if angle == 90:
+            align = (
+                {'verticalalignment': 'center'}
+                if which == 'y'
+                else {'horizontalalignment': 'right'}
+            )
         for label in the_ax.get_ticklabels():
             label.set_rotation(angle)
-            if which == 'y' and angle == 90:
-                label.set_verticalalignment('center')
-            elif which == 'x' and angle == 90:
-                label.set_horizontalalignment('right')
+            label.set(**align)
 
-    if which == 'x':
-        the_ax = ax.xaxis
-    elif which == 'y':
-        the_ax = ax.yaxis
-    else:
-        raise ValueError(f'"which" argument must be "x" or "y", but got "{repr(which)}"')
-
-    set_rotation(the_ax, angles[0])
-    if len(angles) == 1:
-        return angles[0]
-
-    a = angles[0]
-    for angle in angles[1:]:
+    chosen, *fallbacks = angles
+    apply(chosen)
+    for angle in fallbacks:
         plt.draw()
-
-        if _has_tick_label_collision(ax, which, spacing_threshold):
-            a = angle
-            set_rotation(the_ax, angle)
-        else:
+        if not _has_tick_label_collision(ax, which, spacing_threshold):
             break
-    return a
+        chosen = angle
+        apply(angle)
+    return chosen
 
 
 def xaxis_concise_dates(fig, ax, adjacent_offset: bool = True):
@@ -375,23 +364,21 @@ def xaxis_concise_dates(fig, ax, adjacent_offset: bool = True):
     formatter = mpl.dates.ConciseDateFormatter(
         mpl.dates.AutoDateLocator(), show_offset=True
     )
-
-    if adjacent_offset:
-        plt.xticks(rotation=0, ha='right')
     ax.xaxis.set_major_formatter(formatter)
 
+    if not adjacent_offset:
+        plt.draw()
+        return ax
+
+    # fold the date offset into the first label instead of the corner
+    plt.xticks(rotation=0, ha='right')
     plt.draw()
+    texts = [t.get_text() for t in ax.get_xticklabels()]
+    ax.set_xticklabels([f'{formatter.get_offset()} {texts[0]}', *texts[1:]])
 
-    if adjacent_offset:
-        labels = [item.get_text() for item in ax.get_xticklabels()]
-        labels[0] = f'{formatter.get_offset()} {labels[0]}'
-        ax.set_xticklabels(labels)
-
-        dx = 5 / 72.0
-        dy = 0.0
-        offset = mpl.transforms.ScaledTranslation(dx, dy, fig.dpi_scale_trans)
-        for label in ax.get_xticklabels():
-            label.set_transform(label.get_transform() + offset)
+    nudge = mpl.transforms.ScaledTranslation(5 / 72.0, 0.0, fig.dpi_scale_trans)
+    for label in ax.get_xticklabels():
+        label.set_transform(label.get_transform() + nudge)
 
     return ax
 
@@ -417,14 +404,11 @@ def pcolormesh_df(
     from matplotlib import pyplot as plt
 
     if ax is None:
-        fig, ax = plt.subplots()
-
-    X = df.columns.values
-    Y = df.index.values
+        _, ax = plt.subplots()
 
     drawing = ax.pcolormesh(
-        X,
-        Y,
+        df.columns.values,
+        df.index.values,
         df.values,
         vmin=vmin,
         vmax=vmax,
@@ -434,26 +418,25 @@ def pcolormesh_df(
         edgecolors='none',
     )
 
-    if xlabel is not False:
-        ax.set_xlabel(df.columns.name if xlabel is None else xlabel)
-
-    if ylabel is not False:
-        ax.set_ylabel(df.index.name if ylabel is None else ylabel)
-
     if title is not None:
         ax.set_title(title)
 
-    if x_unit is not None:
-        ax.xaxis.set_major_formatter(
-            mpl.ticker.EngFormatter(unit=x_unit, useMathText=True, places=x_places)
+    # per-axis labeling + engineering-unit formatting, driven by a table
+    # of (label request, default label text, unit, places, fallback
+    # rotations to try on label collision)
+    axis_table = {
+        'x': (xlabel, df.columns.name, x_unit, x_places, [0, 25]),
+        'y': (ylabel, df.index.name, y_unit, y_places, [90, 65, 0]),
+    }
+    for which, (label, default, unit, places, rotations) in axis_table.items():
+        if label is not False:
+            getattr(ax, f'set_{which}label')(default if label is None else label)
+        if unit is None:
+            continue
+        _axis_of(ax, which).set_major_formatter(
+            mpl.ticker.EngFormatter(unit=unit, useMathText=True, places=places)
         )
-        rotate_ticklabels_on_collision(ax, 'x', [0, 25])
-
-    if y_unit is not None:
-        ax.yaxis.set_major_formatter(
-            mpl.ticker.EngFormatter(unit=y_unit, useMathText=True, places=y_places)
-        )
-        rotate_ticklabels_on_collision(ax, 'y', [90, 65, 0])
+        rotate_ticklabels_on_collision(ax, which, rotations)
 
     return drawing
 
@@ -606,31 +589,9 @@ def plot_power_histogram_heatmap(
 
     index_type = type(rolling_histogram.index[0])
 
-    # quantize the color map levels to the number of bins
-    bad_color = '0.95'
-    cmap = _get_cmap('magma')
-    if hasattr(cmap, 'colors') and rolling_histogram.shape[1] < cmap.N:
-        subset = np.linspace(
-            0, len(cmap.colors) - 1, rolling_histogram.shape[1], dtype=int
-        )
-        newcolors = np.array(cmap.colors)[subset].tolist()
-        cmap = mpl.colors.ListedColormap(newcolors)
-        cmap.set_bad(bad_color)
-
-    if log_counts:
-        if np.issubdtype(rolling_histogram.values.dtype, np.integer):
-            plot_norm = mpl.colors.LogNorm(vmin=1, vmax=rolling_histogram.max().max())
-        else:
-            plot_norm = mpl.colors.LogNorm(
-                vmin=rolling_histogram[rolling_histogram > 0].min().min(),
-                vmax=rolling_histogram.max().max(),
-            )
-    else:
-        plot_norm = None
-
     pc_kws = dict(
-        cmap=cmap,
-        norm=plot_norm,
+        cmap=_quantized_count_cmap(rolling_histogram.shape[1]),
+        norm=_count_norm(rolling_histogram, log_counts),
         rasterized=rasterized,
         xlabel=xlabel,
         ylabel=ylabel,
@@ -640,52 +601,38 @@ def plot_power_histogram_heatmap(
         x_places=x_places,
     )
 
+    # choose time-axis chunks: timestamp captures split at gaps so they
+    # are not painted over; timedelta indexes become plain seconds/hours
     if issubclass(index_type, pd.Timestamp):
-        # split into contiguous segments so gaps are not painted over
-        if contiguous_threshold is not None:
-            segments = contiguous_segments(
+        if contiguous_threshold is None:
+            chunks = [rolling_histogram]
+        else:
+            chunks = contiguous_segments(
                 rolling_histogram, 'Time', threshold=contiguous_threshold
             )
-        else:
-            segments = [rolling_histogram]
-
-        for hist_sub in segments:
-            c = pcolormesh_df(hist_sub.T, **pc_kws)
-
     elif issubclass(index_type, pd.Timedelta):
-        if rolling_histogram.index[1] - rolling_histogram.index[0] < pd.Timedelta(
+        seconds = rolling_histogram.index.total_seconds()
+        fine = rolling_histogram.index[1] - rolling_histogram.index[0] < pd.Timedelta(
             seconds=3600
-        ):
-            t = rolling_histogram.index.total_seconds() / 3600
-        else:
-            t = rolling_histogram.index.total_seconds()
-
-        hist_sub = pd.DataFrame(
-            rolling_histogram.values, index=t, columns=rolling_histogram.columns
         )
-        c = pcolormesh_df(hist_sub.T, **pc_kws)
-    else:
-        c = pcolormesh_df(rolling_histogram.T, **pc_kws)
-
-    if cbar:
-        cb = fig.colorbar(c, ax=ax, extend='min', extendrect=True)
-        if log_counts:
-            formatter = mpl.ticker.LogFormatterSciNotation(
-                minor_thresholds=(1, 2, 5), labelOnlyBase=False
+        chunks = [
+            pd.DataFrame(
+                rolling_histogram.values,
+                index=seconds / 3600 if fine else seconds,
+                columns=rolling_histogram.columns,
             )
-            cb.ax.yaxis.set_major_formatter(formatter)
-            cb.ax.yaxis.set_minor_formatter(formatter)
-        else:
-            formatter = mpl.ticker.ScalarFormatter(useMathText=True)
-            cb.ax.yaxis.set_major_formatter(formatter)
-            cb.ax.ticklabel_format(style='sci', scilimits=(6, 6))
-            cb.ax.yaxis.get_offset_text().set_position((0, 1.01))
-            cb.ax.yaxis.get_offset_text().set_horizontalalignment('left')
-            cb.ax.yaxis.get_offset_text().set_verticalalignment('bottom')
-
-        cb.set_label(clabel, labelpad=-16, y=-0.08, rotation=0, va='top', ha='right')
+        ]
     else:
-        cb = None
+        chunks = [rolling_histogram]
+
+    for chunk in chunks:
+        c = pcolormesh_df(chunk.T, **pc_kws)
+
+    cb = (
+        _style_count_colorbar(fig, c, ax, log_counts=log_counts, clabel=clabel)
+        if cbar
+        else None
+    )
 
     # x-axis date handling
     if issubclass(index_type, pd.Timestamp):
@@ -694,6 +641,45 @@ def plot_power_histogram_heatmap(
         plt.draw()
 
     return ax, c
+
+
+def _quantized_count_cmap(n_levels: int, name='magma', bad_color='0.95'):
+    """quantize a listed colormap down to the bin count."""
+    cmap = _get_cmap(name)
+    if not hasattr(cmap, 'colors') or n_levels >= cmap.N:
+        return cmap
+    picks = np.linspace(0, len(cmap.colors) - 1, n_levels, dtype=int)
+    quantized = mpl.colors.ListedColormap(np.array(cmap.colors)[picks].tolist())
+    quantized.set_bad(bad_color)
+    return quantized
+
+
+def _count_norm(hist, log_counts: bool):
+    if not log_counts:
+        return None
+    top = hist.max().max()
+    if np.issubdtype(hist.values.dtype, np.integer):
+        return mpl.colors.LogNorm(vmin=1, vmax=top)
+    return mpl.colors.LogNorm(vmin=hist[hist > 0].min().min(), vmax=top)
+
+
+def _style_count_colorbar(fig, drawing, ax, *, log_counts: bool, clabel):
+    cb = fig.colorbar(drawing, ax=ax, extend='min', extendrect=True)
+    cax = cb.ax.yaxis
+    if log_counts:
+        formatter = mpl.ticker.LogFormatterSciNotation(
+            minor_thresholds=(1, 2, 5), labelOnlyBase=False
+        )
+        cax.set_major_formatter(formatter)
+        cax.set_minor_formatter(formatter)
+    else:
+        cax.set_major_formatter(mpl.ticker.ScalarFormatter(useMathText=True))
+        cb.ax.ticklabel_format(style='sci', scilimits=(6, 6))
+        cax.get_offset_text().set(
+            position=(0, 1.01), horizontalalignment='left', verticalalignment='bottom'
+        )
+    cb.set_label(clabel, labelpad=-16, y=-0.08, rotation=0, va='top', ha='right')
+    return cb
 
 
 def plot_power_ccdf(
