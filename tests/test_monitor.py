@@ -279,3 +279,47 @@ def test_monitor_chan_kernel_unsupported_config_raises():
     )
     with pytest.raises(ValueError, match='full-band'):
         WidebandMonitor(design)
+
+
+def test_monitor_streaming_accumulate_with_fast_kernels():
+    """chunk-exact streaming must match one-shot step() with all pallas
+    kernels armed (interpret on CPU)."""
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=128,
+        apd_navg=16, fft_backend='mxu', min_fft_size=8191,
+        ola_kernel='pallas', apd_kernel='pallas', chan_kernel='pallas',
+        fft_precision='high',
+    )
+    mon = WidebandMonitor(design)
+    chunk = mon.min_input_multiple() * 8
+    n_chunks = 2
+    rng = np.random.default_rng(3)
+    x = (
+        rng.standard_normal(chunk * n_chunks)
+        + 1j * rng.standard_normal(chunk * n_chunks)
+    ).astype('complex64')
+
+    one_shot = jax.jit(mon.step)(jnp.asarray(x))
+
+    acc = jax.jit(mon.accumulate_step)
+    carry = mon.init_carry(chunk)
+    for k in range(n_chunks):
+        carry = acc(carry, jnp.asarray(x[k * chunk : (k + 1) * chunk]))
+    out = jax.jit(mon.flush)(carry)
+
+    np.testing.assert_array_equal(
+        np.asarray(one_shot['apd_counts']),
+        np.asarray(out['apd_counts']).astype(int),
+    )
+    cp1 = np.asarray(one_shot['channel_power_mean'])
+    np.testing.assert_allclose(
+        cp1, np.asarray(out['channel_power_mean']), atol=1e-5 * cp1.max()
+    )
+    psd1 = np.asarray(one_shot['psd_mean'])
+    inband = psd1 > -100
+    # one-shot OLA uses the pallas 3-pass kernel while the streaming
+    # chunk path uses the XLA HIGH einsums: two valid 3-pass roundings
+    np.testing.assert_allclose(
+        psd1[inband], np.asarray(out['psd_mean'])[inband], atol=0.05
+    )
