@@ -312,6 +312,54 @@ class WidebandMonitor:
                 f"chan_kernel must be 'xla' or 'pallas', not {d.chan_kernel!r}"
             )
 
+        # fully-packed fast path: when both kernels are armed and the
+        # shapes align, the complex resampled stream never materializes —
+        # the packed-planes OLA kernel output feeds a row-shifted
+        # overlap-add and the packed channelizer kernel directly
+        self._packed_ola = None
+        self._chan_stats_packed = None
+        if self._chan_stats is not None and d.ola_kernel == 'pallas':
+            from ..ops.pallas.chan_stats_pallas import chan_stats_packed_pallas
+            from ..ops.pallas.fused_ola_pallas import (
+                fused_ola_packed,
+                fused_ola_packed_supported,
+            )
+
+            hop_out = d.nfft_out - self.noverlap_out
+            if (
+                fused_ola_packed_supported(
+                    d.nfft, d.nfft_out, self._bounds_in, self._bounds_out
+                )
+                and hop_out % 128 == 0
+                and self.noverlap_out % 128 == 0
+            ):
+                import functools as _ft
+
+                wind = (
+                    self._w_in / np.abs(self._w_in[:: self.hop_in]).sum()
+                ).astype('complex64')
+                prec = d.fft_precision
+                self._packed_ola = _ft.partial(
+                    fused_ola_packed,
+                    nfft=d.nfft,
+                    nfft_out=d.nfft_out,
+                    zero_lo=self._zero_lo,
+                    zero_hi=self._zero_hi,
+                    bounds_in=self._bounds_in,
+                    bounds_out=self._bounds_out,
+                    w_in=wind,
+                    w_shift_out=np.asarray(self._w_shift_out),
+                    precision=prec,
+                )
+                self._chan_stats_packed = _ft.partial(
+                    chan_stats_packed_pallas,
+                    nfft_big=self._nfft_big,
+                    channel_count=d.channel_count,
+                    window=np.asarray(self._w_ch) / self._nfft_big,
+                    navg=d.apd_navg,
+                    precision=prec,
+                )
+
     def _hist(self, p):
         """APD histogram counts per design.apd_kernel: sort+searchsorted
         or the direct edge-compare Pallas kernel (identical counts,
@@ -376,7 +424,113 @@ class WidebandMonitor:
 
     # ---- core single-signal body (traceable; axis_name=None -> 1 chip) ----
 
+    def _packed_applies(self, n_samples: int) -> bool:
+        """static (trace-time) check that the fully-packed path covers
+        this input length: whole frame groups for the gather-free OLA
+        and a multiple-of-8 channelizer frame count."""
+        if self._packed_ola is None:
+            return False
+        d = self.design
+        hop_in = self.hop_in
+        hop_out = d.nfft_out - self.noverlap_out
+        n_frames = n_samples // hop_in
+        R = d.nfft // hop_in if self.noverlap_in > 0 else 1
+        if self.noverlap_in == 0 or d.nfft % hop_in or n_frames % R:
+            return False
+        if R != d.nfft_out // hop_out:
+            return False
+        chan_frames = n_frames * hop_out // self._nfft_big
+        return (
+            n_frames * hop_out % self._nfft_big == 0
+            and chan_frames % 8 == 0
+            and chan_frames > 0
+        )
+
+    def _body_packed(self, x, axis_name):
+        """the fully-packed monitor body: planes in, packed kernels
+        throughout, no complex intermediate streams."""
+        d = self.design
+        hop_in = self.hop_in
+        hop_out = d.nfft_out - self.noverlap_out
+        S = x.shape[0]
+        n_frames = S // hop_in
+        R = d.nfft // hop_in
+        M1 = n_frames // R
+
+        planes = jnp.stack([x.real, x.imag])  # elided when x came packed
+        if self.noverlap_in > 0:
+            if axis_name is None:
+                halo = jnp.zeros((2, self.noverlap_in), planes.dtype)
+            else:
+                n_dev = jax.lax.axis_size(axis_name)
+                idx = jax.lax.axis_index(axis_name)
+                perm = [((i + 1) % n_dev, i) for i in range(n_dev)]
+                halo = jax.lax.ppermute(
+                    planes[:, : self.noverlap_in], axis_name, perm
+                )
+                halo = jnp.where(idx == n_dev - 1, 0.0, halo)
+            planes = jnp.concatenate([planes, halo], axis=1)
+
+        # gather-free grouped OLA on planes: R shifted contiguous
+        # reshapes in, R row-shifted adds of packed kernel output
+        rows_out = n_frames * hop_out // 128
+        shift_rows = hop_out // 128
+        nov_rows = self.noverlap_out // 128
+        acc = jnp.zeros((rows_out + nov_rows, 256), jnp.float32)
+        for g in range(R):
+            frg = jax.lax.dynamic_slice(
+                planes[0], (g * hop_in,), (M1 * d.nfft,)
+            ).reshape(M1, d.nfft)
+            fig = jax.lax.dynamic_slice(
+                planes[1], (g * hop_in,), (M1 * d.nfft,)
+            ).reshape(M1, d.nfft)
+            pk = self._packed_ola(frg, fig)  # (M1 * nfft_out/128, 256)
+            start = g * shift_rows
+            length = min(pk.shape[0], acc.shape[0] - start)
+            acc = acc.at[start : start + length].add(pk[:length])
+
+        if nov_rows and axis_name is not None:
+            n_dev = jax.lax.axis_size(axis_name)
+            idx = jax.lax.axis_index(axis_name)
+            tail = acc[rows_out:]
+            perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            incoming = jax.lax.ppermute(tail, axis_name, perm)
+            incoming = jnp.where(idx == 0, jnp.zeros_like(incoming), incoming)
+            y_packed = acc[:rows_out].at[:nov_rows].add(incoming)
+        else:
+            y_packed = acc[:rows_out]
+
+        # channelizer + statistics + APD, packed all the way
+        cs = self._chan_stats_packed(y_packed)
+        channel_power = cs['channel_power']
+        n_chan_frames = channel_power.shape[0]
+        psd_mean = (
+            (10.0 / float(np.log(10.0))) * cs['psd_log_sum'] / n_chan_frames
+        )
+        psd_max = 10.0 * jnp.log10(cs['psd_max'] + 1e-25)
+        apd = self._hist(cs['p_binned']).astype(jnp.int32)
+        ch_mean = channel_power.mean(axis=0)
+        ch_max = channel_power.max(axis=0)
+
+        if axis_name is not None:
+            psd_mean = jax.lax.pmean(psd_mean, axis_name)
+            psd_max = jax.lax.pmax(psd_max, axis_name)
+            ch_mean = jax.lax.pmean(ch_mean, axis_name)
+            ch_max = jax.lax.pmax(ch_max, axis_name)
+            apd = jax.lax.psum(apd, axis_name)
+
+        return {
+            'channel_power': channel_power,
+            'channel_power_mean': ch_mean,
+            'channel_power_max': ch_max,
+            'psd_mean': psd_mean,
+            'psd_max': psd_max,
+            'apd_counts': apd,
+        }
+
     def _body_1d(self, x, axis_name):
+        if self._packed_applies(x.shape[0]):
+            return self._body_packed(x, axis_name)
         d = self.design
 
         # stage 1: OLA bandpass + rational resample

@@ -142,8 +142,9 @@ def _fused_ola_constants(
     in_lo: int,
     in_hi: int,
     out_lo: int,
+    factors: tuple = None,
 ):
-    a, b = plan_factors(nfft)
+    a, b = plan_factors(nfft) if factors is None else factors
     b2 = nfft_out // a
 
     # full-width aligned input window: input bin in_start lands on output

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...utils import lru_cache
 from .fused_ola_pallas import _make_dot, _on_tpu_like
 
-__all__ = ['chan_stats_pallas', 'chan_stats_supported']
+__all__ = ['chan_stats_packed_pallas', 'chan_stats_pallas', 'chan_stats_supported']
 
 _LANES = 128
 _EPS = 1e-25
@@ -183,6 +183,53 @@ def chan_stats_pallas(
     consts = consts + (gbin, gch)
 
     M = y.shape[0] // nfft_big
+    yr = y.real.reshape(M * a, b)
+    yi = y.imag.reshape(M * a, b)
+    return _chan_call(
+        yr, yi, M=M, a=a, b=b, channel_count=channel_count, navg=navg,
+        consts=consts, precision=precision,
+        frames_per_block=frames_per_block, interpret=interpret,
+        col_blocks=(0, 0),
+    )
+
+
+def chan_stats_packed_pallas(
+    y_packed,
+    *,
+    nfft_big: int,
+    channel_count: int,
+    window: np.ndarray,
+    navg: int = 1,
+    precision='high',
+    frames_per_block: int = 16,
+    interpret: bool = None,
+):
+    """chan_stats_pallas on the packed planes layout produced by
+    ops.pallas.fused_ola_pallas.fused_ola_packed: (S/128, 256) float32
+    with real in columns 0:128 and imag in 128:256 — the kernel reads
+    both halves of the same buffer via column-offset BlockSpecs, so the
+    complex stream never materializes."""
+    if interpret is None:
+        interpret = not _on_tpu_like()
+    w = np.asarray(window, dtype='complex64')
+    a, b, consts = _chan_constants(nfft_big, w.tobytes())
+    gbin = _group_matrix(b, navg, 1.0 / navg)
+    gch = _group_matrix(b, b // channel_count, 1.0)
+    consts = consts + (gbin, gch)
+
+    M = y_packed.shape[0] * _LANES // nfft_big
+    return _chan_call(
+        y_packed, y_packed, M=M, a=a, b=b, channel_count=channel_count,
+        navg=navg, consts=consts, precision=precision,
+        frames_per_block=frames_per_block, interpret=interpret,
+        col_blocks=(0, 1),
+    )
+
+
+def _chan_call(
+    yr, yi, *, M, a, b, channel_count, navg, consts, precision,
+    frames_per_block, interpret, col_blocks,
+):
     # the per-frame channel-power output block has T sublane rows, so T
     # must stay a multiple of 8 (and divide the frame count)
     T = max(8, (frames_per_block // 8) * 8)
@@ -192,10 +239,10 @@ def chan_stats_pallas(
         raise ValueError(
             'chan_stats_pallas requires the frame count to be a multiple of 8'
         )
-    yr = y.real.reshape(M * a, b)
-    yi = y.imag.reshape(M * a, b)
 
-    in_spec = pl.BlockSpec((T * a, b), lambda m: (m, 0))
+    cr, ci = col_blocks
+    in_spec_r = pl.BlockSpec((T * a, b), lambda m, _c=cr: (m, _c))
+    in_spec_i = pl.BlockSpec((T * a, b), lambda m, _c=ci: (m, _c))
     acc_spec = pl.BlockSpec((a, b), lambda m: (0, 0))
 
     def const_spec(c):
@@ -210,7 +257,7 @@ def chan_stats_pallas(
             ),
         ),
         grid=(M // T,),
-        in_specs=[in_spec, in_spec] + [const_spec(c) for c in consts],
+        in_specs=[in_spec_r, in_spec_i] + [const_spec(c) for c in consts],
         out_specs=[
             acc_spec,
             acc_spec,
@@ -227,7 +274,7 @@ def chan_stats_pallas(
             dimension_semantics=('arbitrary',),
         ),
         interpret=interpret,
-    )(yr, yi, *consts)
+    )(yr, yi, *[jnp.asarray(c) for c in consts])
 
     # factored (k1, k2) -> natural k = k2*a + k1 is a transpose of the
     # tiny accumulator blocks

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...utils import lru_cache
 from ..mxu_fft import _fused_ola_constants
 
-__all__ = ['fused_ola_pallas']
+__all__ = ['fused_ola_pallas', 'fused_ola_packed', 'fused_ola_packed_supported']
 
 _LANES = 128
 
@@ -71,7 +71,8 @@ def _pad_square(x: np.ndarray, width: int) -> np.ndarray:
 
 @lru_cache()
 def _kernel_constants(
-    nfft, nfft_out, zero_lo, zero_hi, in_lo, in_hi, out_lo, w_in_key, w_out_key
+    nfft, nfft_out, zero_lo, zero_hi, in_lo, in_hi, out_lo, w_in_key,
+    w_out_key, factors=None,
 ):
     """host-side constant planes, minor dims padded to the 128-lane tile.
 
@@ -79,7 +80,7 @@ def _kernel_constants(
     window and output shift window so the cache keys stay small.
     """
     a, b, b2, Fa, W, Fb_kept, mask, Fb2_inv, Wp_conj, Fa_inv = _fused_ola_constants(
-        nfft, nfft_out, zero_lo, zero_hi, in_lo, in_hi, out_lo
+        nfft, nfft_out, zero_lo, zero_hi, in_lo, in_hi, out_lo, factors
     )
     b2p = max(_LANES, -(-b2 // _LANES) * _LANES)
 
@@ -266,3 +267,92 @@ def fused_ola_pallas(
 
     out = jax.lax.complex(packed[:, :b2], packed[:, b2p : b2p + b2])
     return out.reshape(M, nfft_out)
+
+
+# ---- packed-planes variant: output rows ARE 128-sample time rows ----
+
+
+def _packed_factors(nfft: int, nfft_out: int):
+    """factor split a = nfft_out/128 so the inverse transform's factored
+    output (a, b2) has b2 = 128 exactly: each output row holds 128
+    consecutive time samples, so the packed [real|imag] buffer feeds the
+    channelizer kernel and the row-shifted overlap-add directly."""
+    a = nfft_out // _LANES
+    return a, nfft // a
+
+
+def fused_ola_packed_supported(
+    nfft: int, nfft_out: int, bounds_in, bounds_out
+) -> bool:
+    if nfft_out % _LANES or nfft_out > nfft:
+        return False
+    a, b = _packed_factors(nfft, nfft_out)
+    if a < 8 or a % 8 or nfft % a or b % _LANES:
+        return False
+    in_start = bounds_in[0] - bounds_out[0]
+    return in_start >= 0 and in_start + nfft_out <= nfft and in_start % a == 0
+
+
+def fused_ola_packed(
+    fr,
+    fi,
+    *,
+    nfft: int,
+    nfft_out: int,
+    zero_lo: int,
+    zero_hi,
+    bounds_in,
+    bounds_out=(0, None),
+    w_in: np.ndarray,
+    w_shift_out: np.ndarray,
+    precision=jax.lax.Precision.HIGHEST,
+    frames_per_block: int = 4,
+    interpret: bool = None,
+):
+    """fused OLA spectral transform on float32 planes, packed output.
+
+    fr, fi: (M, nfft) float32 raw (unwindowed) OLA frame planes.
+    Returns (M * nfft_out/128, 256) float32: row r holds output samples
+    [128*r, 128*r + 128) of frame r // (nfft_out/128), real in columns
+    0:128 and imag in 128:256 — the layout chan_stats_pallas and the
+    row-shifted overlap-add consume with no complex materialization.
+    """
+    if interpret is None:
+        interpret = not _on_tpu_like()
+    in_lo, in_hi = bounds_in
+    a, b = _packed_factors(nfft, nfft_out)
+    w_in = np.asarray(w_in, dtype='complex64')
+    w_out = np.asarray(w_shift_out, dtype='complex64')
+    a_, b_, b2, b2p, consts = _kernel_constants(
+        nfft, nfft_out, int(zero_lo), zero_hi, int(in_lo), int(in_hi),
+        int(bounds_out[0]), w_in.tobytes(), w_out.tobytes(), (a, b),
+    )
+    assert (a_, b_, b2, b2p) == (a, b, _LANES, _LANES)
+
+    M = fr.shape[0]
+    T = max(1, frames_per_block)
+    while M % T:
+        T //= 2
+    fr = fr.reshape(M * a, b)
+    fi = fi.reshape(M * a, b)
+
+    frame_spec = pl.BlockSpec((T * a, b), lambda m: (m, 0))
+    out_spec = pl.BlockSpec((T * a, 2 * _LANES), lambda m: (m, 0))
+
+    def const_spec(c):
+        return pl.BlockSpec(c.shape, lambda m: (0, 0))
+
+    return pl.pallas_call(
+        functools.partial(
+            _fused_ola_kernel,
+            T=T, a=a, b=b, b2p=_LANES, passes=_pick_passes(precision),
+        ),
+        grid=(M // T,),
+        in_specs=[frame_spec, frame_spec] + [const_spec(c) for c in consts],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((M * a, 2 * _LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),
+        ),
+        interpret=interpret,
+    )(fr, fi, *consts)

@@ -308,10 +308,13 @@ def test_monitor_streaming_accumulate_with_fast_kernels():
         carry = acc(carry, jnp.asarray(x[k * chunk : (k + 1) * chunk]))
     out = jax.jit(mon.flush)(carry)
 
-    np.testing.assert_array_equal(
-        np.asarray(one_shot['apd_counts']),
-        np.asarray(out['apd_counts']).astype(int),
-    )
+    # the one-shot step runs the packed pallas kernels, the streaming
+    # chunk path the XLA einsums: two valid 3-pass roundings, so a few
+    # borderline samples may land one histogram bin over
+    apd1 = np.asarray(one_shot['apd_counts']).astype(int)
+    apd2 = np.asarray(out['apd_counts']).astype(int)
+    assert apd1.sum() == apd2.sum()
+    assert np.abs(apd1 - apd2).sum() <= 8
     cp1 = np.asarray(one_shot['channel_power_mean'])
     np.testing.assert_allclose(
         cp1, np.asarray(out['channel_power_mean']), atol=1e-5 * cp1.max()
@@ -323,3 +326,44 @@ def test_monitor_streaming_accumulate_with_fast_kernels():
     np.testing.assert_allclose(
         psd1[inband], np.asarray(out['psd_mean'])[inband], atol=0.05
     )
+
+
+def test_monitor_sharded_step_fully_packed(mesh=None):
+    """the fully-packed body (planes halo exchange + row-shifted
+    overlap-add) must match the single-chip packed step on the mesh."""
+    mesh = parallel.time_mesh()
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=128,
+        apd_navg=16, fft_backend='mxu', min_fft_size=8191,
+        ola_kernel='pallas', apd_kernel='pallas', chan_kernel='pallas',
+        fft_precision='high',
+    )
+    mon = WidebandMonitor(design, mesh=mesh)
+    n_shards = mesh.shape[TIME_AXIS]
+    n = mon.min_input_multiple(n_shards) * 8
+    assert mon._packed_applies(n // n_shards), 'packed path must engage per shard'
+    rng = np.random.default_rng(0)
+    iq = (
+        rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))
+    ).astype('complex64')
+
+    iq_sharded = jax.device_put(
+        jnp.asarray(iq),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, TIME_AXIS)
+        ),
+    )
+    out_s = mon.sharded_step(iq_sharded)
+    out_1 = jax.jit(mon.step)(jnp.asarray(iq[0]))
+
+    np.testing.assert_array_equal(
+        np.asarray(out_s['apd_counts'])[0], np.asarray(out_1['apd_counts'])
+    )
+    cp_s = np.asarray(out_s['channel_power_mean'])[0]
+    cp_1 = np.asarray(out_1['channel_power_mean'])
+    np.testing.assert_allclose(cp_s, cp_1, atol=1e-5 * cp_1.max())
+    psd_s = np.asarray(out_s['psd_mean'])[0]
+    psd_1 = np.asarray(out_1['psd_mean'])
+    inband = psd_1 > -100
+    np.testing.assert_allclose(psd_s[inband], psd_1[inband], atol=0.01)
