@@ -367,3 +367,49 @@ def test_monitor_sharded_step_fully_packed(mesh=None):
     psd_1 = np.asarray(out_1['psd_mean'])
     inband = psd_1 > -100
     np.testing.assert_allclose(psd_s[inband], psd_1[inband], atol=0.01)
+
+
+@pytest.mark.parametrize(
+    'window,bw_frac',
+    [('hamming', 0.5), ('blackman', 0.7), ('blackmanharris', None)],
+)
+def test_monitor_fast_config_across_designs(window, bw_frac):
+    """fast-kernel configs must match the baseline across windows and
+    passbands — whether the packed path engages or falls back."""
+    fs = 30.72e6
+    bw = None if bw_frac is None else bw_frac * fs / 2
+    kws = dict(
+        fs_sdr=fs, channel_count=8, fft_size_per_channel=128,
+        window=window, apd_bins=64, apd_navg=8, fft_backend='mxu',
+        min_fft_size=2047,
+    )
+    if bw is not None:
+        kws['bw'] = bw
+    base = design_wideband_monitor(fs, fs / 2, **kws)
+    fast = dataclasses.replace(
+        base, ola_kernel='pallas', apd_kernel='pallas',
+        chan_kernel='pallas', fft_precision='high',
+    )
+    m1, m2 = WidebandMonitor(base), WidebandMonitor(fast)
+
+    n = m1.min_input_multiple() * 8
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        'complex64'
+    )
+    o1 = jax.jit(m1.step)(jnp.asarray(x))
+    o2 = jax.jit(m2.step)(jnp.asarray(x))
+
+    apd1 = np.asarray(o1['apd_counts'])
+    apd2 = np.asarray(o2['apd_counts'])
+    assert apd1.sum() == apd2.sum()
+    # precision-tier roundoff may shift isolated samples one bin over
+    assert np.abs(apd1 - apd2).sum() <= max(2, apd1.sum() // 1000)
+    cp1 = np.asarray(o1['channel_power_mean'])
+    np.testing.assert_allclose(
+        cp1, np.asarray(o2['channel_power_mean']), atol=1e-4 * cp1.max()
+    )
+    p1, p2 = np.asarray(o1['psd_mean']), np.asarray(o2['psd_mean'])
+    inb = p1 > -90
+    assert inb.sum() > 50
+    np.testing.assert_allclose(p1[inb], p2[inb], atol=0.05)
