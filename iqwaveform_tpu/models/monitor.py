@@ -318,6 +318,7 @@ class WidebandMonitor:
         # overlap-add and the packed channelizer kernel directly
         self._packed_ola = None
         self._chan_stats_packed = None
+        self._strided_ola = None
         if self._chan_stats is not None and d.ola_kernel == 'pallas':
             from ..ops.pallas.chan_stats_pallas import chan_stats_packed_pallas
             from ..ops.pallas.fused_ola_pallas import (
@@ -359,6 +360,33 @@ class WidebandMonitor:
                     navg=d.apd_navg,
                     precision=prec,
                 )
+
+                from ..ops.pallas.fused_ola_pallas import (
+                    fused_ola_strided,
+                    fused_ola_strided_supported,
+                )
+
+                # at exactly 2:1 frame overlap the framing itself fuses
+                # into the kernel's block fetch (each hop read once per
+                # half; no frame-slab materialization)
+                self._strided_ola = None
+                if fused_ola_strided_supported(
+                    d.nfft, d.nfft_out, self.hop_in,
+                    self._bounds_in, self._bounds_out,
+                ):
+                    self._strided_ola = _ft.partial(
+                        fused_ola_strided,
+                        hop_in=self.hop_in,
+                        nfft=d.nfft,
+                        nfft_out=d.nfft_out,
+                        zero_lo=self._zero_lo,
+                        zero_hi=self._zero_hi,
+                        bounds_in=self._bounds_in,
+                        bounds_out=self._bounds_out,
+                        w_in=wind,
+                        w_shift_out=np.asarray(self._w_shift_out),
+                        precision=prec,
+                    )
 
     def _hist(self, p):
         """APD histogram counts per design.apd_kernel: sort+searchsorted
@@ -471,23 +499,33 @@ class WidebandMonitor:
                 halo = jnp.where(idx == n_dev - 1, 0.0, halo)
             planes = jnp.concatenate([planes, halo], axis=1)
 
-        # gather-free grouped OLA on planes: R shifted contiguous
-        # reshapes in, R row-shifted adds of packed kernel output
         rows_out = n_frames * hop_out // 128
         shift_rows = hop_out // 128
         nov_rows = self.noverlap_out // 128
-        acc = jnp.zeros((rows_out + nov_rows, 256), jnp.float32)
-        for g in range(R):
-            frg = jax.lax.dynamic_slice(
-                planes[0], (g * hop_in,), (M1 * d.nfft,)
-            ).reshape(M1, d.nfft)
-            fig = jax.lax.dynamic_slice(
-                planes[1], (g * hop_in,), (M1 * d.nfft,)
-            ).reshape(M1, d.nfft)
-            pk = self._packed_ola(frg, fig)  # (M1 * nfft_out/128, 256)
-            start = g * shift_rows
-            length = min(pk.shape[0], acc.shape[0] - start)
-            acc = acc.at[start : start + length].add(pk[:length])
+        if self._strided_ola is not None:
+            # framing fused into the kernel's block fetch (R == 2, so
+            # each frame is two consecutive hop-blocks of the x planes)
+            lo, hi = self._strided_ola(
+                planes[0], planes[1], n_frames=n_frames
+            )
+            acc = jnp.concatenate(
+                [lo, jnp.zeros((shift_rows, 256), jnp.float32)]
+            ).at[shift_rows:].add(hi)
+        else:
+            # gather-free grouped OLA on planes: R shifted contiguous
+            # reshapes in, R row-shifted adds of packed kernel output
+            acc = jnp.zeros((rows_out + nov_rows, 256), jnp.float32)
+            for g in range(R):
+                frg = jax.lax.dynamic_slice(
+                    planes[0], (g * hop_in,), (M1 * d.nfft,)
+                ).reshape(M1, d.nfft)
+                fig = jax.lax.dynamic_slice(
+                    planes[1], (g * hop_in,), (M1 * d.nfft,)
+                ).reshape(M1, d.nfft)
+                pk = self._packed_ola(frg, fig)  # (M1 * nfft_out/128, 256)
+                start = g * shift_rows
+                length = min(pk.shape[0], acc.shape[0] - start)
+                acc = acc.at[start : start + length].add(pk[:length])
 
         if nov_rows and axis_name is not None:
             n_dev = jax.lax.axis_size(axis_name)

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...utils import lru_cache
 from ..mxu_fft import _fused_ola_constants
 
-__all__ = ['fused_ola_pallas', 'fused_ola_packed', 'fused_ola_packed_supported']
+__all__ = ['fused_ola_pallas', 'fused_ola_packed', 'fused_ola_packed_supported', 'fused_ola_strided', 'fused_ola_strided_supported']
 
 _LANES = 128
 
@@ -147,15 +147,14 @@ def _make_dot(passes: int):
     return dot
 
 
-def _fused_ola_kernel(
-    ar, ai, war, wai, far, fai, twr, twi, fbr, fbi, mask,
-    f2r, f2i, wpr, wpi, fir, fii, wsr, wsi, out,
-    *, T, a, b, b2p, passes,
+def _fused_chain(
+    AR, AI, war, wai, far, fai, twr, twi, fbr, fbi, mask,
+    f2r, f2i, wpr, wpi, fir, fii, wsr, wsi, *, T, a, b, b2p, passes,
 ):
+    """the windowed fft -> mask -> ifft -> shift chain on a (T, a, b)
+    frame batch held in VMEM; returns packed (T, a, 2*b2p)."""
     dot = _make_dot(passes)
 
-    AR = ar[...].reshape(T, a, b)
-    AI = ai[...].reshape(T, a, b)
     # window multiply (complex)
     xr = AR * war[...][None] - AI * wai[...][None]
     xi = AR * wai[...][None] + AI * war[...][None]
@@ -187,7 +186,44 @@ def _fused_ola_kernel(
     oni = apr * wsi[...][None] + api * wsr[...][None]
 
     # pack real|imag side by side: one write, no padding waste
-    out[...] = jnp.concatenate([onr, oni], axis=2).reshape(T * a, 2 * b2p)
+    return jnp.concatenate([onr, oni], axis=2)
+
+
+def _fused_ola_kernel(
+    ar, ai, war, wai, far, fai, twr, twi, fbr, fbi, mask,
+    f2r, f2i, wpr, wpi, fir, fii, wsr, wsi, out,
+    *, T, a, b, b2p, passes,
+):
+    AR = ar[...].reshape(T, a, b)
+    AI = ai[...].reshape(T, a, b)
+    packed = _fused_chain(
+        AR, AI, war, wai, far, fai, twr, twi, fbr, fbi, mask,
+        f2r, f2i, wpr, wpi, fir, fii, wsr, wsi,
+        T=T, a=a, b=b, b2p=b2p, passes=passes,
+    )
+    out[...] = packed.reshape(T * a, 2 * b2p)
+
+
+def _fused_ola_strided_kernel(
+    lor, hir, loi, hii, war, wai, far, fai, twr, twi, fbr, fbi, mask,
+    f2r, f2i, wpr, wpi, fir, fii, wsr, wsi, out_lo, out_hi,
+    *, T, a, b, b2p, passes, H,
+):
+    """framing fused into the block fetch: the lo/hi input blocks are
+    consecutive T*H-row windows of the SAME x-plane array (50% frame
+    overlap = each hop read once per half), frames assembled by static
+    sublane slices in VMEM."""
+    full_r = jnp.concatenate([lor[...], hir[...]], axis=0)  # (2T*H, b)
+    full_i = jnp.concatenate([loi[...], hii[...]], axis=0)
+    AR = jnp.stack([full_r[t * H : t * H + 2 * H] for t in range(T)])
+    AI = jnp.stack([full_i[t * H : t * H + 2 * H] for t in range(T)])
+    packed = _fused_chain(
+        AR, AI, war, wai, far, fai, twr, twi, fbr, fbi, mask,
+        f2r, f2i, wpr, wpi, fir, fii, wsr, wsi,
+        T=T, a=a, b=b, b2p=b2p, passes=passes,
+    )  # (T, a, 2*b2p) with a == 2*H output rows per frame
+    out_lo[...] = packed[:, :H].reshape(T * H, 2 * b2p)
+    out_hi[...] = packed[:, H:].reshape(T * H, 2 * b2p)
 
 
 def _pick_passes(precision) -> int:
@@ -356,3 +392,95 @@ def fused_ola_packed(
         ),
         interpret=interpret,
     )(fr, fi, *consts)
+
+
+def fused_ola_strided_supported(
+    nfft: int, nfft_out: int, hop_in: int, bounds_in, bounds_out
+) -> bool:
+    """the strided variant additionally requires 2:1 frame overlap
+    (nfft = 2*hop_in) with hop_in a whole number of b-lane rows, so each
+    frame is exactly two consecutive input blocks."""
+    if not fused_ola_packed_supported(nfft, nfft_out, bounds_in, bounds_out):
+        return False
+    a, b = _packed_factors(nfft, nfft_out)
+    return nfft == 2 * hop_in and hop_in % b == 0 and a % 2 == 0
+
+
+def fused_ola_strided(
+    pr,
+    pi,
+    *,
+    n_frames: int,
+    hop_in: int,
+    nfft: int,
+    nfft_out: int,
+    zero_lo: int,
+    zero_hi,
+    bounds_in,
+    bounds_out=(0, None),
+    w_in: np.ndarray,
+    w_shift_out: np.ndarray,
+    precision=jax.lax.Precision.HIGHEST,
+    frames_per_block: int = 4,
+    interpret: bool = None,
+):
+    """fused OLA on float32 planes with the framing fused into the block
+    fetch: no frame-slab materialization at all. pr/pi are the raw
+    extended x planes (length >= n_frames*hop_in + frames_per_block*
+    hop_in; pad with zeros past the right halo).
+
+    Returns (out_lo, out_hi), each (n_frames * hop_out/128, 256) packed
+    planes: frame m's first/second output half at row offset
+    m*hop_out/128. The caller overlap-adds: y = out_lo + shift(out_hi).
+    """
+    if interpret is None:
+        interpret = not _on_tpu_like()
+    in_lo, in_hi = bounds_in
+    a, b = _packed_factors(nfft, nfft_out)
+    H = hop_in // b  # input rows per hop; frame = 2 consecutive hops
+    w_in = np.asarray(w_in, dtype='complex64')
+    w_out = np.asarray(w_shift_out, dtype='complex64')
+    a_, b_, b2, b2p, consts = _kernel_constants(
+        nfft, nfft_out, int(zero_lo), zero_hi, int(in_lo), int(in_hi),
+        int(bounds_out[0]), w_in.tobytes(), w_out.tobytes(), (a, b),
+    )
+    assert (a_, b_, b2, b2p) == (a, b, _LANES, _LANES) and a == 2 * H
+
+    M = n_frames
+    T = max(1, frames_per_block)
+    while M % T:
+        T //= 2
+
+    rows_needed = (M + T) * H
+    xr = pr.reshape(-1, b)
+    xi = pi.reshape(-1, b)
+    if xr.shape[0] < rows_needed:
+        pad = rows_needed - xr.shape[0]
+        xr = jnp.concatenate([xr, jnp.zeros((pad, b), xr.dtype)])
+        xi = jnp.concatenate([xi, jnp.zeros((pad, b), xi.dtype)])
+
+    lo_spec = pl.BlockSpec((T * H, b), lambda m: (m, 0))
+    hi_spec = pl.BlockSpec((T * H, b), lambda m: (m + 1, 0))
+    out_spec = pl.BlockSpec((T * H, 2 * _LANES), lambda m: (m, 0))
+
+    def const_spec(c):
+        return pl.BlockSpec(c.shape, lambda m: (0, 0))
+
+    return pl.pallas_call(
+        functools.partial(
+            _fused_ola_strided_kernel,
+            T=T, a=a, b=b, b2p=_LANES, passes=_pick_passes(precision), H=H,
+        ),
+        grid=(M // T,),
+        in_specs=[lo_spec, hi_spec, lo_spec, hi_spec]
+        + [const_spec(c) for c in consts],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((M * H, 2 * _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((M * H, 2 * _LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),
+        ),
+        interpret=interpret,
+    )(xr, xr, xi, xi, *consts)
