@@ -447,7 +447,9 @@ class WidebandMonitor:
         channel_power = ch.sum(axis=2)  # (frames, channels)
 
         psd_dB = 10.0 * jnp.log10(spg + 1e-25)
-        apd = self._apd_counts(y)
+        # bin the same whole-frame sample set as the chan_kernel='pallas'
+        # branch so APD counts are identical across backends
+        apd = self._apd_counts(y[: n_frames * nfft_big])
         return channel_power, psd_dB.sum(axis=0), psd_dB.max(axis=0), apd, n_frames
 
     # ---- core single-signal body (traceable; axis_name=None -> 1 chip) ----
@@ -718,7 +720,12 @@ class WidebandMonitor:
         return xr[:S_out], tail_out
 
     def _chunk_stats(self, y):
-        """channelizer + statistics of one resampled chunk."""
+        """channelizer + statistics of one resampled chunk.
+
+        Per-chunk counts are exact: int32 histogram bins cast to
+        integer-valued float32 (chunks are far below 2**24 samples per
+        bin); the carry folds them exactly via utils.numerics.counter_fold
+        so arbitrarily long captures never saturate float32."""
         channel_power, psd_dB_sum, psd_dB_max, apd, n_frames = self._chan_apd(y)
         return {
             'channel_power_sum': channel_power.sum(axis=0),
@@ -743,11 +750,26 @@ class WidebandMonitor:
             ),
             'psd_sum': jnp.zeros((self._nfft_big,), jnp.float32),
             'psd_max': jnp.full((self._nfft_big,), -jnp.inf, jnp.float32),
-            'apd_counts': jnp.zeros((d.apd_bins + 1,), jnp.float32),
-            'n_frames': jnp.zeros((), jnp.float32),
+            # exact wide counters as float32 (hi, lo) pairs — see
+            # utils.numerics.counter_fold (x64 is disabled and axon D2H
+            # is float32-only, so int64 is not an option)
+            'apd_counts_hi': jnp.zeros((d.apd_bins + 1,), jnp.float32),
+            'apd_counts_lo': jnp.zeros((d.apd_bins + 1,), jnp.float32),
+            'n_frames_hi': jnp.zeros((), jnp.float32),
+            'n_frames_lo': jnp.zeros((), jnp.float32),
         }
 
     def _fold(self, carry, delta, weight):
+        from ..utils.numerics import counter_fold
+
+        apd_hi, apd_lo = counter_fold(
+            carry['apd_counts_hi'],
+            carry['apd_counts_lo'],
+            weight * delta['apd_counts'],
+        )
+        nf_hi, nf_lo = counter_fold(
+            carry['n_frames_hi'], carry['n_frames_lo'], weight * delta['n_frames']
+        )
         return {
             'channel_power_sum': carry['channel_power_sum']
             + weight * delta['channel_power_sum'],
@@ -759,8 +781,10 @@ class WidebandMonitor:
             'psd_max': jnp.maximum(
                 carry['psd_max'], jnp.where(weight > 0, delta['psd_max'], -jnp.inf)
             ),
-            'apd_counts': carry['apd_counts'] + weight * delta['apd_counts'],
-            'n_frames': carry['n_frames'] + weight * delta['n_frames'],
+            'apd_counts_hi': apd_hi,
+            'apd_counts_lo': apd_lo,
+            'n_frames_hi': nf_hi,
+            'n_frames_lo': nf_lo,
         }
 
     def accumulate_step(self, carry, x_chunk):
@@ -789,18 +813,25 @@ class WidebandMonitor:
     def flush(self, carry):
         """process the final pending chunk (zero-extended) and return the
         statistics dict (same keys as step() statistics)."""
+        from ..utils.numerics import counter_value
+
         halo = jnp.zeros((self.noverlap_in,), jnp.complex64)
         y, _ = self._ola_chunk(carry['pending'], halo, carry['tail_out'])
         delta = self._chunk_stats(y)
         stats = self._fold(carry, delta, carry['started'])
 
-        n = jnp.maximum(stats['n_frames'], 1.0)
+        n_frames = counter_value(stats['n_frames_hi'], stats['n_frames_lo'])
+        n = jnp.maximum(n_frames, 1.0)
         return {
             'channel_power_mean': stats['channel_power_sum'] / n,
             'channel_power_max': stats['channel_power_max'],
             'psd_mean': stats['psd_sum'] / n,
             'psd_max': stats['psd_max'],
-            'apd_counts': stats['apd_counts'],
+            # float32 readout (exact below 2**24 per bin, nearest-f32
+            # above — the axon D2H constraint applies here)
+            'apd_counts': counter_value(
+                stats['apd_counts_hi'], stats['apd_counts_lo']
+            ),
         }
 
     def min_input_multiple(self, n_time_shards: int = 1) -> int:

@@ -20,11 +20,43 @@ from .dispatch import array_namespace, is_jax_array
 
 __all__ = [
     'ceildiv',
+    'counter_fold',
+    'counter_value',
     'dtype_change_float',
     'find_float_inds',
     'float_dtype_like',
     'isroundmod',
 ]
+
+# ---- exact wide integer counters in float32 pairs ----
+#
+# TPU-side streaming statistics need exact event counts, but (a) jax
+# runs with x64 disabled so int64 silently truncates to int32, and
+# (b) the axon tunnel only D2H-copies float32. A count is therefore
+# carried as two float32 planes, value = hi * 2**23 + lo with
+# lo in [0, 2**23): both components hold integers < 2**24, where float32
+# is exact, so accumulation is exact up to 2**47 total events
+# (an hour at 122.88 MS/s is ~4.4e11).
+
+COUNTER_SCALE = float(1 << 23)
+
+
+def counter_fold(hi, lo, delta):
+    """fold integer-valued ``delta`` (int32 or integer-valued float32
+    below 2**24 per element) into the (hi, lo) float32 pair counter."""
+    xp = array_namespace(hi)
+    delta = delta.astype(hi.dtype) if hasattr(delta, 'astype') else delta
+    d_hi = xp.floor(delta / COUNTER_SCALE)
+    d_lo = delta - d_hi * COUNTER_SCALE
+    lo1 = lo + d_lo
+    spill = xp.floor(lo1 / COUNTER_SCALE)
+    return hi + d_hi + spill, lo1 - spill * COUNTER_SCALE
+
+
+def counter_value(hi, lo):
+    """read a (hi, lo) pair counter as float32 (exact below 2**24,
+    nearest-float32 above)."""
+    return hi * COUNTER_SCALE + lo
 
 
 def ceildiv(a: int, b: int) -> int:

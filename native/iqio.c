@@ -95,7 +95,10 @@ static int run_threaded_convert(convert_job_t job, int n_threads)
     return 0;
 }
 
-/* map a file readonly; returns base pointer or NULL with exception set */
+/* map a file readonly; returns base pointer, or NULL with an exception
+ * set on error. A zero-length file returns NULL with *size_out == 0 and
+ * NO exception (mmap rejects length 0 with EINVAL) — callers must check
+ * PyErr_Occurred() to distinguish. */
 static void *map_file(const char *path, size_t *size_out, int *fd_out)
 {
     int fd = open(path, O_RDONLY);
@@ -107,6 +110,11 @@ static void *map_file(const char *path, size_t *size_out, int *fd_out)
     if (fstat(fd, &st) != 0) {
         close(fd);
         PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return NULL;
+    }
+    if (st.st_size == 0) {
+        *size_out = 0;
+        *fd_out = fd;
         return NULL;
     }
     void *base = mmap(NULL, (size_t)st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
@@ -139,19 +147,20 @@ static PyObject *iqio_load_ci16(PyObject *self, PyObject *args, PyObject *kws)
     size_t fsize;
     int fd;
     void *base = map_file(path, &fsize, &fd);
-    if (base == NULL) return NULL;
+    if (base == NULL && PyErr_Occurred()) return NULL;
 
     npy_intp total = (npy_intp)(fsize / (2 * sizeof(int16_t)));
     if (offset < 0 || offset > total) {
-        munmap(base, fsize);
+        if (base) munmap(base, fsize);
         close(fd);
         PyErr_Format(PyExc_ValueError, "offset %zd out of range (%zd samples)",
                      offset, (Py_ssize_t)total);
         return NULL;
     }
     npy_intp n = (num < 0) ? (total - offset) : (npy_intp)num;
-    if (offset + n > total) {
-        munmap(base, fsize);
+    /* overflow-safe form of offset + n > total (offset <= total here) */
+    if (n > total - offset) {
+        if (base) munmap(base, fsize);
         close(fd);
         PyErr_Format(PyExc_ValueError, "requested %zd samples at offset %zd "
                      "exceeds file (%zd samples)", (Py_ssize_t)n, offset,
@@ -168,17 +177,19 @@ static PyObject *iqio_load_ci16(PyObject *self, PyObject *args, PyObject *kws)
         return NULL;
     }
 
-    convert_job_t job;
-    job.src = (const int16_t *)base + 2 * offset;
-    job.dst = (float *)PyArray_DATA(out);
-    job.n_samples = n;
-    job.scale = (float)scale;
+    if (n > 0) {
+        convert_job_t job;
+        job.src = (const int16_t *)base + 2 * offset;
+        job.dst = (float *)PyArray_DATA(out);
+        job.n_samples = n;
+        job.scale = (float)scale;
 
-    Py_BEGIN_ALLOW_THREADS
-    run_threaded_convert(job, threads);
-    Py_END_ALLOW_THREADS
+        Py_BEGIN_ALLOW_THREADS
+        run_threaded_convert(job, threads);
+        Py_END_ALLOW_THREADS
+    }
 
-    munmap(base, fsize);
+    if (base) munmap(base, fsize);
     close(fd);
     return (PyObject *)out;
 }
@@ -197,18 +208,19 @@ static PyObject *iqio_load_cf32(PyObject *self, PyObject *args, PyObject *kws)
     size_t fsize;
     int fd;
     void *base = map_file(path, &fsize, &fd);
-    if (base == NULL) return NULL;
+    if (base == NULL && PyErr_Occurred()) return NULL;
 
     npy_intp total = (npy_intp)(fsize / (2 * sizeof(float)));
     if (offset < 0 || offset > total) {
-        munmap(base, fsize);
+        if (base) munmap(base, fsize);
         close(fd);
         PyErr_Format(PyExc_ValueError, "offset %zd out of range", offset);
         return NULL;
     }
     npy_intp n = (num < 0) ? (total - offset) : (npy_intp)num;
-    if (offset + n > total) {
-        munmap(base, fsize);
+    /* overflow-safe form of offset + n > total (offset <= total here) */
+    if (n > total - offset) {
+        if (base) munmap(base, fsize);
         close(fd);
         PyErr_SetString(PyExc_ValueError, "requested span exceeds file");
         return NULL;
@@ -223,12 +235,14 @@ static PyObject *iqio_load_cf32(PyObject *self, PyObject *args, PyObject *kws)
         return NULL;
     }
 
-    Py_BEGIN_ALLOW_THREADS
-    memcpy(PyArray_DATA(out), (const float *)base + 2 * offset,
-           (size_t)n * 2 * sizeof(float));
-    Py_END_ALLOW_THREADS
+    if (n > 0) {
+        Py_BEGIN_ALLOW_THREADS
+        memcpy(PyArray_DATA(out), (const float *)base + 2 * offset,
+               (size_t)n * 2 * sizeof(float));
+        Py_END_ALLOW_THREADS
+    }
 
-    munmap(base, fsize);
+    if (base) munmap(base, fsize);
     close(fd);
     return (PyObject *)out;
 }

@@ -156,3 +156,36 @@ def test_grouped_views_along_axis():
     views = list(util.grouped_views_along_axis(x, 200, axis=1))
     total = sum(v.size for v in views)
     assert total == x.size
+
+
+def test_counter_fold_exact_beyond_float32():
+    """(hi, lo) pair counters accumulate exactly past 2**24, where plain
+    float32 addition starts dropping small increments."""
+    from iqwaveform_tpu.utils.numerics import counter_fold, counter_value
+
+    hi = np.zeros(3, np.float32)
+    lo = np.zeros(3, np.float32)
+    plain = np.zeros(3, np.float32)
+
+    # drive one lane far past 2**24 with large deltas, then add small ones
+    big = np.array([2**22, 0, 17], np.float32)
+    for _ in range(8):  # lane 0 reaches 2**25
+        hi, lo = counter_fold(hi, lo, big)
+        plain += big
+    small = np.array([3, 1, 5], np.float32)
+    for _ in range(10):
+        hi, lo = counter_fold(hi, lo, small)
+        plain += small
+
+    exact = 8 * big.astype(np.int64) + 10 * small.astype(np.int64)
+    # the (hi, lo) pair itself is exact; read it out in int64
+    got = hi.astype(np.int64) * 2**23 + lo.astype(np.int64)
+    np.testing.assert_array_equal(got, exact)
+    # the float32 readout is nearest-f32 of the exact value
+    np.testing.assert_array_equal(
+        counter_value(hi, lo), exact.astype(np.float32)
+    )
+    # the plain float32 accumulator demonstrably lost the +3 increments
+    assert plain[0] != exact[0]
+    # components stay integer-valued float32 in range
+    assert (lo < 2**23).all() and (lo >= 0).all()
