@@ -296,15 +296,17 @@ _build_mpl_classes()
 
 
 def contiguous_segments(df, index_level, threshold=7, relative=True):
-    """split `df` where index values (level `index_level`) jump by more
-    than threshold x (median step) (reference figures.py:284-295)."""
-    delta = pd.Series(df.index.get_level_values(index_level)).diff()
-    if relative:
-        threshold = threshold * delta.median()
-    i_gaps = delta[delta > threshold].index.values
-    i_segments = [[0] + list(i_gaps), list(i_gaps) + [None]]
-
-    return [df.iloc[i0:i1] for i0, i1 in zip(*i_segments)]
+    """list of row-contiguous sub-DataFrames of ``df``, cut wherever the
+    values of index level ``index_level`` step by more than the gap limit
+    (``threshold`` x the median step when ``relative`` is set, otherwise
+    ``threshold`` itself). Behavior parity: reference figures.py:284-295.
+    """
+    values = np.asarray(df.index.get_level_values(index_level))
+    steps = np.diff(values)
+    limit = threshold * np.median(steps) if relative else threshold
+    cuts = np.flatnonzero(steps > limit) + 1
+    bounds = [0, *cuts.tolist(), len(df)]
+    return [df.iloc[lo:hi] for lo, hi in zip(bounds[:-1], bounds[1:])]
 
 
 def _axis_of(ax, which: str):

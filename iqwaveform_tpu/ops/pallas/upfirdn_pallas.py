@@ -1,25 +1,38 @@
-"""Pallas TPU kernel: polyphase upfirdn as a block-Toeplitz matmul.
+"""Pallas TPU kernel: polyphase upfirdn as a phase-grouped Toeplitz matmul.
 
 The TPU-native equivalent of the reference's CUDA polyphase kernel
 (cuda.py:49-294, C14 in SURVEY.md §2). Where the CUDA kernel computes one
 output sample per thread with a gather-MAC over h_per_phase taps, this
-kernel reorganizes the same math to feed the MXU:
+kernel reorganizes the same math so the only in-kernel ops are a lane
+concatenation, static sublane slices, and MXU matmuls — the BlockSpec
+pipelining style that the tunneled Mosaic service compiles (see
+fused_ola_pallas.py; the round-1 variant used manual 3-D slab DMA with
+dynamic offsets, which the service rejects).
 
-With L = lcm(up, down), Lin = L/up input samples produce Lout = L/down
-output samples, and
+Math. With L = lcm(up, down), one period maps Lin = L/up input samples to
+Lout = L/down output samples:
 
-    y[b*Lout + r] = sum_j W[r, j] * x[b*Lin + j - pad]
+    y[m*Lout + l] = sum_j W[l, j] * x[m*Lin + j - pad],
 
-where W[r, j] = h[r*down - (j - pad)*up] (zero outside [0, len_h)) and
-pad = floor((len_h - 1)/up). The kernel DMAs an overlapping input slab
-from HBM into VMEM, forms the (K, T) window matrix with Lin-strided
-slices, and computes the (Lout, K) @ (K, T) product on the MXU — a dense
-polyphase filter bank instead of per-sample gathers.
+W the (Lout, K) block-Toeplitz period matrix (build_polyphase_matrix).
+Splitting j = q*Lin + r and phase-decomposing the padded input as
+x_ph[m, r] = x_pad[m*Lin + r] gives, per phase r,
+
+    y[(tile*T + t)*Lout + l] = sum_r sum_q x_ph[tile*T + t + q, r]
+                                          * W[l, q*Lin + r]
+
+— for each phase a CORRELATION over the block index, i.e. one dense
+(B, 2T) @ (2T, T*Lout) matmul against a host-built banded operator
+G_r[c, t*Lout + l] = W[l, (c-t)*Lin + r]. The kernel fetches two adjacent
+(Lin*B_blk, T) column blocks of the phase planes per grid step (the same
+lo/hi overlap trick as fused_ola_strided), slices each phase's B_blk rows
+statically, and accumulates the Lin matmuls into the (B_blk, T*Lout)
+output block. The output lane order (t, l) is exactly the flat output
+stream: no in-kernel transpose or lane-splitting reshape.
 
 The production upfirdn path is the XLA dilated conv in ops.resample_poly;
-this kernel is the hand-scheduled alternative (select with
-``upfirdn(..., backend='pallas')`` on real TPU hardware) and the pattern
-template for future fused kernels.
+this kernel is the hand-scheduled alternative selected with
+``upfirdn(..., backend='pallas')``.
 """
 
 from __future__ import annotations
@@ -33,7 +46,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils import lru_cache
+
 __all__ = ['build_polyphase_matrix', 'upfirdn_pallas']
+
+_LANES = 128
+_B_BLK = 32  # batch rows per grid block (MXU M dim)
+_G_VMEM_CAP = 48 * 2 * _LANES * _LANES * 4  # ~6.3 MB banded-operator cap
+
+
+def _on_tpu_like() -> bool:
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat in ('tpu', 'axon')
 
 
 def build_polyphase_matrix(h: np.ndarray, up: int, down: int):
@@ -63,113 +90,146 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _upfirdn_block_kernel(
-    x_hbm, w_ref, out_ref, slab, sem, *, Lin, K_p, T, W_ph, Lout, Lout_p
+@lru_cache()
+def _banded_operator(w_key: bytes, Lout: int, K: int, Lin: int, T: int):
+    """host-side G plane: G[r*2T + c, t*Lout + l] = W[l, (c-t)*Lin + r]
+    (zero outside the filter support), stacked over phases r."""
+    W = np.frombuffer(w_key, dtype='float32').reshape(Lout, K)
+    c = np.arange(2 * T)[:, None]
+    t = (np.arange(T * Lout) // Lout)[None, :]
+    l_arr = (np.arange(T * Lout) % Lout)[None, :]
+    q = c - t
+    planes = []
+    for r in range(Lin):
+        j = q * Lin + r
+        valid = (q >= 0) & (j < K)
+        planes.append(
+            np.where(
+                valid, W[l_arr, np.clip(j, 0, K - 1)], np.float32(0.0)
+            ).astype('float32')
+        )
+    return np.concatenate(planes, axis=0)  # (Lin*2T, T*Lout)
+
+
+def _upfirdn_block_kernel(lo, hi, g, out, *, Lin, B_blk, T, Lout):
+    slab = jnp.concatenate([lo[...], hi[...]], axis=1)  # (Lin*B_blk, 2T)
+    acc = None
+    for r in range(Lin):
+        s_r = slab[r * B_blk : (r + 1) * B_blk, :]
+        g_r = g[r * 2 * T : (r + 1) * 2 * T, :]
+        d = jax.lax.dot_general(
+            s_r,
+            g_r,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    out[...] = acc
+
+
+def _upfirdn_pallas_real(
+    x2d, W, Lin, Lout, pad, n_out, *, interpret=False
 ):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-
-    # phase-decomposed slab for 8 batch rows: x_hbm[b', r, m] = x[m*Lin+r];
-    # the tile needs phase columns [t*T, t*T + W_ph)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(b * 8, 8), :, pl.ds(t * T, W_ph)],
-        slab,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-
-    # window matrix X[r', j, t'] = x[(t*T + t')*Lin + j]
-    #             = slab[r', j % Lin, j // Lin + t']  — contiguous slices
-    rows = [
-        slab[:, j % Lin, (j // Lin) : (j // Lin) + T] for j in range(K_p)
-    ]
-    X = jnp.stack(rows, axis=1)  # (8, K_p, T)
-
-    # the polyphase MAC as one batched MXU matmul
-    Y = jnp.einsum(
-        'lk,bkt->blt', w_ref[:], X, preferred_element_type=jnp.float32
-    )  # (8, Lout_p, T)
-
-    out_ref[:] = jnp.swapaxes(Y[:, :Lout, :], 1, 2).reshape(8, T * Lout)
-
-
-def _upfirdn_pallas_real(x2d, W, Lin, Lout, pad, n_out, *, block_T=None, interpret=False):
     """batched real-input upfirdn through the Pallas kernel.
 
-    x2d: (B, N) float32; W: (Lout, K) float32. Shapes are padded to TPU
-    tiling (8 batch rows per block, weights padded to (8m, 128m), output
-    tiles a multiple of 128), and the input is phase-decomposed on the
-    host so every in-kernel window slice is contiguous.
+    x2d: (B, N) float32; W: (Lout, K) float32 period matrix. Rows are
+    segmented in time to fill the 32-row batch blocks, phase-decomposed
+    on the host side, and fed to the kernel as adjacent lo/hi column
+    blocks of the (segment-row, block-position) planes.
     """
     B, N = x2d.shape
     K = W.shape[1]
-    K_p = _round_up(K, 128)
-    Lout_p = _round_up(Lout, 8)
+    qK = -(-K // Lin) - 1  # max q with any support
+    T = _round_up(max(_LANES, qK), _LANES)
 
-    nb = -(-n_out // Lout)  # output blocks
-    if block_T is None:
-        # smallest tile with T*Lout % 128 == 0, near 512 outputs wide
-        base = max(1, 512 // max(Lout, 1))
-        quantum = 128 // math.gcd(128, Lout)
-        block_T = _round_up(base, quantum)
-    nt = -(-nb // block_T)
-    nb_padded = nt * block_T
+    g_bytes = Lin * 2 * T * T * Lout * 4
+    if g_bytes > _G_VMEM_CAP:
+        raise ValueError(
+            f'up/down ratio needs a {g_bytes / 1e6:.1f} MB banded operator '
+            f'(Lin={Lin}, Lout={Lout}, T={T}); use the XLA backend'
+        )
 
-    B_p = _round_up(B, 8)
+    nb = -(-n_out // Lout)  # output period blocks
 
-    q_max = (K_p - 1) // Lin
-    W_ph = block_T + q_max  # phase columns per tile
+    # segment rows in time so small batches still fill the 32-row MXU
+    # block: s segments per row, each covering cb output blocks
+    s = max(1, min(_B_BLK // max(B, 1), nb))
+    cb = -(-nb // s)
+    nt = -(-cb // T)  # grid steps along time
+    M_total = (nt + 1) * T  # block-positions per segment (lo + hi halo)
 
-    # phase-decompose: x_ph[b, r, m] = x_pad[b, m*Lin + r]
-    M = nt * block_T + q_max + 1
-    x_pad = jnp.pad(x2d, ((0, B_p - B), (pad, max(0, M * Lin - pad - N))))
-    x_ph = jnp.swapaxes(x_pad[:, : M * Lin].reshape(B_p, M, Lin), 1, 2)
+    # pad: `pad` zeros on the left (filter group delay), zeros right to
+    # cover the last segment's halo reads
+    need = (s - 1) * cb * Lin + M_total * Lin
+    x_pad = jnp.pad(x2d, ((0, 0), (pad, max(0, need - pad - N))))
+    if s > 1:
+        x_seg = jnp.stack(
+            [
+                x_pad[:, seg * cb * Lin : seg * cb * Lin + M_total * Lin]
+                for seg in range(s)
+            ],
+            axis=1,
+        ).reshape(B * s, M_total * Lin)
+    else:
+        x_seg = x_pad[:, : M_total * Lin]
 
-    W_pad = np.zeros((Lout_p, K_p), dtype='float32')
-    W_pad[:Lout, :K] = W
+    B_eff = B * s
+    B_p = _round_up(B_eff, _B_BLK)
+    if B_p != B_eff:
+        x_seg = jnp.pad(x_seg, ((0, B_p - B_eff), (0, 0)))
+
+    # phase planes, grouped (batch-block, phase, row-in-block):
+    # row g*Lin*B_blk + r*B_blk + b_in = phase r of batch row g*B_blk+b_in
+    x_ph = (
+        x_seg.reshape(B_p // _B_BLK, _B_BLK, M_total, Lin)
+        .transpose(0, 3, 1, 2)
+        .reshape(B_p // _B_BLK * Lin * _B_BLK, M_total)
+    )
+
+    G = _banded_operator(
+        np.ascontiguousarray(W.astype('float32')).tobytes(), Lout, K, Lin, T
+    )
+
+    row_blk = Lin * _B_BLK
+    lo_spec = pl.BlockSpec((row_blk, T), lambda b, t: (b, t))
+    hi_spec = pl.BlockSpec((row_blk, T), lambda b, t: (b, t + 1))
+    g_spec = pl.BlockSpec(G.shape, lambda b, t: (0, 0))
+    out_spec = pl.BlockSpec((_B_BLK, T * Lout), lambda b, t: (b, t))
 
     out = pl.pallas_call(
         functools.partial(
-            _upfirdn_block_kernel,
-            Lin=Lin,
-            K_p=K_p,
-            T=block_T,
-            W_ph=W_ph,
-            Lout=Lout,
-            Lout_p=Lout_p,
+            _upfirdn_block_kernel, Lin=Lin, B_blk=_B_BLK, T=T, Lout=Lout
         ),
-        grid=(B_p // 8, nt),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
-            pl.BlockSpec(
-                (Lout_p, K_p), lambda b, t: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (8, block_T * Lout), lambda b, t: (b, t), memory_space=pltpu.VMEM
+        grid=(B_p // _B_BLK, nt),
+        in_specs=[lo_spec, hi_spec, g_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B_p, nt * T * Lout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary'),
         ),
-        out_shape=jax.ShapeDtypeStruct((B_p, nb_padded * Lout), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((8, Lin, W_ph), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(x_ph, jnp.asarray(W_pad))
+    )(x_ph, x_ph, jnp.asarray(G))
 
-    return out[:B, :n_out]
+    # reassemble segments: row-major (B, s) rows, each segment's first
+    # cb*Lout samples are its valid span
+    y = out[:B_eff].reshape(B, s, nt * T * Lout)[:, :, : cb * Lout]
+    return y.reshape(B, s * cb * Lout)[:, :n_out]
 
 
-def upfirdn_pallas(h, x, up: int = 1, down: int = 1, *, interpret=False):
-    """polyphase upfirdn via the Pallas block-Toeplitz kernel.
+def upfirdn_pallas(h, x, up: int = 1, down: int = 1, *, interpret=None):
+    """polyphase upfirdn via the Pallas Toeplitz-matmul kernel.
 
     Semantics match scipy.signal.upfirdn along the last axis. Real or
-    complex x; real or complex h (complex runs the real kernel per
-    real/imag product term).
+    complex x; real or complex h (complex inputs ride as extra batch
+    rows; a complex filter runs the kernel once per W component).
 
     Args:
-        interpret: run in the Pallas interpreter (for CPU tests)
+        interpret: run in the Pallas interpreter (None = auto: interpret
+            everywhere except a real TPU target)
     """
+    if interpret is None:
+        interpret = not _on_tpu_like()
     h = np.asarray(h)
     x = jnp.asarray(x)
     if h.ndim != 1 or h.size == 0:
@@ -180,25 +240,29 @@ def upfirdn_pallas(h, x, up: int = 1, down: int = 1, *, interpret=False):
     N = x2d.shape[-1]
     n_out = (((N - 1) * up + len(h)) - 1) // down + 1
 
-    run = functools.partial(interpret_run, interpret=interpret)
+    run = functools.partial(_upfirdn_pallas_real, interpret=interpret)
 
     if np.iscomplexobj(h):
-        Wr, Lin, Lout, pad = build_polyphase_matrix(h.real.astype('float32'), up, down)
+        Wr, Lin, Lout, pad = build_polyphase_matrix(
+            h.real.astype('float32'), up, down
+        )
         Wi, _, _, _ = build_polyphase_matrix(h.imag.astype('float32'), up, down)
     else:
         Wr, Lin, Lout, pad = build_polyphase_matrix(h.astype('float32'), up, down)
         Wi = None
 
     if jnp.iscomplexobj(x2d):
-        xr, xi = jnp.real(x2d).astype('float32'), jnp.imag(x2d).astype('float32')
-        rr = run(xr, Wr, Lin, Lout, pad, n_out)
-        ii = run(xi, Wr, Lin, Lout, pad, n_out)
+        B = x2d.shape[0]
+        # real/imag planes ride as one doubled batch through each kernel run
+        planes = jnp.concatenate(
+            [jnp.real(x2d), jnp.imag(x2d)], axis=0
+        ).astype('float32')
+        yr = run(planes, Wr, Lin, Lout, pad, n_out)
         if Wi is None:
-            y = jax.lax.complex(rr, ii)
+            y = jax.lax.complex(yr[:B], yr[B:])
         else:
-            ri = run(xr, Wi, Lin, Lout, pad, n_out)
-            ir = run(xi, Wi, Lin, Lout, pad, n_out)
-            y = jax.lax.complex(rr - ir, ri + ii)
+            yi = run(planes, Wi, Lin, Lout, pad, n_out)
+            y = jax.lax.complex(yr[:B] - yi[B:], yr[B:] + yi[:B])
     else:
         y = run(x2d.astype('float32'), Wr, Lin, Lout, pad, n_out)
         if Wi is not None:
@@ -209,9 +273,3 @@ def upfirdn_pallas(h, x, up: int = 1, down: int = 1, *, interpret=False):
     if squeeze:
         return y[0]
     return y.reshape(x.shape[:-1] + (n_out,))
-
-
-def interpret_run(x2d, W, Lin, Lout, pad, n_out, *, interpret):
-    return _upfirdn_pallas_real(
-        x2d, W, Lin, Lout, pad, n_out, interpret=interpret
-    )

@@ -535,44 +535,44 @@ def power_histogram_along_axis(
     dtype='uint32',
     axis=0,
 ):
-    """histogram along the index of a power time series
-    (reference power_analysis.py:583-648).
+    """rolling dB histogram of a linear-power time series.
 
-    Returns a pd.DataFrame indexed on time, columned by power in dB.
+    Groups ``resolution_axis`` consecutive rows into one time bin and
+    histograms each group over ``(bounds[0], bounds[1])`` dB at
+    ``resolution_db`` steps.
 
-    Note: the reference calls ``.astype`` on the (counts, bins) tuple from
-    histogram_last_axis (power_analysis.py:639), an AttributeError at
-    runtime; here the tuple is unpacked first (intent preserved, bug not
-    reproduced; see SURVEY.md §7 reference-bugs list).
+    Behavior parity: reference power_analysis.py:583-648, with two intent
+    fixes (see docs/PARITY.md): the reference calls ``.astype`` on the
+    (counts, bins) tuple from histogram_last_axis (an AttributeError at
+    runtime) — unpacked first here — and its column-label math yields
+    n_bins-1 labels for n_bins columns — true bin centers here.
+
+    Returns a pd.DataFrame indexed on time, columned by dB bin center.
     """
+    if axis not in (0, 1):
+        raise ValueError('axis argument must be 0 or 1')
     if isinstance(pvt, pd.Series) and axis != 0:
         raise ValueError('axis argument is invalid for pd.Series')
+    frame = pvt.T if axis == 0 else pvt
 
-    if axis == 0:
-        pvt = pvt.T
-    elif axis != 1:
-        raise ValueError('axis argument must be 0 or 1')
-
-    pvt = powtodB(pvt, abs=False)
-
-    if not truncate and len(pvt) % resolution_axis != 0:
+    levels_db = powtodB(frame, abs=False)
+    n_groups = len(levels_db) // resolution_axis
+    if not truncate and n_groups * resolution_axis != len(levels_db):
         raise ValueError(
             'non-integer number of sweeps in pvt; pass truncate=False to truncate'
         )
+    kept = levels_db.iloc[: n_groups * resolution_axis]
 
-    pvt = pvt.iloc[: resolution_axis * (len(pvt) // resolution_axis)]
-
-    shape = pvt.shape[0] // resolution_axis, pvt.shape[1] * resolution_axis
-    reshaped = pvt.values.reshape(shape)
+    grouped = kept.values.reshape(
+        n_groups, resolution_axis * kept.shape[1]
+    )
     n_bins = 1 + int((bounds[1] - bounds[0]) / resolution_db)
-    h, _ = histogram_last_axis(reshaped, n_bins, bounds)
-    h = h.astype(dtype)
+    counts, _ = histogram_last_axis(grouped, n_bins, bounds)
 
-    # bin-center labels for the n_bins histogram columns (the reference's
-    # label math at power_analysis.py:644-645 yields n_bins-1 labels for
-    # n_bins columns; intent preserved here by using the true bin centers)
-    edges = np.linspace(bounds[0], bounds[1], n_bins + 1).astype('float64')
-    power_bins = 0.5 * (edges[:-1] + edges[1:])
-    df = pd.DataFrame(h, index=pvt.index[::resolution_axis], columns=power_bins)
-
-    return df
+    edges = np.linspace(bounds[0], bounds[1], n_bins + 1, dtype='float64')
+    centers = (edges[:-1] + edges[1:]) / 2
+    return pd.DataFrame(
+        counts.astype(dtype),
+        index=kept.index[::resolution_axis],
+        columns=centers,
+    )
