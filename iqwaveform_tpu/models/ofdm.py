@@ -594,7 +594,7 @@ def _instance_method_cache(maxsize=4):
 
 class PhyOFDM:
     """base OFDM numerology: nfft, SCS, CP sizes, and precomputed
-    cp/symbol index tables (reference ofdm.py:451-507)."""
+    cp/symbol index tables. Behavior parity: reference ofdm.py:451-507."""
 
     def __init__(
         self,
@@ -608,49 +608,36 @@ class PhyOFDM:
     ):
         self.channel_bandwidth = channel_bandwidth
         self.sample_rate = sample_rate
-
         self.nfft = nfft
+        self.subcarrier_spacing = sample_rate / nfft
         self.frame_duration = frame_duration
-
-        self.subcarrier_spacing = self.sample_rate / nfft
-        if frame_duration is None:
-            self.frame_size = None
-        else:
-            self.frame_size = round(sample_rate * frame_duration)
-
+        self.frame_size = (
+            None
+            if frame_duration is None
+            else round(sample_rate * frame_duration)
+        )
         self.cp_sizes = cp_sizes
 
         if cp_sizes is None:
             self.contiguous_size = contiguous_size
-            self.cp_start_idx = None
-            self.cp_idx = None
-            self.symbol_idx = None
-        else:
-            cp_sizes_host = np.asarray(cp_sizes)
-            if contiguous_size is not None:
-                self.contiguous_size = contiguous_size
-            else:
-                # no padding needed to complete a contiguous block of symbols
-                self.contiguous_size = int(
-                    np.sum(cp_sizes_host) + len(cp_sizes_host) * nfft
-                )
+            self.cp_start_idx = self.cp_idx = self.symbol_idx = None
+            return
 
-            # a (start_idx, size) pair for each CP
-            pair_sizes = np.concatenate(([0], cp_sizes_host + self.nfft))
-            self.cp_start_idx = pair_sizes.cumsum().astype(int)[:-1]
+        sizes = np.asarray(cp_sizes, dtype=int)
+        if contiguous_size is None:
+            # a whole number of (cp + symbol) blocks, no tail padding
+            contiguous_size = int(sizes.sum() + sizes.size * nfft)
+        self.contiguous_size = contiguous_size
 
-            idx_range = np.arange(self.contiguous_size, dtype=int)
+        # symbol block k spans cp_sizes[k] + nfft samples, CP first
+        starts = np.concatenate(([0], np.cumsum(sizes + int(nfft))[:-1]))
+        self.cp_start_idx = starts.astype(int)
 
-            # indices in the contiguous range that are CP
-            self.cp_idx = np.concatenate(
-                [
-                    idx_range[start : start + size]
-                    for start, size in zip(self.cp_start_idx, cp_sizes_host)
-                ]
-            )
-
-            # indices in the contiguous range that are not CP
-            self.symbol_idx = np.setdiff1d(idx_range, self.cp_idx)
+        is_cp = np.zeros(contiguous_size, dtype=bool)
+        for start, size in zip(starts, sizes):
+            is_cp[start : start + size] = True
+        self.cp_idx = np.flatnonzero(is_cp)
+        self.symbol_idx = np.flatnonzero(~is_cp)
 
     def index_cyclic_prefix(self):
         raise NotImplementedError
@@ -721,28 +708,30 @@ class Phy3GPP(PhyOFDM):
     ):
         if subcarrier_spacing not in self.SUBCARRIER_SPACINGS:
             raise ValueError(
-                f'subcarrier_spacing must be one of {self.SUBCARRIER_SPACINGS}'
+                f'subcarrier spacing {subcarrier_spacing} is not one of '
+                f'{sorted(self.SUBCARRIER_SPACINGS)}'
             )
 
         if sample_rate is None:
             sample_rate = self.BW_TO_SAMPLE_RATE[channel_bandwidth]
-
-        if isroundmod(sample_rate, subcarrier_spacing):
-            nfft = round(sample_rate / subcarrier_spacing)
-        else:
-            raise ValueError('sample_rate / subcarrier_spacing must be counting number')
+        if not isroundmod(sample_rate, subcarrier_spacing):
+            raise ValueError(
+                'sample_rate must be an integer multiple of the subcarrier '
+                'spacing'
+            )
+        nfft = round(sample_rate / subcarrier_spacing)
 
         if nfft in self.FFT_SIZE_TO_SUBCARRIERS:
             self.subcarriers = self.FFT_SIZE_TO_SUBCARRIERS[nfft]
-
-        cp_sizes = (nfft * self.MIN_CP_SIZES) // 128
 
         super().__init__(
             channel_bandwidth=channel_bandwidth,
             nfft=nfft,
             sample_rate=sample_rate,
             frame_duration=10e-3,
-            cp_sizes=cp_sizes,
+            # TS 38.211 §5.3.1: slot CP pattern scales with nfft from the
+            # 128-point minimum sizes
+            cp_sizes=(self.MIN_CP_SIZES * nfft) // 128,
         )
 
     @_instance_method_cache(4)

@@ -114,6 +114,54 @@ class ResamplerDesign(typing.TypedDict):
     fs: float
 
 
+def _shift_sign(shift) -> int:
+    """map an LO shift token to its frequency sign."""
+    signs = {'left': -1, 'right': +1, 'none': 0, False: 0, None: 0}
+    try:
+        return signs[shift]
+    except (KeyError, TypeError):
+        raise ValueError(
+            f"LO shift must be 'left', 'right', or 'none', got {shift!r}"
+        ) from None
+
+
+def _pick_sdr_rate(fs_base, fs_target, fs_sdr, fs_floor):
+    """SDR rate selection: a forced rate wins; otherwise the largest
+    integer division fs_base/k that stays at or above fs_floor."""
+    if fs_sdr is not None:
+        return fs_sdr
+    if fs_base <= fs_target:
+        return fs_base
+    if fs_floor > fs_base:
+        raise ValueError(
+            f'the requested LO shift needs at least {fs_floor / 1e6:0.2f} '
+            f'MS/s from the radio, above its {fs_base / 1e6:0.2f} MS/s '
+            f'maximum rate'
+        )
+    return fs_base / int(fs_base / fs_floor)
+
+
+def _rational_fft_pair(ratio: float, min_fft_size, avoid_primes, divisor):
+    """smallest output FFT size whose input pair nfft_in = ratio*nfft_out
+    is (tolerantly) an integer above min_fft_size*ratio, skipping sizes
+    with large prime factors, then scaled up to the COLA divisor."""
+    sizes_out = np.arange(1, OLA_MAX_FFT_SIZE + 1)
+    integral = isroundmod(ratio * sizes_out, 1)
+    candidates = sizes_out[integral & (sizes_out > min_fft_size)]
+    if avoid_primes:
+        candidates = np.setdiff1d(candidates, _prime_fft_sizes(100), True)
+    if candidates.size == 0:
+        raise ValueError(
+            'no rational FFT size pair satisfies the design constraints'
+        )
+
+    nfft_out = int(candidates[0])
+    nfft_in = round(ratio * nfft_out)
+    if nfft_in % divisor or nfft_out % divisor:
+        nfft_in, nfft_out = nfft_in * divisor, nfft_out * divisor
+    return int(nfft_in), int(nfft_out)
+
+
 @lru_cache()
 def design_cola_resampler(
     fs_base: float,
@@ -127,94 +175,58 @@ def design_cola_resampler(
     window=None,
     fs_sdr: typing.Optional[float] = None,
 ) -> ResamplerDesign:
-    """design sampling/LO parameters for COLA resampling
-    (reference fourier.py:384-500).
+    """design sampling/LO parameters for COLA resampling.
 
     Selects the integer-divided SDR sample rate, the LO frequency offset
     that moves LO leakage outside the analysis bandwidth, and the
     (nfft, nfft_out) rational resampling pair, avoiding prime FFT sizes.
 
+    Behavior parity: reference fourier.py:384-500, except that the
+    literal token shift='none' means "no shift" here (the reference
+    treats the string as a truthy shift request in two guard branches;
+    see docs/PARITY.md).
+
     Returns:
         ResamplerDesign kwargs splattable into ola_filter
     """
-    if bw == INF and shift:
+    sign = _shift_sign(shift)
+    if sign != 0 and bw == INF:
         raise ValueError(
-            'frequency shifting may only be applied when an analysis bandwidth is specified'
+            'an analysis bandwidth (bw) is required to design an LO shift'
         )
-
-    if shift:
-        fs_sdr_min = fs_target + min_oversampling * bw / 2 + bw_lo / 2
-    else:
-        fs_sdr_min = fs_target
-
-    if fs_sdr is not None:
-        pass
-    elif fs_base <= fs_target:
-        fs_sdr = fs_base
-    elif shift and fs_sdr_min > fs_base:
-        msg = (
-            f'LO frequency shift with the requested parameters requires '
-            f'running the radio at a minimum {fs_sdr_min / 1e6:0.2f} MS/s, '
-            f'but its maximum rate is {fs_base / 1e6:0.2f} MS/s'
-        )
-        raise ValueError(msg)
-    else:
-        decimation = int(fs_base / fs_sdr_min)
-        fs_sdr = fs_base / decimation
-
     if bw != INF and bw > fs_base:
         raise ValueError(
-            'passband bandwidth exceeds Nyquist bandwidth at maximum sample rate'
+            'analysis bandwidth exceeds the Nyquist span at the base rate'
         )
 
-    resample_ratio = fs_sdr / fs_target
+    if sign != 0:
+        # room for the passband plus the LO leakage region beside it
+        fs_floor = fs_target + (min_oversampling * bw + bw_lo) / 2
+    else:
+        fs_floor = fs_target
+    fs_sdr = _pick_sdr_rate(fs_base, fs_target, fs_sdr, fs_floor)
 
-    # modulos closest to 0 or 1, accommodating downward rounding errors
-    trial_noverlap = resample_ratio * np.arange(1, OLA_MAX_FFT_SIZE + 1)
-    check_mods = isroundmod(trial_noverlap, 1) & (
-        trial_noverlap > min_fft_size * resample_ratio
+    nfft_in, nfft_out = _rational_fft_pair(
+        fs_sdr / fs_target,
+        min_fft_size,
+        avoid_primes,
+        _COLA_WINDOW_SIZE_DIVISOR[window],
     )
 
-    valid_noverlap_out = 1 + np.where(check_mods)[0]
-    if avoid_primes:
-        reject = _prime_fft_sizes(100)
-        valid_noverlap_out = np.setdiff1d(valid_noverlap_out, reject, True)
-    if len(valid_noverlap_out) == 0:
-        raise ValueError('no rational FFT sizes satisfied design constraints')
-
-    nfft_out = valid_noverlap_out[0]
-    nfft_in = round(resample_ratio * nfft_out)
-
-    divisor = _COLA_WINDOW_SIZE_DIVISOR[window]
-    if nfft_out % divisor > 0 or nfft_in % divisor > 0:
-        nfft_out *= divisor
-        nfft_in *= divisor
-
-    if shift == 'left':
-        sign = -1
-    elif shift == 'right':
-        sign = +1
-    elif shift in ('none', False, None):
-        sign = 0
-    else:
-        raise ValueError(f'shift argument must be "left" or "right", not {repr(shift)}')
-
-    if sign != 0 and bw == INF:
-        raise ValueError('a passband bandwidth must be set to design a LO shift')
-
     if bw == INF:
-        lo_offset = 0
+        # sign == 0 is guaranteed above; 0 * inf would be nan
+        lo_offset = 0.0
         passband = (None, None)
     else:
-        lo_offset = sign * (bw / 2 + bw_lo / 2)
+        lo_offset = sign * (bw + bw_lo) / 2
         passband = (lo_offset - bw / 2, lo_offset + bw / 2)
 
     return ResamplerDesign(
         fs_sdr=fs_sdr,
         lo_offset=lo_offset,
         window=window or 'hamming',
-        nfft=int(nfft_in),
-        nfft_out=int(nfft_out),
+        nfft=nfft_in,
+        nfft_out=nfft_out,
         frequency_shift=shift,
         passband=passband,
         fs=fs_sdr,

@@ -47,6 +47,17 @@ def _fourier_delay_halfwidth(n: int) -> np.ndarray:
     return np.exp(-2j * np.pi * (n // 2) * freqs)
 
 
+def _resolve_enbw_spec(spec, nwindow: int):
+    """expand a ('<name>_by_enbw', enbw) window spec into
+    (name, solved_parameter); other specs pass through unchanged."""
+    if not isinstance(spec, tuple):
+        return spec
+    name, marker, _ = spec[0].partition('_by_enbw')
+    if not marker:
+        return spec
+    return (name, find_window_param_from_enbw(name, spec[1], nfft=nwindow))
+
+
 def _get_window_uncached(
     name_or_tuple,
     nwindow: int,
@@ -59,8 +70,11 @@ def _get_window_uncached(
     dtype='float32',
     xp=None,
 ):
-    """build a window function with optional zero-padding and normalization
-    (reference fourier.py:70-152).
+    """build a window vector with optional zero-padding, unit-power
+    normalization, and a baked-in circular shift.
+
+    Behavior parity: reference fourier.py:70-152 (the fftshift "delay"
+    trick at :139-146 and the RMS normalization at :135-137).
 
     Args:
         name_or_tuple: window name or (name, parameter); a name suffixed
@@ -76,52 +90,28 @@ def _get_window_uncached(
     """
     register_extra_windows()
 
-    if xp is not None:
-        w = _get_window_uncached(
-            name_or_tuple,
-            nwindow,
-            nzero=nzero,
-            fftbins=fftbins,
-            norm=norm,
-            fftshift=fftshift,
-            center_zeros=center_zeros,
-            dtype=dtype,
-        )
-        return xp.asarray(w)
+    core = signal.windows.get_window(
+        _resolve_enbw_spec(name_or_tuple, nwindow), nwindow, fftbins=fftbins
+    )
 
-    if isinstance(name_or_tuple, tuple):
-        # maybe evaluate the window argument needed for a specified ENBW
-        window_name, *suffix = name_or_tuple[0].rsplit('_by_enbw', 1)
-        if len(suffix) > 0:
-            enbw = name_or_tuple[1]
-            param = find_window_param_from_enbw(window_name, enbw, nfft=nwindow)
-            name_or_tuple = (window_name, param)
-
-    ws = signal.windows.get_window(name_or_tuple, nwindow, fftbins=fftbins)
-
+    # embed into the padded span (nzero == 0 embeds at [0, nwindow))
     ntotal = nwindow + nzero
-
-    if nzero == 0:
-        w = ws
-    elif center_zeros:
-        w = np.zeros(ntotal, dtype=ws.dtype)
-        w[nzero // 2 : nzero // 2 + nwindow] = ws
-    else:
-        w = np.zeros(ntotal, dtype=ws.dtype)
-        w[:nwindow] = ws
+    start = nzero // 2 if center_zeros else 0
+    w = np.zeros(ntotal, dtype=core.dtype)
+    w[start : start + nwindow] = core
 
     if norm:
-        # scale the time-averaged power to 1 (reference fourier.py:135-137)
-        w = w / np.sqrt(np.mean(np.abs(w) ** 2))
+        # unit time-averaged power over the padded span
+        w = w / np.sqrt(np.sum(np.abs(core) ** 2) / ntotal)
 
     if fftshift:
-        delay = _fourier_delay_halfwidth(ntotal)
-        w = delay * w
+        w = _fourier_delay_halfwidth(ntotal) * w
 
     if dtype is not None:
-        dtype_out = dtype_change_float(w.dtype, dtype)
-        w = w.astype(dtype_out)
+        w = w.astype(dtype_change_float(w.dtype, dtype))
 
+    if xp is not None:
+        return xp.asarray(w)
     return w
 
 
