@@ -124,7 +124,7 @@ def bench_monitor(nfft_hint: int, ola_kernel: str = 'matmul', fft_precision: str
 
 
 def bench_spectrogram():
-    """fallback: spectrogram + persistence stats pipeline (config #1)."""
+    """BASELINE config #1: 1024-pt Hann spectrogram + persistence stats."""
     import jax
     import jax.numpy as jnp
 
@@ -132,6 +132,7 @@ def bench_spectrogram():
     from iqwaveform_tpu.utils import unpack_iq
 
     n = 2**24
+    nperseg = 1024
     rng = np.random.default_rng(0)
     ri = jnp.asarray(
         np.stack([rng.standard_normal(n), rng.standard_normal(n)]).astype(
@@ -143,7 +144,8 @@ def bench_spectrogram():
     def step(planes):
         v = unpack_iq(planes)
         spg = fourier.spectrogram(
-            v, fs=122.88e6, window='hann', nperseg=1024, return_axis_arrays=False
+            v, fs=122.88e6, window='hann', nperseg=nperseg,
+            return_axis_arrays=False,
         )
         spg_dB = powtodB(spg, eps=1e-25)
         return jnp.stack(
@@ -151,7 +153,145 @@ def bench_spectrogram():
         )
 
     dt = _measure(step, ri)
-    return 'spectrogram_stats_1chip', n / dt / 1e6
+    extras = [('spectrogram_frames_per_s_1chip', (n // nperseg) / dt, 'frames/s')]
+    return 'spectrogram_stats_1chip', n / dt / 1e6, extras
+
+
+def bench_monitor_rx(rx: int):
+    """receiver-batched monitor (ROADMAP item: amortize dispatch over a
+    stacked rx_batch axis; same per-sample math as monitor8192p)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
+    from iqwaveform_tpu.utils import unpack_iq
+
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=2048,
+        apd_navg=16, fft_backend='mxu', ola_kernel='pallas',
+        apd_kernel='pallas', chan_kernel='pallas', fft_precision='high',
+        min_fft_size=8191,
+    )
+    mon = WidebandMonitor(design)
+    quantum = mon.min_input_multiple()
+    n_row = int(np.ceil(2**24 / rx / quantum)) * quantum
+    n = rx * n_row
+
+    rng = np.random.default_rng(0)
+    ri = jnp.asarray(
+        np.stack(
+            [rng.standard_normal((rx, n_row)), rng.standard_normal((rx, n_row))]
+        ).astype('float32')
+    )
+
+    step = jax.jit(lambda planes: mon.step(unpack_iq(planes)))
+    dt = _measure(step, ri, fence_key='psd_mean')
+    return f'monitor_pipeline_rx{rx}_1chip', n / dt / 1e6, []
+
+
+def bench_streaming():
+    """BASELINE config #3: streaming APD + persistence spectrum over a
+    1 GS capture at fixed memory (donated carry, one chunk resident)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.ops.power import histogram_edge_counts
+    from iqwaveform_tpu.ops.window_design import get_window
+    from iqwaveform_tpu.parallel.sharded import columnwise_histogram
+    from iqwaveform_tpu.utils import unpack_iq
+
+    nfft = 1024
+    chunk = 2**24  # 16.78 Ms per fold
+    n_folds = 60  # >= 1.0e9 samples total
+    hist_bins = 1024
+
+    w = get_window('hann', nfft, norm=True, fftshift=True).astype('complex64')
+    edges_dB = np.linspace(-150.0, 50.0, hist_bins + 1).astype('float32')
+    apd_edges = (10 ** (np.linspace(-120.0, 30.0, 513) / 10.0)).astype('float32')
+
+    def fold(carry, planes):
+        v = unpack_iq(planes)
+        frames = v.reshape(-1, nfft) * jnp.asarray(w / nfft)[None, :]
+        Y = jnp.fft.fft(frames, axis=1)
+        spg = Y.real * Y.real + Y.imag * Y.imag
+        spg_dB = 10.0 * jnp.log10(spg + 1e-25)
+        p = v.real * v.real + v.imag * v.imag
+        return {
+            'hist': carry['hist'] + columnwise_histogram(spg_dB, edges_dB),
+            'psum': carry['psum'] + spg_dB.sum(axis=0),
+            'pmax': jnp.maximum(carry['pmax'], spg_dB.max(axis=0)),
+            'apd': carry['apd'] + histogram_edge_counts(p, apd_edges),
+            'n': carry['n'] + np.float32(spg.shape[0]),
+        }
+
+    step = jax.jit(fold, donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    ri = jnp.asarray(
+        np.stack(
+            [rng.standard_normal(chunk), rng.standard_normal(chunk)]
+        ).astype('float32')
+    )
+    carry = {
+        'hist': jnp.zeros((nfft, hist_bins), jnp.int32),
+        'psum': jnp.zeros((nfft,), jnp.float32),
+        'pmax': jnp.full((nfft,), -jnp.inf, jnp.float32),
+        'apd': jnp.zeros((apd_edges.shape[0] + 1,), jnp.int32),
+        'n': jnp.zeros((), jnp.float32),
+    }
+
+    t0 = time.perf_counter()
+    carry = step(carry, ri)
+    np.asarray(carry['psum'])
+    _log(f'streaming: compile+first fold {time.perf_counter() - t0:.1f}s')
+
+    t0 = time.perf_counter()
+    for _ in range(n_folds):
+        carry = step(carry, ri)
+    np.asarray(carry['psum'])  # f32 fence (execution is in-order)
+    dt = time.perf_counter() - t0
+
+    total = n_folds * chunk
+    _log(f'streaming: {total / 1e9:.2f} GS in {dt:.2f}s')
+    return 'streaming_apd_persistence_1GS_1chip', total / dt / 1e6, []
+
+
+def bench_channelize64():
+    """BASELINE config #4: batched 64-channel channelizer -> per-channel
+    power series -> detector stats, 4 captures x 10 Ms per step."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.ops.spectral import channelize_power
+    from iqwaveform_tpu.utils import unpack_iq
+
+    B, n = 4, 10_000_000
+    fft_per_chan, n_chan = 256, 64
+    nperseg = fft_per_chan * n_chan
+    n_use = (n // nperseg) * nperseg
+
+    rng = np.random.default_rng(0)
+    ri = jnp.asarray(
+        np.stack(
+            [rng.standard_normal((B, n_use)), rng.standard_normal((B, n_use))]
+        ).astype('float32')
+    )
+
+    def one(v):
+        cp = channelize_power(
+            v, 1.0 / 122.88e6, fft_per_chan,
+            analysis_bins_per_channel=int(fft_per_chan * 0.75),
+            window='hamming', channel_count=n_chan,
+        )  # (time, channel)
+        return jnp.stack(
+            [cp.mean(axis=0), cp.max(axis=0),
+             jnp.sqrt((cp * cp).mean(axis=0))]
+        )
+
+    step = jax.jit(lambda planes: jax.vmap(one)(unpack_iq(planes)))
+    dt = _measure(step, ri)
+    return 'channelize64_stats_1chip', B * n_use / dt / 1e6, []
 
 
 CONFIGS = {
@@ -159,11 +299,15 @@ CONFIGS = {
     'monitor8192': lambda: bench_monitor(8192),
     'monitor2048': lambda: bench_monitor(2048),
     'spectrogram': bench_spectrogram,
+    'monitorRx4': lambda: bench_monitor_rx(4),
+    'streaming1gs': bench_streaming,
+    'channelize64': bench_channelize64,
 }
 
 
 def run_config(name: str):
-    metric, msps = CONFIGS[name]()
+    out = CONFIGS[name]()
+    metric, msps, extras = out if len(out) == 3 else (*out, [])
     print(
         json.dumps(
             {
@@ -174,9 +318,48 @@ def run_config(name: str):
             }
         )
     )
+    for em, ev, eu in extras:
+        print(json.dumps({'metric': em, 'value': round(ev, 1), 'unit': eu}))
+
+
+def run_matrix():
+    """run every benchmark config in its own subprocess; print all JSON
+    lines and save them to docs/BENCH_matrix.json."""
+    budgets = {
+        'monitor8192p': 480, 'monitor8192': 420, 'spectrogram': 240,
+        'monitorRx4': 480, 'streaming1gs': 600, 'channelize64': 360,
+    }
+    lines = []
+    for name, budget in budgets.items():
+        _log(f'bench matrix: {name} (budget {budget}s)')
+        try:
+            result = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                timeout=budget, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            _log(f'bench matrix: {name} TIMEOUT')
+            continue
+        sys.stderr.write(result.stderr[-2000:])
+        if result.returncode == 0:
+            for ln in result.stdout.strip().splitlines():
+                print(ln, flush=True)
+                lines.append(json.loads(ln))
+        else:
+            _log(f'bench matrix: {name} rc={result.returncode}')
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'docs', 'BENCH_matrix.json')
+    with open(out_path, 'w') as f:
+        json.dump(lines, f, indent=1)
+    _log(f'bench matrix: wrote {out_path}')
 
 
 def main():
+    # matrix mode: run and record every benchmark configuration
+    if len(sys.argv) > 1 and sys.argv[1] == '--matrix':
+        run_matrix()
+        return
+
     # child mode: run one configuration in-process
     if len(sys.argv) > 1:
         run_config(sys.argv[1])

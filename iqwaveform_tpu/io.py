@@ -34,6 +34,7 @@ __all__ = [
     'read_sigmf_to_df',
     'resample_iq',
     'waveform_to_frame',
+    'write_sigmf',
 ]
 
 
@@ -176,6 +177,100 @@ def resample_iq(iq, Ts, scale, axis=0):
     """(reference io.py:150-152)"""
     N = int(np.round(iq.shape[0] * scale))
     return signal.resample(iq, num=N, axis=axis), Ts / scale
+
+
+def write_sigmf(
+    path_stem,
+    iq,
+    sample_rate: float,
+    *,
+    center_frequency=0.0,
+    datatype: str = 'cf32_le',
+    timestamps=None,
+    scale: float = None,
+    annotations=(),
+    global_fields: dict = None,
+):
+    """persist captured IQ + metadata as a SigMF recording.
+
+    The write counterpart of read_sigmf/read_iq_data (the reference io.py
+    is read-only; a monitor that cannot persist captures is incomplete as
+    a production tool — ROADMAP item). Roundtrips through this module's
+    readers.
+
+    Args:
+        path_stem: output path; '.sigmf-meta'/'.sigmf-data' suffixes are
+            added (or replaced)
+        iq: one 1-D complex waveform, or a list of per-capture waveforms
+        sample_rate: samples/s, stored as core:sample_rate
+        center_frequency: scalar, or one value per capture
+        datatype: payload encoding — 'cf32_le' (complex64), 'ci16_le'
+            (scaled int16), or 'npy' (numpy format, read_sigmf compatible)
+        timestamps: ISO-8601 string(s) per capture (default: now, UTC)
+        scale: full-scale amplitude for ci16_le quantization
+            (default 32768, matching read_iq_data's 1/32768)
+        annotations: SigMF annotation dicts, stored verbatim
+        global_fields: extra keys merged into the global object
+
+    Returns:
+        (data_path, meta_path) as Paths
+    """
+    import datetime as _dt
+
+    stem = Path(path_stem)
+    while stem.suffix in ('.sigmf-meta', '.sigmf-data', '.npy'):
+        stem = stem.with_suffix('')
+
+    caps = list(iq) if isinstance(iq, (list, tuple)) else [iq]
+    caps = [np.ascontiguousarray(np.asarray(c).reshape(-1)) for c in caps]
+    freqs = np.broadcast_to(np.asarray(center_frequency, float), (len(caps),))
+    if timestamps is None:
+        now = _dt.datetime.now(_dt.timezone.utc).isoformat()
+        timestamps = [now] * len(caps)
+    elif isinstance(timestamps, str):
+        timestamps = [timestamps] * len(caps)
+
+    starts = np.concatenate([[0], np.cumsum([c.shape[0] for c in caps])[:-1]])
+    data = np.concatenate(caps) if len(caps) > 1 else caps[0]
+
+    meta = {
+        'global': {
+            'core:datatype': datatype,
+            'core:sample_rate': float(sample_rate),
+            'core:version': '1.0.0',
+            **(global_fields or {}),
+        },
+        'captures': [
+            {
+                'core:sample_start': int(s),
+                'core:frequency': float(f),
+                'core:datetime': t,
+            }
+            for s, f, t in zip(starts, freqs, timestamps)
+        ],
+        'annotations': list(annotations),
+    }
+
+    if datatype == 'cf32_le':
+        data_path = stem.with_suffix('.sigmf-data')
+        data.astype('<c8').tofile(data_path)
+    elif datatype == 'ci16_le':
+        data_path = stem.with_suffix('.sigmf-data')
+        full_scale = 32768.0 if scale is None else float(scale)
+        planes = np.stack([data.real, data.imag], axis=-1) * full_scale
+        quantized = np.clip(np.round(planes), -32768, 32767).astype('<i2')
+        quantized.tofile(data_path)
+    elif datatype == 'npy':
+        data_path = Path(str(stem) + '.sigmf-data.npy')
+        np.save(data_path, data.astype('complex64'))
+    else:
+        raise ValueError(
+            f"datatype must be 'cf32_le', 'ci16_le', or 'npy', not {datatype!r}"
+        )
+
+    meta_path = stem.with_suffix('.sigmf-meta')
+    meta_path.write_text(json.dumps(meta, indent=1))
+    return data_path, meta_path
 
 
 def read_iq_data(

@@ -182,3 +182,62 @@ def test_read_sigmf_to_df_columns(sigmf_capture):
     df = io.read_sigmf_to_df(meta_path)
     assert df.shape == (1000, 2)
     assert df.columns.name == 'Frequency (Hz)'
+
+
+def test_write_sigmf_roundtrip_cf32(tmp_path):
+    """write -> read roundtrip of a cf32_le recording + metadata."""
+    rng = np.random.default_rng(0)
+    iq = (rng.standard_normal(1234) + 1j * rng.standard_normal(1234)).astype(
+        'complex64'
+    )
+    data_path, meta_path = io.write_sigmf(
+        tmp_path / 'cap', iq, 10e6, center_frequency=3.6e9
+    )
+    back = io.read_iq_data(data_path, sample_format='cf32_le')
+    np.testing.assert_array_equal(back, iq)
+
+    freqs, times, fs, cal = io.read_sigmf_metadata(meta_path)
+    assert fs == 10e6
+    assert freqs == {0: 3.6e9}
+
+
+def test_write_sigmf_roundtrip_ci16(tmp_path):
+    """int16 quantization roundtrips within half an LSB."""
+    rng = np.random.default_rng(1)
+    iq = (rng.standard_normal(500) + 1j * rng.standard_normal(500)).astype(
+        'complex64'
+    )
+    # keep within the int16 full scale so no sample clips
+    iq = iq * (0.9 / max(np.abs(iq.real).max(), np.abs(iq.imag).max()))
+    data_path, _ = io.write_sigmf(
+        tmp_path / 'cap16', iq, 1e6, datatype='ci16_le'
+    )
+    back = io.read_iq_data(data_path, sample_format='ci16_le')
+    lsb = 1.0 / 32768.0
+    assert np.abs(back.real - iq.real).max() <= lsb
+    assert np.abs(back.imag - iq.imag).max() <= lsb
+
+
+def test_write_sigmf_npy_multicapture(tmp_path):
+    """multi-capture npy recordings read back through read_sigmf with the
+    per-capture split and frequencies intact."""
+    rng = np.random.default_rng(2)
+    caps = [
+        (rng.standard_normal(400) + 1j * rng.standard_normal(400)).astype(
+            'complex64'
+        )
+        for _ in range(3)
+    ]
+    _, meta_path = io.write_sigmf(
+        tmp_path / 'multi',
+        caps,
+        30.72e6,
+        center_frequency=[1e9, 2e9, 3e9],
+        datatype='npy',
+    )
+    x_split, freqs, Ts, cal = io.read_sigmf(meta_path)
+    assert len(x_split) == 3
+    np.testing.assert_array_equal(freqs, [1e9, 2e9, 3e9])
+    assert Ts == 1.0 / 30.72e6
+    for got, exp in zip(x_split, caps):
+        np.testing.assert_array_equal(got, exp)

@@ -319,3 +319,26 @@ def test_sharded_channelize_power(mesh):
     np.testing.assert_allclose(
         np.asarray(power_s), np.asarray(power), rtol=1e-4
     )
+
+
+@pytest.mark.parametrize('n_bins', [512, 2048])
+def test_quantile_from_histogram_error_bound(n_bins):
+    """histogram-inverted quantiles of real data stay within one bin
+    width of the exact order-statistic quantiles at the production bin
+    counts (VERDICT r1 item 9)."""
+    rng = np.random.default_rng(7)
+    # dB-like data: lognormal power in dB with a heavy lower tail
+    vals = 10 * np.log10(rng.gamma(2.0, 1.0, size=200_000)).astype('float32')
+    edges = np.linspace(-40.0, 20.0, n_bins + 1).astype('float32')
+    bin_width = edges[1] - edges[0]
+
+    idx = np.clip(np.searchsorted(edges, vals, side='right') - 1, 0, n_bins - 1)
+    hist = np.zeros(n_bins, dtype='int64')
+    np.add.at(hist, idx[(vals >= edges[0]) & (vals < edges[-1])], 1)
+
+    qs = np.array([0.05, 0.25, 0.5, 0.9, 0.99, 0.999], dtype='float32')
+    got = np.asarray(
+        parallel.quantile_from_histogram(hist[None, :], edges, qs)
+    )[:, 0]
+    exact = np.quantile(vals, qs)
+    assert np.abs(got - exact).max() <= bin_width, (got, exact)
