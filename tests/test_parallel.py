@@ -342,3 +342,45 @@ def test_quantile_from_histogram_error_bound(n_bins):
     )[:, 0]
     exact = np.quantile(vals, qs)
     assert np.abs(got - exact).max() <= bin_width, (got, exact)
+
+
+def test_sharded_monitor_collective_budget():
+    """the sharded monitor step must scale: no all-gather or all-to-all
+    of the capture may appear, only the O(noverlap) halo permutes and the
+    O(bins) statistic reductions (VERDICT r1 item 8)."""
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iqwaveform_tpu.models import (
+        WidebandMonitor,
+        design_wideband_monitor,
+    )
+    from iqwaveform_tpu.parallel.mesh import TIME_AXIS
+
+    design = design_wideband_monitor(
+        61.44e6, 30.72e6, bw=20e6, channel_count=8,
+        fft_size_per_channel=128, window='hamming', apd_bins=512,
+    )
+    mesh = jax.make_mesh(
+        (8,), (TIME_AXIS,), axis_types=(jax.sharding.AxisType.Auto,)
+    )
+    mon = WidebandMonitor(design, mesh=mesh)
+    n = mon.min_input_multiple(8)
+    rng = np.random.default_rng(0)
+    iq = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))).astype(
+        'complex64'
+    )
+    iq = jax.device_put(
+        jnp.asarray(iq), NamedSharding(mesh, P(None, TIME_AXIS))
+    )
+
+    hlo = jax.jit(mon.sharded_step).lower(iq).compile().as_text()
+
+    def count(op):
+        return len(re.findall(rf'{op}\(|{op}-start', hlo))
+
+    assert count('all-gather') == 0, 'capture-sized all-gather crept in'
+    assert count('all-to-all') == 0
+    assert count('collective-permute') <= 2  # halo in + OLA tail out
+    assert count('all-reduce') <= 4  # psum/pmean/pmax statistic merges
