@@ -196,9 +196,11 @@ def bench_streaming():
     import jax
     import jax.numpy as jnp
 
+    from iqwaveform_tpu.ops.pallas.colhist_pallas import (
+        columnwise_histogram_fast,
+    )
     from iqwaveform_tpu.ops.power import histogram_edge_counts
     from iqwaveform_tpu.ops.window_design import get_window
-    from iqwaveform_tpu.parallel.sharded import columnwise_histogram
     from iqwaveform_tpu.utils import unpack_iq
 
     nfft = 1024
@@ -218,14 +220,27 @@ def bench_streaming():
         spg_dB = 10.0 * jnp.log10(spg + 1e-25)
         p = v.real * v.real + v.imag * v.imag
         return {
-            'hist': carry['hist'] + columnwise_histogram(spg_dB, edges_dB),
+            'hist': carry['hist'] + columnwise_histogram_fast(spg_dB, edges_dB),
             'psum': carry['psum'] + spg_dB.sum(axis=0),
             'pmax': jnp.maximum(carry['pmax'], spg_dB.max(axis=0)),
             'apd': carry['apd'] + histogram_edge_counts(p, apd_edges),
             'n': carry['n'] + np.float32(spg.shape[0]),
         }
 
-    step = jax.jit(fold, donate_argnums=0)
+    # scan a batch of folds per dispatch: a single fold per jit call is
+    # tunnel-round-trip bound (~230 ms/dispatch vs ~8 ms of compute); a
+    # production pipeline keeps many chunks in flight
+    folds_per_dispatch = 15
+
+    def run_folds(carry, planes):
+        return jax.lax.scan(
+            lambda c, _: (fold(c, planes), None),
+            carry,
+            None,
+            length=folds_per_dispatch,
+        )[0]
+
+    step = jax.jit(run_folds, donate_argnums=0)
 
     rng = np.random.default_rng(0)
     ri = jnp.asarray(
@@ -244,15 +259,16 @@ def bench_streaming():
     t0 = time.perf_counter()
     carry = step(carry, ri)
     np.asarray(carry['psum'])
-    _log(f'streaming: compile+first fold {time.perf_counter() - t0:.1f}s')
+    _log(f'streaming: compile+first dispatch {time.perf_counter() - t0:.1f}s')
 
+    n_dispatch = -(-n_folds // folds_per_dispatch)
     t0 = time.perf_counter()
-    for _ in range(n_folds):
+    for _ in range(n_dispatch):
         carry = step(carry, ri)
     np.asarray(carry['psum'])  # f32 fence (execution is in-order)
     dt = time.perf_counter() - t0
 
-    total = n_folds * chunk
+    total = n_dispatch * folds_per_dispatch * chunk
     _log(f'streaming: {total / 1e9:.2f} GS in {dt:.2f}s')
     return 'streaming_apd_persistence_1GS_1chip', total / dt / 1e6, []
 
@@ -389,7 +405,13 @@ def main():
 
         sys.stderr.write(result.stderr)
         if result.returncode == 0 and result.stdout.strip():
-            sys.stdout.write(result.stdout.strip().splitlines()[-1] + '\n')
+            # first line is the config's headline metric (extras follow)
+            line = json.loads(result.stdout.strip().splitlines()[0])
+            if name != attempts[0][0]:
+                # make a degraded-config result impossible to mistake for
+                # the flagship number
+                line['fallback_from'] = attempts[0][0]
+            print(json.dumps(line))
             return
         _log(f'bench: {name} failed (rc={result.returncode}); falling back')
 

@@ -118,13 +118,14 @@ def streaming_persistence_spectrum(
         count=jnp.zeros((), dtype=jnp.int32),
     )
 
-    from .sharded import columnwise_histogram
+    # one-hot-matmul kernel on TPU (6x the sort path), XLA sort elsewhere
+    from ..ops.pallas.colhist_pallas import columnwise_histogram_fast
 
     def step(carry, chunk_x):
         spg = _spectrogram_chunk(chunk_x, w, nfft)  # (frames, nfft)
         spg_dB = 10.0 * jnp.log10(spg + 1e-25)
 
-        hist = carry.hist + columnwise_histogram(spg_dB, edges)
+        hist = carry.hist + columnwise_histogram_fast(spg_dB, edges)
 
         return (
             PersistenceCarry(

@@ -1,0 +1,112 @@
+"""End-to-end RMS error of the PRODUCTION monitor configuration on the
+real TPU vs the CPU oracle, at the bench shapes (BASELINE.md: <=1e-5 RMS
+budget vs the CPU scipy-matched reference).
+
+Production config = exactly what bench.py monitor8192p runs: Pallas
+fused-OLA at the manual 3-pass bf16 split, MXU four-step FFTs, Pallas
+edge-compare APD, Pallas channelizer-statistics kernel. Oracle = the same
+design with the plain XLA kernels (jnp.fft + HIGHEST-precision einsum
+paths) jitted on the CPU backend — the path the test suite pins to scipy.
+
+Usage: python scripts/rms_error_tpu.py [n_log2]  (default 2**24 samples)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def rel_rms(got, ref):
+    got = np.asarray(got, dtype='float64')
+    ref = np.asarray(ref, dtype='float64')
+    return float(
+        np.sqrt(np.mean((got - ref) ** 2)) / max(np.sqrt(np.mean(ref**2)), 1e-30)
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
+    from iqwaveform_tpu.utils import unpack_iq
+
+    n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+
+    common = dict(
+        bw=40e6, fs_sdr=122.88e6, channel_count=16, fft_size_per_channel=256,
+        window='hamming', apd_bins=2048, apd_navg=16, min_fft_size=8191,
+    )
+    design_prod = design_wideband_monitor(
+        122.88e6, 61.44e6, fft_backend='mxu', fft_precision='high',
+        ola_kernel='pallas', apd_kernel='pallas', chan_kernel='pallas',
+        **common,
+    )
+    design_oracle = design_wideband_monitor(122.88e6, 61.44e6, **common)
+
+    mon_prod = WidebandMonitor(design_prod)
+    mon_oracle = WidebandMonitor(design_oracle)
+
+    quantum = mon_prod.min_input_multiple()
+    n = int(np.ceil(2**n_log2 / quantum)) * quantum
+    print(f'bench shape: nfft {design_prod.nfft}->{design_prod.nfft_out}, '
+          f'{n / 1e6:.1f} Ms', flush=True)
+
+    rng = np.random.default_rng(0)
+    planes_np = np.stack(
+        [rng.standard_normal(n), rng.standard_normal(n)]
+    ).astype('float32')
+
+    # CPU oracle (XLA kernels, HIGHEST precision, jnp.fft)
+    t0 = time.time()
+    step_cpu = jax.jit(
+        lambda p: mon_oracle.step(unpack_iq(p)), backend='cpu'
+    )
+    ref = {k: np.asarray(v) for k, v in step_cpu(planes_np).items()}
+    print(f'cpu oracle: {time.time() - t0:.1f}s', flush=True)
+
+    # TPU production config
+    t0 = time.time()
+    step_tpu = jax.jit(lambda p: mon_prod.step(unpack_iq(p)))
+    out = step_tpu(jnp.asarray(planes_np))
+    got = {k: np.asarray(v.astype(jnp.float32)) for k, v in out.items()}
+    print(f'tpu production: {time.time() - t0:.1f}s', flush=True)
+
+    budget = 1e-5
+    failures = []
+    # linear-domain deliverables measured against the RMS budget
+    for key in ['channel_power', 'channel_power_mean', 'channel_power_max']:
+        err = rel_rms(got[key], ref[key])
+        ok = err <= budget
+        print(f'{key:24s} rel RMS {err:.3e} {"ok" if ok else "OVER BUDGET"}',
+              flush=True)
+        failures += [] if ok else [key]
+    # dB-domain spectra: budget applies to the linear equivalent;
+    # dB RMS error of eps_lin=1e-5 is ~4.3e-5 dB absolute
+    for key in ['psd_mean', 'psd_max']:
+        abs_rms = float(np.sqrt(np.mean(
+            (got[key].astype('float64') - ref[key].astype('float64')) ** 2
+        )))
+        lin_equiv = abs_rms * np.log(10) / 10
+        ok = lin_equiv <= budget
+        print(f'{key:24s} abs RMS {abs_rms:.3e} dB '
+              f'(linear-equivalent {lin_equiv:.3e}) {"ok" if ok else "OVER BUDGET"}',
+              flush=True)
+        failures += [] if ok else [key]
+    # APD: counts with identical edges; report the worst bin disagreement
+    # relative to the total (histogram counts shift when a sample sits
+    # within float error of an edge)
+    apd_delta = np.abs(got['apd_counts'] - ref['apd_counts']).max()
+    apd_rel = apd_delta / ref['apd_counts'].sum()
+    print(f'apd_counts               max bin delta {apd_delta:.0f} '
+          f'({apd_rel:.2e} of total)', flush=True)
+
+    if failures:
+        print('OVER BUDGET:', failures)
+        sys.exit(1)
+    print('all deliverables within the 1e-5 RMS budget')
+
+
+if __name__ == '__main__':
+    main()

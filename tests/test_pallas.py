@@ -127,3 +127,50 @@ def test_binned_mean_matmul_matches_reshape():
         ref = np.asarray(p.reshape(-1, navg).mean(axis=1))
         got = np.asarray(binned_mean_matmul(p, navg))
         np.testing.assert_allclose(got, ref, rtol=2e-6)
+
+
+def test_columnwise_histogram_pallas_matches_sort():
+    """hi/lo one-hot matmul histogram vs the sort+searchsorted path:
+    totals exact; any per-bin differences are edge-rounding transfers
+    between adjacent bins only."""
+    from iqwaveform_tpu.ops.pallas.colhist_pallas import (
+        columnwise_histogram_pallas,
+    )
+    from iqwaveform_tpu.parallel.sharded import columnwise_histogram
+
+    rng = np.random.default_rng(0)
+    for shape, nb in [((1000, 77), 64), ((4096, 256), 1024), ((513, 130), 100)]:
+        vals = (rng.standard_normal(shape) * 30 - 50).astype('float32')
+        edges = np.linspace(-150.0, 50.0, nb + 1).astype('float32')
+        ref = np.asarray(columnwise_histogram(jnp.asarray(vals), edges))
+        got = np.asarray(
+            columnwise_histogram_pallas(jnp.asarray(vals), edges, interpret=True)
+        )
+        np.testing.assert_array_equal(got.sum(axis=1), ref.sum(axis=1))
+        # boundary-rounding can move a sample to a neighboring bin; the
+        # cumulative distributions may then differ transiently by that
+        # sample, never more
+        cum_diff = np.abs(np.cumsum(got, axis=1) - np.cumsum(ref, axis=1))
+        assert cum_diff.max() <= 2, cum_diff.max()
+
+
+def test_columnwise_histogram_pallas_exact_off_edge():
+    """bin-center values (never near an edge) count identically."""
+    from iqwaveform_tpu.ops.pallas.colhist_pallas import (
+        columnwise_histogram_pallas,
+    )
+    from iqwaveform_tpu.parallel.sharded import columnwise_histogram
+
+    rng = np.random.default_rng(1)
+    nb = 256
+    edges = np.linspace(-100.0, 28.0, nb + 1).astype('float32')
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    vals = centers[rng.integers(0, nb, size=(2048, 192))].astype('float32')
+    # plus out-of-range values exercising the clip bins
+    vals[:7, :3] = -500.0
+    vals[7:11, :3] = 500.0
+    ref = np.asarray(columnwise_histogram(jnp.asarray(vals), edges))
+    got = np.asarray(
+        columnwise_histogram_pallas(jnp.asarray(vals), edges, interpret=True)
+    )
+    np.testing.assert_array_equal(got, ref)
