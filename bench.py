@@ -295,11 +295,11 @@ def bench_channelize64():
     )
 
     def one(v):
-        cp = channelize_power(
+        _, _, cp = channelize_power(
             v, 1.0 / 122.88e6, fft_per_chan,
             analysis_bins_per_channel=int(fft_per_chan * 0.75),
             window='hamming', channel_count=n_chan,
-        )  # (time, channel)
+        )  # cp: (time, channel)
         return jnp.stack(
             [cp.mean(axis=0), cp.max(axis=0),
              jnp.sqrt((cp * cp).mean(axis=0))]

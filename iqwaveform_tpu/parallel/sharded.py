@@ -474,8 +474,11 @@ def _psd_stats_body(x_local, *, w, nperseg, noverlap, statistics, edges_dB, axis
             raise ValueError(f'unsupported sharded statistic {stat!r}')
     stats_out = jnp.stack(outs, axis=0)
 
-    # per-frequency histogram for quantile inversion at scale
-    hist = columnwise_histogram(spg_dB, edges_dB)
+    # per-frequency histogram for quantile inversion at scale (one-hot
+    # matmul kernel on TPU, sort path elsewhere)
+    from ..ops.pallas.colhist_pallas import columnwise_histogram_fast
+
+    hist = columnwise_histogram_fast(spg_dB, edges_dB)
     hist = jax.lax.psum(hist, axis_name)
 
     return stats_out, hist

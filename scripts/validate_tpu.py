@@ -215,6 +215,38 @@ def main():
         print('chan_stats pallas (tpu)         EXCEPTION:',
               f'{type(e).__name__}: {str(e)[:100]}', flush=True)
 
+    # --- columnwise one-hot-matmul histogram kernel ---
+    from iqwaveform_tpu.ops.pallas.colhist_pallas import (
+        columnwise_histogram_pallas,
+    )
+    from iqwaveform_tpu.parallel.sharded import columnwise_histogram
+
+    ch_vals = (rng.standard_normal((4096, 256)) * 20 - 60).astype('float32')
+    ch_edges = np.linspace(-150.0, 50.0, 513).astype('float32')
+    ch_ref = np.asarray(
+        columnwise_histogram(jnp.asarray(ch_vals), ch_edges)
+    ).astype('float32')
+    ch_fn = jax.jit(
+        lambda v: columnwise_histogram_pallas(v, ch_edges).astype(jnp.float32)
+    )
+    try:
+        got_ch = np.asarray(ch_fn(jnp.asarray(ch_vals)))
+        # totals exact; cumulative counts within edge-rounding of the
+        # sort path (see colhist_pallas docstring)
+        tot_ok = np.array_equal(got_ch.sum(axis=1), ch_ref.sum(axis=1))
+        cum_d = np.abs(
+            np.cumsum(got_ch, axis=1) - np.cumsum(ch_ref, axis=1)
+        ).max()
+        status = 'ok' if tot_ok and cum_d <= 2 else 'FAIL'
+        if status == 'FAIL':
+            failures.append('colhist pallas')
+        print(f'colhist pallas (tpu)             totals_exact={tot_ok} '
+              f'max cum delta {cum_d:.0f} {status}', flush=True)
+    except Exception as e:
+        failures.append('colhist pallas')
+        print('colhist pallas (tpu)            EXCEPTION:',
+              f'{type(e).__name__}: {str(e)[:100]}', flush=True)
+
     # --- edge-compare histogram pallas kernel ---
     from iqwaveform_tpu.ops.pallas.hist_pallas import histogram_edge_counts_pallas
     from iqwaveform_tpu.ops.power import histogram_edge_counts
