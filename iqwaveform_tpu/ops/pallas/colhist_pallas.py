@@ -56,7 +56,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _colhist_kernel(idx_ref, out_ref, *, Tb, G, G_hi):
+def _colhist_kernel(idx_ref, out_ref, *, Tb, G, G_hi, factor_dtype):
     """idx block (128, Tb) int32 -> accumulate (128, G_hi, G) counts."""
     t = pl.program_id(1)
 
@@ -66,18 +66,19 @@ def _colhist_kernel(idx_ref, out_ref, *, Tb, G, G_hi):
 
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, G_hi), 2)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (1, 1, G), 2)
-    # one-hot factors, exact 0/1 in bf16 (sentinel hi == G_hi matches
-    # nothing, so padding rows contribute zero)
-    H = (hi[:, :, None] == iota_hi).astype(jnp.bfloat16)  # (128, Tb, G_hi)
-    L = (lo[:, :, None] == iota_lo).astype(jnp.bfloat16)  # (128, Tb, G)
+    # one-hot factors, exact 0/1 (sentinel hi == G_hi matches nothing,
+    # so padding rows contribute zero); int8 doubles native MXU rate
+    H = (hi[:, :, None] == iota_hi).astype(factor_dtype)  # (128, Tb, G_hi)
+    L = (lo[:, :, None] == iota_lo).astype(factor_dtype)  # (128, Tb, G)
 
+    acc_dtype = jnp.int32 if factor_dtype == jnp.int8 else jnp.float32
     # counts[f, i, j] = sum_t H[f, t, i] L[f, t, j]
     tile = jax.lax.dot_general(
         H,
         L,
         (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (128, G_hi, G)
+        preferred_element_type=acc_dtype,
+    ).astype(jnp.float32)  # (128, G_hi, G)
 
     @pl.when(t == 0)
     def _():
@@ -91,6 +92,7 @@ def columnwise_histogram_pallas(
     edges,
     *,
     time_block: int = 128,
+    factor_dtype=jnp.int8,
     interpret: bool = None,
 ):
     """per-column histogram of ``vals`` (rows, cols) over UNIFORM ``edges``
@@ -133,7 +135,13 @@ def columnwise_histogram_pallas(
     )
 
     out = pl.pallas_call(
-        functools.partial(_colhist_kernel, Tb=time_block, G=_G, G_hi=G_hi),
+        functools.partial(
+            _colhist_kernel,
+            Tb=time_block,
+            G=_G,
+            G_hi=G_hi,
+            factor_dtype=factor_dtype,
+        ),
         grid=(F_p // _LANES, T_p // time_block),
         in_specs=[
             pl.BlockSpec((_LANES, time_block), lambda f, t: (f, t)),

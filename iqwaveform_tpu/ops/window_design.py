@@ -162,13 +162,21 @@ def find_window_param_from_enbw(
     if window_name == 'kaiser':
         a = np.pi * 1e-2
         b = min(enbw**2, nfft // 2 - 1) * np.pi
+        cap = (nfft // 2 - 1) * np.pi
     elif window_name == 'dpss':
         a = 1e-2
         b = min(enbw**2, nfft // 2 - 1)
+        cap = nfft // 2 - 1
     elif window_name == 'chebwin':
+        # scipy's chebwin floors at ~45 dB attenuation (ENBW ~1.33)
         a = 45
-        b = 1000
+        b = cap = 1000
     else:
         raise ValueError('window_name must be one of ("kaiser", "dpss", "chebwin")')
+
+    # the enbw**2 heuristic undershoots marginally at small nfft; widen
+    # geometrically until the bracket straddles the root
+    while err(b) < 0 and b < cap:
+        b = min(2 * b, cap)
 
     return bisect(err, a, b, xtol=atol)

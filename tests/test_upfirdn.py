@@ -96,3 +96,29 @@ def test_oaconvolve_matches_scipy(mode):
     np.testing.assert_allclose(ours_np, expected, atol=1e-4)
     ours_j = fourier.oaconvolve(jnp.asarray(x), jnp.asarray(h.astype(x.dtype)), mode=mode)
     np.testing.assert_allclose(np.asarray(ours_j), expected, atol=1e-3)
+
+
+def test_upfirdn_parameter_sweep_vs_scipy():
+    """hand-rolled property sweep (no hypothesis in the image): upfirdn
+    across up/down/taps/length combinations against scipy (ROADMAP
+    quality item)."""
+    rng = np.random.default_rng(42)
+    cases = [
+        (up, down, nh, n)
+        for up in (1, 2, 3, 5, 8)
+        for down in (1, 2, 3, 7)
+        for nh, n in (((4, 257)), ((31, 100)), ((64, 1023)))
+    ]
+    for up, down, nh, n in cases:
+        x = rng.standard_normal(n).astype('float32')
+        h = rng.standard_normal(nh).astype('float32')
+        expected = scipy.signal.upfirdn(
+            h.astype('float64'), x.astype('float64'), up=up, down=down
+        )
+        got = np.asarray(fourier.upfirdn(h, jnp.asarray(x), up=up, down=down))
+        assert got.shape == expected.shape, (up, down, nh, n)
+        scale = max(np.abs(expected).max(), 1e-6)
+        np.testing.assert_allclose(
+            got / scale, expected / scale, atol=2e-6,
+            err_msg=f'up={up} down={down} nh={nh} n={n}',
+        )

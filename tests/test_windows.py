@@ -112,3 +112,23 @@ def test_enbw_window_solver_via_get_window():
     # the ('name_by_enbw', enbw) spelling solves the parameter inline
     w = fourier.get_window(('kaiser_by_enbw', 2.0), 256, norm=False, dtype=None)
     assert w.shape == (256,)
+
+
+@pytest.mark.parametrize('name', ['kaiser', 'dpss', 'chebwin'])
+def test_enbw_inversion_sweep(name):
+    """hand-rolled property sweep: the ENBW->parameter bisection solve
+    roundtrips across the practical ENBW range and several FFT sizes
+    (ROADMAP quality item). chebwin bottoms out at ~1.33 bins (scipy
+    floors the attenuation at 45 dB), so its sweep starts at 1.4."""
+    targets = (1.4, 1.5, 2.0, 3.0, 4.5) if name == 'chebwin' else (
+        1.2, 1.5, 2.0, 3.0, 4.5
+    )
+    for nfft in (256, 1024, 4096):
+        for target in targets:
+            param = fourier.find_window_param_from_enbw(
+                name, target, nfft=nfft
+            )
+            realized = float(
+                fourier.equivalent_noise_bandwidth((name, param), nfft)
+            )
+            assert abs(realized - target) < 1e-4, (name, nfft, target, realized)
