@@ -476,9 +476,10 @@ class WidebandMonitor:
             and chan_frames > 0
         )
 
-    def _body_packed(self, x, axis_name):
-        """the fully-packed monitor body: planes in, packed kernels
-        throughout, no complex intermediate streams."""
+    def _packed_resample(self, x, axis_name):
+        """OLA bandpass + resample stage of the packed body: complex (or
+        packed-plane) input stream -> packed (rows, 256) float32 planes of
+        the resampled output (halo-exchanged under ``axis_name``)."""
         d = self.design
         hop_in = self.hop_in
         hop_out = d.nfft_out - self.noverlap_out
@@ -539,6 +540,12 @@ class WidebandMonitor:
             y_packed = acc[:rows_out].at[:nov_rows].add(incoming)
         else:
             y_packed = acc[:rows_out]
+        return y_packed
+
+    def _body_packed(self, x, axis_name):
+        """the fully-packed monitor body: planes in, packed kernels
+        throughout, no complex intermediate streams."""
+        y_packed = self._packed_resample(x, axis_name)
 
         # channelizer + statistics + APD, packed all the way
         cs = self._chan_stats_packed(y_packed)
@@ -658,6 +665,85 @@ class WidebandMonitor:
             check_vma=False,
         )
         return fn(iq)
+
+    def profile_step(self, iq, *, reps: int = 3):
+        """one-command stage attribution for :meth:`step` (debug tool).
+
+        Times nested prefixes of the pipeline as separate jit programs —
+        the OLA resample stage alone, then the full step — and attributes
+        the difference to the channelizer+statistics+APD stage. Each
+        prefix reduces to a small float32 vector and is fenced through a
+        host readback (axon's ``block_until_ready`` returns at dispatch).
+
+        Returns a :class:`iqwaveform_tpu.utils.profiling.StageTimer`
+        whose ``report()`` prints the breakdown. Timings are wall clock
+        including dispatch, so use a large ``iq`` (and median-of-trials,
+        see ``scripts/profile_stages.py``) for publication-grade numbers;
+        this method is the quick in-session view.
+        """
+        import time
+
+        from ..utils.profiling import StageTimer
+
+        if iq.ndim != 1:
+            raise ValueError('profile_step profiles a single capture (1-D iq)')
+
+        def _reduce(x):
+            if jnp.iscomplexobj(x):
+                x = x.real * x.real + x.imag * x.imag
+            return jnp.broadcast_to(x.astype(jnp.float32).sum()[None], (8,))
+
+        packed = self._packed_applies(iq.shape[0])
+
+        def ola_only(x):
+            if packed:
+                y = self._packed_resample(x, None)
+            else:
+                d = self.design
+                y = _sharded_ola_body(
+                    x,
+                    w_in=self._w_in,
+                    w_shift_out=self._w_shift_out,
+                    nfft=d.nfft,
+                    nfft_out=d.nfft_out,
+                    noverlap_in=self.noverlap_in,
+                    noverlap_out=self.noverlap_out,
+                    bounds_in=self._bounds_in,
+                    bounds_out=self._bounds_out,
+                    zero_lo=self._zero_lo,
+                    zero_hi=self._zero_hi,
+                    axis_name=None,
+                    fft_fn=self._fft,
+                    ifft_fn=self._ifft,
+                    fused_fn=self._fused_ola,
+                    fused_raw_fn=self._fused_ola_raw,
+                )
+            return _reduce(y)
+
+        def full(x):
+            out = self._body_1d(x, None)
+            tot = sum(
+                leaf.astype(jnp.float32).sum()
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
+            return jnp.broadcast_to(tot[None], (8,))
+
+        def _measure(fn):
+            g = jax.jit(fn)
+            np.asarray(g(iq))  # compile + warm (readback fences the queue)
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(reps):
+                out = g(iq)
+            np.asarray(out)
+            return (time.perf_counter() - t0) / reps
+
+        t_ola = _measure(ola_only)
+        t_full = _measure(full)
+        timer = StageTimer()
+        timer.durations['ola_resample'] = t_ola
+        timer.durations['chan_stats_apd'] = max(t_full - t_ola, 0.0)
+        return timer
 
     # ---- streaming accumulation over long captures ----
     #

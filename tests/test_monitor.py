@@ -413,3 +413,17 @@ def test_monitor_fast_config_across_designs(window, bw_frac):
     inb = p1 > -90
     assert inb.sum() > 50
     np.testing.assert_allclose(p1[inb], p2[inb], atol=0.05)
+
+
+def test_profile_step(design):
+    """profile_step gives a two-stage attribution and a printable report."""
+    mon = WidebandMonitor(design)
+    n = mon.min_input_multiple() * 4
+    x = jnp.asarray(make_tone_noise(n, fs=2e6))
+    timer = mon.profile_step(x, reps=1)
+    assert set(timer.durations) == {'ola_resample', 'chan_stats_apd'}
+    assert timer.durations['ola_resample'] > 0
+    assert 'ola_resample' in timer.report()
+
+    with pytest.raises(ValueError):
+        mon.profile_step(x[None, :])
