@@ -120,6 +120,8 @@ def bench_monitor(nfft_hint: int, ola_kernel: str = 'matmul', fft_precision: str
     step = jax.jit(lambda planes: mon.step(unpack_iq(planes)))
     dt = _measure(step, ri, fence_key='psd_mean')
     tag = '_pallas' if ola_kernel == 'pallas' else ''
+    if fft_precision == 'bf16':
+        tag += '_bf16'
     return f'monitor_pipeline_nfft{design.nfft}{tag}_1chip', n / dt / 1e6
 
 
@@ -312,6 +314,8 @@ def bench_channelize64():
 
 CONFIGS = {
     'monitor8192p': lambda: bench_monitor(8192, ola_kernel='pallas', fft_precision='high', apd_kernel='pallas', chan_kernel='pallas'),
+    # opt-in bf16 frame-storage tier (~4e-3 rel; see MonitorDesign)
+    'monitor8192bf16': lambda: bench_monitor(8192, ola_kernel='pallas', fft_precision='bf16', apd_kernel='pallas', chan_kernel='pallas'),
     'monitor8192': lambda: bench_monitor(8192),
     'monitor2048': lambda: bench_monitor(2048),
     'spectrogram': bench_spectrogram,
@@ -344,6 +348,7 @@ def run_matrix():
     budgets = {
         'monitor8192p': 480, 'monitor8192': 420, 'spectrogram': 240,
         'monitorRx4': 480, 'streaming1gs': 600, 'channelize64': 360,
+        'monitor8192bf16': 480,
     }
     lines = []
     for name, budget in budgets.items():

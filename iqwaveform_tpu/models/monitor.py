@@ -64,7 +64,10 @@ class MonitorDesign:
     # faster on TPU for composite sizes, identical to float32 roundoff
     fft_backend: str = 'xla'
     # matmul precision for the mxu backend: 'highest' (6-pass bf16,
-    # ~3e-7 rel) or 'high' (3-pass, ~2e-5 max rel / ~1e-6 RMS, ~2x faster)
+    # ~3e-7 rel), 'high' (3-pass, ~2e-5 max rel / ~1e-6 RMS, ~2x faster),
+    # or 'bf16' (1-pass + bf16 frame storage in the pallas OLA kernels:
+    # halves HBM frame traffic at ~4e-3 rel / ~0.05 dB — opt-in only,
+    # exceeds the 1e-5 RMS budget)
     fft_precision: str = 'highest'
     # fused OLA spectral-transform implementation when the factored path
     # applies: 'matmul' = XLA einsums (ops.mxu_fft.fused_ola_mxu);
@@ -222,6 +225,9 @@ class WidebandMonitor:
             prec = {
                 'highest': _jax.lax.Precision.HIGHEST,
                 'high': 'high',
+                # 1-pass bf16 dots AND bf16 frame storage in the pallas
+                # kernels (~4e-3 rel; opt-in — see fused_ola_pallas)
+                'bf16': _jax.lax.Precision.DEFAULT,
             }[d.fft_precision]
             self._fft = _ft.partial(fft_mxu, precision=prec)
             self._ifft = _ft.partial(ifft_mxu, precision=prec)
@@ -258,7 +264,9 @@ class WidebandMonitor:
                         bounds_out=self._bounds_out,
                         w_in=wind,
                         w_shift_out=np.asarray(self._w_shift_out),
-                        precision=prec,
+                        # the string form: 'bf16' selects bf16 frame
+                        # storage inside the kernel, not just dot passes
+                        precision=d.fft_precision,
                     )
                 elif d.ola_kernel != 'matmul':
                     raise ValueError(

@@ -252,7 +252,7 @@ def _chan_call(
         functools.partial(
             _chan_stats_kernel,
             T=T, a=a, b=b, nch=channel_count, navg=navg,
-            passes={'highest': 6, 'high': 3, 'default': 1}.get(
+            passes={'highest': 6, 'high': 3, 'default': 1, 'bf16': 1}.get(
                 precision if isinstance(precision, str) else 'highest', 3
             ),
         ),

@@ -194,8 +194,8 @@ def _fused_ola_kernel(
     f2r, f2i, wpr, wpi, fir, fii, wsr, wsi, out,
     *, T, a, b, b2p, passes,
 ):
-    AR = ar[...].reshape(T, a, b)
-    AI = ai[...].reshape(T, a, b)
+    AR = ar[...].astype(jnp.float32).reshape(T, a, b)
+    AI = ai[...].astype(jnp.float32).reshape(T, a, b)
     packed = _fused_chain(
         AR, AI, war, wai, far, fai, twr, twi, fbr, fbi, mask,
         f2r, f2i, wpr, wpi, fir, fii, wsr, wsi,
@@ -213,8 +213,12 @@ def _fused_ola_strided_kernel(
     consecutive T*H-row windows of the SAME x-plane array (50% frame
     overlap = each hop read once per half), frames assembled by static
     sublane slices in VMEM."""
-    full_r = jnp.concatenate([lor[...], hir[...]], axis=0)  # (2T*H, b)
-    full_i = jnp.concatenate([loi[...], hii[...]], axis=0)
+    full_r = jnp.concatenate(
+        [lor[...].astype(jnp.float32), hir[...].astype(jnp.float32)], axis=0
+    )  # (2T*H, b)
+    full_i = jnp.concatenate(
+        [loi[...].astype(jnp.float32), hii[...].astype(jnp.float32)], axis=0
+    )
     AR = jnp.stack([full_r[t * H : t * H + 2 * H] for t in range(T)])
     AI = jnp.stack([full_i[t * H : t * H + 2 * H] for t in range(T)])
     packed = _fused_chain(
@@ -229,9 +233,16 @@ def _fused_ola_strided_kernel(
 def _pick_passes(precision) -> int:
     if precision in ('high', jax.lax.Precision.HIGH):
         return 3
-    if precision in ('default', jax.lax.Precision.DEFAULT):
+    if precision in ('default', 'bf16', jax.lax.Precision.DEFAULT):
         return 1
     return 6
+
+
+def _storage_dtype(precision):
+    """'bf16' additionally stores the frame planes in bfloat16, halving
+    the kernel's HBM frame traffic (~4e-3 relative error — opt-in for
+    monitoring workloads that only need ~0.05 dB accuracy)."""
+    return jnp.bfloat16 if precision == 'bf16' else jnp.float32
 
 
 def fused_ola_pallas(
@@ -277,8 +288,9 @@ def fused_ola_pallas(
     T = max(1, frames_per_block)
     while M % T:
         T //= 2
-    fr = frames.real.reshape(M * a, b)
-    fi = frames.imag.reshape(M * a, b)
+    sdt = _storage_dtype(precision)
+    fr = frames.real.astype(sdt).reshape(M * a, b)
+    fi = frames.imag.astype(sdt).reshape(M * a, b)
 
     frame_spec = pl.BlockSpec((T * a, b), lambda m: (m, 0))
     out_spec = pl.BlockSpec((T * a, 2 * b2p), lambda m: (m, 0))
@@ -369,8 +381,9 @@ def fused_ola_packed(
     T = max(1, frames_per_block)
     while M % T:
         T //= 2
-    fr = fr.reshape(M * a, b)
-    fi = fi.reshape(M * a, b)
+    sdt = _storage_dtype(precision)
+    fr = fr.astype(sdt).reshape(M * a, b)
+    fi = fi.astype(sdt).reshape(M * a, b)
 
     frame_spec = pl.BlockSpec((T * a, b), lambda m: (m, 0))
     out_spec = pl.BlockSpec((T * a, 2 * _LANES), lambda m: (m, 0))
@@ -452,8 +465,9 @@ def fused_ola_strided(
         T //= 2
 
     rows_needed = (M + T) * H
-    xr = pr.reshape(-1, b)
-    xi = pi.reshape(-1, b)
+    sdt = _storage_dtype(precision)
+    xr = pr.astype(sdt).reshape(-1, b)
+    xi = pi.astype(sdt).reshape(-1, b)
     if xr.shape[0] < rows_needed:
         pad = rows_needed - xr.shape[0]
         xr = jnp.concatenate([xr, jnp.zeros((pad, b), xr.dtype)])

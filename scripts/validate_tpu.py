@@ -187,6 +187,28 @@ def main():
         print('fused_ola pallas (tpu)          EXCEPTION:',
               f'{type(e).__name__}: {str(e)[:100]}', flush=True)
 
+    # --- bf16 frame-storage mode of the fused OLA kernel ---
+    fused_bf16 = jax.jit(
+        lambda p: jnp.stack(
+            [
+                jnp.real(o := fused_ola_pallas(
+                    jax.lax.complex(p[0], p[1]), w_in=wind,
+                    w_shift_out=np.asarray(monf._w_shift_out),
+                    precision='bf16', **ola_kws,
+                )),
+                jnp.imag(o),
+            ]
+        )
+    )
+    try:
+        # documented tier: ~4e-3 relative (frames here are ~unit scale)
+        check('fused_ola pallas bf16 (tpu)', fused_bf16(fr_planes), exp_fr,
+              2e-2 * float(np.abs(exp_fr).max()))
+    except Exception as e:
+        failures.append('fused_ola pallas bf16')
+        print('fused_ola pallas bf16 (tpu)     EXCEPTION:',
+              f'{type(e).__name__}: {str(e)[:100]}', flush=True)
+
     # --- channelizer-statistics pallas kernel ---
     from iqwaveform_tpu.ops.pallas.chan_stats_pallas import chan_stats_pallas
 

@@ -427,3 +427,42 @@ def test_profile_step(design):
 
     with pytest.raises(ValueError):
         mon.profile_step(x[None, :])
+
+
+def test_monitor_bf16_mode():
+    """fft_precision='bf16' (bf16 frame storage + 1-pass dots) tracks the
+    'highest' oracle at its documented ~4e-3 relative / ~0.05 dB level."""
+    fs = 30.72e6
+    kws = dict(
+        fs_sdr=fs, channel_count=8, fft_size_per_channel=128,
+        window='hamming', apd_bins=64, apd_navg=8, fft_backend='mxu',
+        min_fft_size=2047,
+    )
+    base = design_wideband_monitor(fs, fs / 2, **kws)
+    fast = dataclasses.replace(
+        base, ola_kernel='pallas', apd_kernel='pallas',
+        chan_kernel='pallas', fft_precision='bf16',
+    )
+    m1, m2 = WidebandMonitor(base), WidebandMonitor(fast)
+
+    n = m1.min_input_multiple() * 8
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        'complex64'
+    )
+    o1 = jax.jit(m1.step)(jnp.asarray(x))
+    o2 = jax.jit(m2.step)(jnp.asarray(x))
+
+    # every resampled sample still lands in the histogram
+    assert (
+        np.asarray(o1['apd_counts']).sum()
+        == np.asarray(o2['apd_counts']).sum()
+    )
+    cp1 = np.asarray(o1['channel_power_mean'])
+    np.testing.assert_allclose(
+        cp1, np.asarray(o2['channel_power_mean']), rtol=2e-2
+    )
+    p1, p2 = np.asarray(o1['psd_mean']), np.asarray(o2['psd_mean'])
+    inb = p1 > -90
+    assert inb.sum() > 50
+    np.testing.assert_allclose(p1[inb], p2[inb], atol=0.15)
