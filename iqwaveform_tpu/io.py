@@ -26,9 +26,11 @@ except ImportError:  # extension not built: numpy fallback below
     _iqio = None
 
 __all__ = [
+    'CapturePrefetcher',
     'extract_ntia_calibration_metadata',
     'iter_capture_chunks',
     'read_iq_data',
+    'read_iq_planes',
     'read_sigmf',
     'read_sigmf_metadata',
     'read_sigmf_to_df',
@@ -327,17 +329,207 @@ def read_iq_data(
     raise ValueError(f'unsupported sample_format {sample_format!r}')
 
 
+def read_iq_planes(
+    path,
+    sample_format: str = 'ci16_le',
+    offset_samples: int = 0,
+    num_samples: int = -1,
+    scale: float = None,
+    threads: int = 8,
+    out: np.ndarray = None,
+) -> np.ndarray:
+    """load a raw interleaved-IQ payload as (2, n) float32 planes.
+
+    Row 0 is the real plane, row 1 the imag plane — the exact layout the
+    TPU host->device transfer ships (the axon tunnel rejects complex64
+    H2D), so the streaming pipelines skip both the interleaved-complex
+    intermediate and the separate pack copy. Native single-pass
+    deinterleave when the _iqio extension is built (GIL released);
+    numpy fallback otherwise.
+
+    Args:
+        out: optional preallocated C-contiguous (2, n) float32 buffer
+            (native path only semantics: filled and returned; the numpy
+            fallback also honors it by copying in)
+    """
+    path = str(path)
+    fmt = sample_format.replace('_le', '')
+    if fmt == 'ci16' and scale is None:
+        scale = 1.0 / 32768.0
+
+    if _iqio is not None and fmt in ('ci16', 'cf32'):
+        kws = {} if out is None else {'out': out}
+        return _iqio.load_planes(
+            path,
+            fmt,
+            offset_samples=offset_samples,
+            num_samples=num_samples,
+            scale=1.0 if scale is None else scale,
+            threads=threads,
+            **kws,
+        )
+
+    z = read_iq_data(
+        path,
+        sample_format=sample_format,
+        offset_samples=offset_samples,
+        num_samples=num_samples,
+        scale=scale,
+    )
+    planes = np.stack([z.real, z.imag]).astype('float32', copy=False)
+    if out is not None:
+        out[...] = planes
+        return out
+    return planes
+
+
+class CapturePrefetcher:
+    """background-thread chunk feeder for long-capture streaming.
+
+    Loads (and deinterleaves) chunk k+1 from disk while chunk k computes
+    on the device: the native loader releases the GIL during mmap read +
+    conversion, so a single Python thread gives true IO/compute overlap.
+    In plane mode the chunks are (2, chunk_samples) float32 buffers from
+    a fixed rotation (depth + 2 buffers total — memory use is bounded
+    regardless of capture length); each yielded buffer stays valid until
+    ``depth + 1`` further chunks have been consumed.
+
+    Usage:
+
+        with CapturePrefetcher(path, 2**24, 'ci16_le') as chunks:
+            for planes in chunks:           # (2, 2**24) float32
+                carry = step(carry, jnp.asarray(planes))
+
+    The aux-subsystem analogue of a training input pipeline's prefetching
+    host loader; the reference has no streaming reader (its io.py loads
+    whole captures, io.py:58-96).
+    """
+
+    def __init__(
+        self,
+        path,
+        chunk_samples: int,
+        sample_format: str = 'ci16_le',
+        *,
+        scale: float = None,
+        planes: bool = True,
+        depth: int = 2,
+        drop_last: bool = True,
+        threads: int = 4,
+    ):
+        import os
+
+        self.path = str(path)
+        self.chunk_samples = int(chunk_samples)
+        self.sample_format = sample_format
+        self.scale = scale
+        self.planes = planes
+        self.depth = max(1, int(depth))
+        self.drop_last = drop_last
+        self.threads = threads
+
+        fmt = sample_format.replace('_le', '')
+        itemsize = {'ci16': 4, 'cf32': 8}[fmt]
+        total = os.stat(self.path).st_size // itemsize
+        self.n_chunks = total // self.chunk_samples
+        self._tail = total - self.n_chunks * self.chunk_samples
+        self._thread = None
+        self._queue = None
+
+    def __len__(self):
+        return self.n_chunks + (1 if self._tail and not self.drop_last else 0)
+
+    def _load(self, offset, n, out=None):
+        if self.planes:
+            return read_iq_planes(
+                self.path,
+                sample_format=self.sample_format,
+                offset_samples=offset,
+                num_samples=n,
+                scale=self.scale,
+                threads=self.threads,
+                out=out,
+            )
+        return read_iq_data(
+            self.path,
+            sample_format=self.sample_format,
+            offset_samples=offset,
+            num_samples=n,
+            scale=self.scale,
+            threads=self.threads,
+        )
+
+    def _producer(self):
+        try:
+            buffers = [
+                np.empty((2, self.chunk_samples), np.float32)
+                for _ in range(self.depth + 2)
+            ] if self.planes else None
+            for k in range(self.n_chunks):
+                out = buffers[k % len(buffers)] if buffers is not None else None
+                chunk = self._load(k * self.chunk_samples, self.chunk_samples, out)
+                self._queue.put(('chunk', chunk))
+            if self._tail and not self.drop_last:
+                chunk = self._load(
+                    self.n_chunks * self.chunk_samples, self._tail
+                )
+                self._queue.put(('chunk', chunk))
+            self._queue.put(('done', None))
+        except BaseException as exc:  # re-raised on the consumer side
+            self._queue.put(('error', exc))
+
+    def __enter__(self):
+        import queue
+        import threading
+
+        self._queue = queue.Queue(maxsize=self.depth)
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc_info):
+        # drain so the producer can exit its blocking put, then join
+        if self._queue is not None:
+            while self._thread.is_alive():
+                try:
+                    self._queue.get_nowait()
+                except Exception:
+                    import time
+
+                    time.sleep(0.005)
+            self._thread.join()
+        return False
+
+    def __iter__(self):
+        if self._queue is None:
+            raise RuntimeError(
+                'iterate inside the context: with CapturePrefetcher(...) as c'
+            )
+        while True:
+            kind, payload = self._queue.get()
+            if kind == 'chunk':
+                yield payload
+            elif kind == 'error':
+                raise payload
+            else:
+                return
+
+
 def iter_capture_chunks(
     path,
     chunk_samples: int,
     sample_format: str = 'ci16_le',
     scale: float = None,
     drop_last: bool = True,
+    *,
+    planes: bool = False,
 ):
-    """iterate chunk_samples-sized complex64 chunks of a raw capture.
+    """iterate chunk_samples-sized chunks of a raw capture (complex64, or
+    (2, n) float32 planes with ``planes=True``).
 
-    The host-side feeder for parallel.streaming: each chunk loads through
-    the native mmap path while the previous chunk computes on device.
+    Synchronous feeder for parallel.streaming; use
+    :class:`CapturePrefetcher` to overlap the next chunk's disk read +
+    conversion with device compute.
     """
     path = str(path)
     fmt = sample_format.replace('_le', '')
@@ -347,9 +539,10 @@ def iter_capture_chunks(
 
     total = os.stat(path).st_size // itemsize
     n_chunks = total // chunk_samples
+    load = read_iq_planes if planes else read_iq_data
 
     for k in range(n_chunks):
-        yield read_iq_data(
+        yield load(
             path,
             sample_format=sample_format,
             offset_samples=k * chunk_samples,
@@ -359,7 +552,7 @@ def iter_capture_chunks(
 
     tail = total - n_chunks * chunk_samples
     if tail and not drop_last:
-        yield read_iq_data(
+        yield load(
             path,
             sample_format=sample_format,
             offset_samples=n_chunks * chunk_samples,

@@ -33,6 +33,10 @@ typedef struct {
     float *dst;           /* interleaved i,q float32 */
     npy_intp n_samples;   /* complex samples to convert */
     float scale;
+    /* plane mode: dst_im != NULL -> deinterleave into dst (real plane)
+     * and dst_im (imag plane) instead of interleaved complex layout */
+    float *dst_im;
+    const float *srcf;    /* plane mode from float32 payloads */
 } convert_job_t;
 
 typedef struct {
@@ -44,9 +48,35 @@ typedef struct {
 static void *convert_worker(void *arg)
 {
     convert_slice_t *s = (convert_slice_t *)arg;
+    const float scale = s->job.scale;
+
+    if (s->job.dst_im != NULL && s->job.srcf != NULL) {
+        /* plane deinterleave from float32 payload */
+        const float *src = s->job.srcf + 2 * s->begin;
+        float *re = s->job.dst + s->begin;
+        float *im = s->job.dst_im + s->begin;
+        npy_intp n = s->end - s->begin;
+        for (npy_intp i = 0; i < n; i++) {
+            re[i] = src[2 * i];
+            im[i] = src[2 * i + 1];
+        }
+        return NULL;
+    }
+    if (s->job.dst_im != NULL) {
+        /* plane deinterleave + scale from int16 payload */
+        const int16_t *src = s->job.src + 2 * s->begin;
+        float *re = s->job.dst + s->begin;
+        float *im = s->job.dst_im + s->begin;
+        npy_intp n = s->end - s->begin;
+        for (npy_intp i = 0; i < n; i++) {
+            re[i] = scale * (float)src[2 * i];
+            im[i] = scale * (float)src[2 * i + 1];
+        }
+        return NULL;
+    }
+
     const int16_t *src = s->job.src + 2 * s->begin;
     float *dst = s->job.dst + 2 * s->begin;
-    const float scale = s->job.scale;
     npy_intp n = 2 * (s->end - s->begin);
     /* simple unrolled loop; compilers vectorize this cleanly */
     npy_intp i = 0;
@@ -183,6 +213,8 @@ static PyObject *iqio_load_ci16(PyObject *self, PyObject *args, PyObject *kws)
         job.dst = (float *)PyArray_DATA(out);
         job.n_samples = n;
         job.scale = (float)scale;
+        job.dst_im = NULL;
+        job.srcf = NULL;
 
         Py_BEGIN_ALLOW_THREADS
         run_threaded_convert(job, threads);
@@ -247,6 +279,120 @@ static PyObject *iqio_load_cf32(PyObject *self, PyObject *args, PyObject *kws)
     return (PyObject *)out;
 }
 
+/* load_planes(path, sample_format, offset_samples=0, num_samples=-1,
+ *             scale=1/32768, threads=8, out=None)
+ * -> float32 ndarray (2, n): row 0 = real plane, row 1 = imag plane.
+ *
+ * Deinterleaves straight from the mapped payload into the plane layout
+ * the TPU host->device path ships (complex64 H2D is unavailable through
+ * the axon tunnel), skipping the interleaved-complex intermediate AND
+ * the separate pack copy. `out` may be a preallocated C-contiguous
+ * (2, n) float32 array for buffer reuse (double-buffered prefetch). */
+static PyObject *iqio_load_planes(PyObject *self, PyObject *args, PyObject *kws)
+{
+    static char *kwlist[] = {"path", "sample_format", "offset_samples",
+                             "num_samples", "scale", "threads", "out", NULL};
+    const char *path;
+    const char *fmt;
+    Py_ssize_t offset = 0, num = -1;
+    double scale = 1.0 / 32768.0;
+    int threads = 8;
+    PyObject *out_obj = NULL;
+
+    if (!PyArg_ParseTupleAndKeywords(args, kws, "ss|nndiO", kwlist, &path,
+                                     &fmt, &offset, &num, &scale, &threads,
+                                     &out_obj))
+        return NULL;
+
+    int is_ci16;
+    if (strcmp(fmt, "ci16") == 0 || strcmp(fmt, "ci16_le") == 0)
+        is_ci16 = 1;
+    else if (strcmp(fmt, "cf32") == 0 || strcmp(fmt, "cf32_le") == 0)
+        is_ci16 = 0;
+    else {
+        PyErr_Format(PyExc_ValueError, "unknown sample format '%s'", fmt);
+        return NULL;
+    }
+
+    size_t fsize;
+    int fd;
+    void *base = map_file(path, &fsize, &fd);
+    if (base == NULL && PyErr_Occurred()) return NULL;
+
+    size_t itemsize = is_ci16 ? 2 * sizeof(int16_t) : 2 * sizeof(float);
+    npy_intp total = (npy_intp)(fsize / itemsize);
+    if (offset < 0 || offset > total) {
+        if (base) munmap(base, fsize);
+        close(fd);
+        PyErr_Format(PyExc_ValueError, "offset %zd out of range (%zd samples)",
+                     offset, (Py_ssize_t)total);
+        return NULL;
+    }
+    npy_intp n = (num < 0) ? (total - offset) : (npy_intp)num;
+    /* overflow-safe form of offset + n > total (offset <= total here) */
+    if (n > total - offset) {
+        if (base) munmap(base, fsize);
+        close(fd);
+        PyErr_Format(PyExc_ValueError, "requested %zd samples at offset %zd "
+                     "exceeds file (%zd samples)", (Py_ssize_t)n, offset,
+                     (Py_ssize_t)total);
+        return NULL;
+    }
+
+    PyArrayObject *out;
+    if (out_obj != NULL && out_obj != Py_None) {
+        if (!PyArray_Check(out_obj)) {
+            if (base) munmap(base, fsize);
+            close(fd);
+            PyErr_SetString(PyExc_TypeError, "out must be a numpy array");
+            return NULL;
+        }
+        out = (PyArrayObject *)out_obj;
+        if (PyArray_TYPE(out) != NPY_FLOAT32 || PyArray_NDIM(out) != 2 ||
+            PyArray_DIM(out, 0) != 2 || PyArray_DIM(out, 1) != n ||
+            !PyArray_IS_C_CONTIGUOUS(out)) {
+            if (base) munmap(base, fsize);
+            close(fd);
+            PyErr_Format(PyExc_ValueError,
+                         "out must be C-contiguous float32 with shape "
+                         "(2, %zd)", (Py_ssize_t)n);
+            return NULL;
+        }
+        Py_INCREF(out);
+    } else {
+        npy_intp dims[2] = {2, n};
+        out = (PyArrayObject *)PyArray_SimpleNew(2, dims, NPY_FLOAT32);
+        if (out == NULL) {
+            if (base) munmap(base, fsize);
+            close(fd);
+            return NULL;
+        }
+    }
+
+    if (n > 0) {
+        convert_job_t job;
+        job.n_samples = n;
+        job.scale = (float)scale;
+        job.dst = (float *)PyArray_DATA(out);
+        job.dst_im = (float *)PyArray_DATA(out) + n;
+        if (is_ci16) {
+            job.src = (const int16_t *)base + 2 * offset;
+            job.srcf = NULL;
+        } else {
+            job.src = NULL;
+            job.srcf = (const float *)base + 2 * offset;
+        }
+
+        Py_BEGIN_ALLOW_THREADS
+        run_threaded_convert(job, threads);
+        Py_END_ALLOW_THREADS
+    }
+
+    if (base) munmap(base, fsize);
+    close(fd);
+    return (PyObject *)out;
+}
+
 /* sample_count(path, sample_format) -> int */
 static PyObject *iqio_sample_count(PyObject *self, PyObject *args)
 {
@@ -281,6 +427,11 @@ static PyMethodDef iqio_methods[] = {
      "load interleaved float32 IQ (SigMF cf32_le) as complex64 via mmap.\n\n"
      "load_cf32(path, offset_samples=0, num_samples=-1) -> "
      "ndarray[complex64]"},
+    {"load_planes", (PyCFunction)iqio_load_planes, METH_VARARGS | METH_KEYWORDS,
+     "load interleaved IQ directly into float32 (real, imag) planes — the\n"
+     "layout the TPU host->device transfer ships.\n\n"
+     "load_planes(path, sample_format, offset_samples=0, num_samples=-1,\n"
+     "            scale=1/32768, threads=8, out=None) -> ndarray[(2, n) f32]"},
     {"sample_count", iqio_sample_count, METH_VARARGS,
      "sample_count(path, sample_format) -> number of complex samples"},
     {NULL, NULL, 0, NULL},

@@ -46,3 +46,9 @@ def test_sharded_monitor_example():
     assert 'apd totals:' in out
     # 2-D mesh path on the 8-device virtual host
     assert "'rx_batch': 2" in out or 'rx_batch' in out
+
+
+def test_streaming_capture_example(tmp_path):
+    out = _run_example('streaming_capture.py', str(tmp_path))
+    assert 'streaming_capture done' in out
+    assert 'strongest channel: 5' in out
