@@ -253,11 +253,13 @@ def write_sigmf(
         'annotations': list(annotations),
     }
 
+    # append (never with_suffix-replace) so stems containing dots keep
+    # their full name and the data/meta pair stays consistent
     if datatype == 'cf32_le':
-        data_path = stem.with_suffix('.sigmf-data')
+        data_path = Path(str(stem) + '.sigmf-data')
         data.astype('<c8').tofile(data_path)
     elif datatype == 'ci16_le':
-        data_path = stem.with_suffix('.sigmf-data')
+        data_path = Path(str(stem) + '.sigmf-data')
         full_scale = 32768.0 if scale is None else float(scale)
         planes = np.stack([data.real, data.imag], axis=-1) * full_scale
         quantized = np.clip(np.round(planes), -32768, 32767).astype('<i2')
@@ -270,7 +272,7 @@ def write_sigmf(
             f"datatype must be 'cf32_le', 'ci16_le', or 'npy', not {datatype!r}"
         )
 
-    meta_path = stem.with_suffix('.sigmf-meta')
+    meta_path = Path(str(stem) + '.sigmf-meta')
     meta_path.write_text(json.dumps(meta, indent=1))
     return data_path, meta_path
 
@@ -390,9 +392,11 @@ class CapturePrefetcher:
     on the device: the native loader releases the GIL during mmap read +
     conversion, so a single Python thread gives true IO/compute overlap.
     In plane mode the chunks are (2, chunk_samples) float32 buffers from
-    a fixed rotation (depth + 2 buffers total — memory use is bounded
-    regardless of capture length); each yielded buffer stays valid until
-    ``depth + 1`` further chunks have been consumed.
+    a fixed rotation (depth + 3 buffers total — memory use is bounded
+    regardless of capture length). A yielded buffer is guaranteed intact
+    only until ONE further chunk has been consumed; ship it to the device
+    (``jnp.asarray`` copies the host buffer before returning) or
+    ``np.array``-copy it before advancing further.
 
     Usage:
 
@@ -459,44 +463,65 @@ class CapturePrefetcher:
             threads=self.threads,
         )
 
+    def _put(self, item) -> bool:
+        """queue.put that gives up promptly when the consumer has left."""
+        import queue
+
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _producer(self):
         try:
+            # depth+3 buffers: the producer runs at most depth+2 chunks
+            # past the oldest buffer a conforming consumer may still hold
+            # (current + one previous), so rotation never overwrites it
             buffers = [
                 np.empty((2, self.chunk_samples), np.float32)
-                for _ in range(self.depth + 2)
+                for _ in range(self.depth + 3)
             ] if self.planes else None
             for k in range(self.n_chunks):
+                if self._stop.is_set():
+                    return
                 out = buffers[k % len(buffers)] if buffers is not None else None
                 chunk = self._load(k * self.chunk_samples, self.chunk_samples, out)
-                self._queue.put(('chunk', chunk))
-            if self._tail and not self.drop_last:
+                if not self._put(('chunk', chunk)):
+                    return
+            if self._tail and not self.drop_last and not self._stop.is_set():
                 chunk = self._load(
                     self.n_chunks * self.chunk_samples, self._tail
                 )
-                self._queue.put(('chunk', chunk))
-            self._queue.put(('done', None))
+                if not self._put(('chunk', chunk)):
+                    return
+            self._put(('done', None))
         except BaseException as exc:  # re-raised on the consumer side
-            self._queue.put(('error', exc))
+            self._put(('error', exc))
 
     def __enter__(self):
         import queue
         import threading
 
         self._queue = queue.Queue(maxsize=self.depth)
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
         return self
 
     def __exit__(self, *exc_info):
-        # drain so the producer can exit its blocking put, then join
+        # signal the producer to abandon any remaining chunks, then join
         if self._queue is not None:
+            self._stop.set()
             while self._thread.is_alive():
                 try:
                     self._queue.get_nowait()
                 except Exception:
                     import time
 
-                    time.sleep(0.005)
+                    time.sleep(0.002)
             self._thread.join()
         return False
 

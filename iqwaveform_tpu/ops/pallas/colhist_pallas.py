@@ -14,13 +14,16 @@ level index splits as b = G*hi + lo, so
                        = sum_t H[f, t, i] * L[f, t, j]
 
 — for each frequency a (G, T) @ (T, G) matmul of one-hot factor
-matrices, batched over the 128 frequencies of a block. H/L hold exact
-0/1 in bfloat16 and accumulate in float32, so counts are exact. No
-sort, no gather, no scatter; in-kernel ops are broadcast-iota compares
-and one batched dot_general (the BlockSpec style the tunneled Mosaic
-service compiles). Measured 34 ms vs 208 ms for the sort path at the
-shapes above (6x; the kernel is MXU-bound at B MACs per element, so
-halving the bin count halves it again).
+matrices, batched over the 128 frequencies of a block. The one-hot
+factors hold exact 0/1, so counts are exact with either factor dtype:
+the default int8 (int32 accumulation on the MXU's int path, 26 ms at
+the shapes above) or bfloat16 with float32 accumulation
+(factor_dtype=jnp.bfloat16, 34 ms — the fallback if a backend rejects int8
+dots). No sort, no gather, no scatter; in-kernel ops are broadcast-iota
+compares and one batched dot_general (the BlockSpec style the tunneled
+Mosaic service compiles). Measured 26 ms vs 208 ms for the sort path
+(8x; the kernel is MXU-bound at B MACs per element, so halving the bin
+count halves it again).
 
 Reference context: the reference has no streaming persistence histogram
 (its xp.quantile persistence stack is in-memory, fourier.py:1311-1326);
@@ -37,23 +40,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ._common import on_tpu_like as _on_tpu_like, round_up as _round_up
+
 
 __all__ = ['columnwise_histogram_fast', 'columnwise_histogram_pallas']
 
 _LANES = 128
 _G = 32  # lo-group size; bins pad to a multiple of _G
-
-
-def _on_tpu_like() -> bool:
-    try:
-        plat = jax.devices()[0].platform
-    except Exception:
-        return False
-    return plat in ('tpu', 'axon')
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _colhist_kernel(idx_ref, out_ref, *, Tb, G, G_hi, factor_dtype):

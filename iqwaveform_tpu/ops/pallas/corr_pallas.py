@@ -38,22 +38,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ._common import on_tpu_like as _on_tpu_like, round_up as _round_up
+
 
 __all__ = ['corr_at_indices_pallas']
 
 _UNROLL_MAX = 64  # static-slice accumulation cap; larger sets use scan
-
-
-def _on_tpu_like() -> bool:
-    try:
-        plat = jax.devices()[0].platform
-    except Exception:
-        return False
-    return plat in ('tpu', 'axon')
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _movsum_norm_kernel(*refs, norm, scale, nblk, tile):

@@ -38,6 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ._common import on_tpu_like as _on_tpu_like
+
 
 from ...utils import lru_cache
 from ..mxu_fft import _fused_ola_constants
@@ -45,14 +47,6 @@ from ..mxu_fft import _fused_ola_constants
 __all__ = ['fused_ola_pallas', 'fused_ola_packed', 'fused_ola_packed_supported', 'fused_ola_strided', 'fused_ola_strided_supported']
 
 _LANES = 128
-
-
-def _on_tpu_like() -> bool:
-    try:
-        plat = jax.devices()[0].platform
-    except Exception:
-        return False
-    return plat in ('tpu', 'axon')
 
 
 def _pad_minor(x: np.ndarray, width: int) -> np.ndarray:

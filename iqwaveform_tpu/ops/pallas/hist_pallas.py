@@ -26,19 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ._common import on_tpu_like as _on_tpu_like
+
 
 __all__ = ['histogram_edge_counts_pallas']
 
 _LANES = 128
 _VALUES_PER_STEP = 8 * _LANES
-
-
-def _on_tpu_like() -> bool:
-    try:
-        plat = jax.devices()[0].platform
-    except Exception:
-        return False
-    return plat in ('tpu', 'axon')
 
 
 def _hist_kernel(p_ref, e_ref, out_ref):

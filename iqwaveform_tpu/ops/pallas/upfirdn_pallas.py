@@ -45,6 +45,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ._common import on_tpu_like as _on_tpu_like, round_up as _round_up
+
 
 from ...utils import lru_cache
 
@@ -53,14 +55,6 @@ __all__ = ['build_polyphase_matrix', 'upfirdn_pallas']
 _LANES = 128
 _B_BLK = 32  # batch rows per grid block (MXU M dim)
 _G_VMEM_CAP = 48 * 2 * _LANES * _LANES * 4  # ~6.3 MB banded-operator cap
-
-
-def _on_tpu_like() -> bool:
-    try:
-        plat = jax.devices()[0].platform
-    except Exception:
-        return False
-    return plat in ('tpu', 'axon')
 
 
 def build_polyphase_matrix(h: np.ndarray, up: int, down: int):
@@ -84,10 +78,6 @@ def build_polyphase_matrix(h: np.ndarray, up: int, down: int):
             if 0 <= tap < len_h:
                 W[r, jp] = h[tap]
     return W, Lin, Lout, pad
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 @lru_cache()

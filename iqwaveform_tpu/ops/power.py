@@ -559,7 +559,7 @@ def power_histogram_along_axis(
     n_groups = len(levels_db) // resolution_axis
     if not truncate and n_groups * resolution_axis != len(levels_db):
         raise ValueError(
-            'non-integer number of sweeps in pvt; pass truncate=False to truncate'
+            'non-integer number of sweeps in pvt; pass truncate=True to truncate'
         )
     kept = levels_db.iloc[: n_groups * resolution_axis]
 

@@ -361,3 +361,35 @@ def test_read_iq_planes_fallback_matches_native(tmp_path):
         io._iqio = saved
     assert fallback is buf
     np.testing.assert_array_equal(native, fallback)
+
+
+def test_write_sigmf_dotted_stem(tmp_path):
+    """a stem containing dots keeps its full name for BOTH files."""
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(
+        'complex64'
+    )
+    data_path, meta_path = io.write_sigmf(
+        tmp_path / 'run.r2.capture', x, 1e6, datatype='npy'
+    )
+    assert data_path.name == 'run.r2.capture.sigmf-data.npy'
+    assert meta_path.name == 'run.r2.capture.sigmf-meta'
+    x_split, _, _, _ = io.read_sigmf(meta_path)
+    np.testing.assert_array_equal(x_split[0], x)
+
+
+def test_capture_prefetcher_early_exit_is_prompt(tmp_path):
+    """breaking out of the loop cancels the producer instead of letting
+    it read the rest of the capture."""
+    import time
+
+    rng = np.random.default_rng(6)
+    x = (rng.standard_normal(4096 * 64) + 0j).astype('complex64')
+    _write_ci16(tmp_path / 'e.sigmf-data', x)
+    pre = io.CapturePrefetcher(tmp_path / 'e.sigmf-data', 4096, 'ci16_le', depth=1)
+    t0 = time.perf_counter()
+    with pre as chunks:
+        next(iter(chunks))
+    dt = time.perf_counter() - t0
+    assert dt < 2.0
+    assert not pre._thread.is_alive()
