@@ -691,19 +691,34 @@ class WidebandMonitor:
         """
         import time
 
+        from ..utils.dispatch import unpack_iq
         from ..utils.profiling import StageTimer
 
-        if iq.ndim != 1:
-            raise ValueError('profile_step profiles a single capture (1-D iq)')
+        # packed (2, N) float32 planes are accepted (and preferred on the
+        # axon tunnel, which cannot H2D complex64): complex is rebuilt
+        # inside each jitted prefix
+        packed_planes = (
+            iq.ndim == 2
+            and iq.shape[0] == 2
+            and not jnp.iscomplexobj(iq)
+        )
+        if iq.ndim != 1 and not packed_planes:
+            raise ValueError(
+                'profile_step profiles a single capture: 1-D complex iq '
+                'or (2, N) float32 planes'
+            )
+        n_samples = iq.shape[-1]
+        maybe_unpack = unpack_iq if packed_planes else (lambda v: v)
 
         def _reduce(x):
             if jnp.iscomplexobj(x):
                 x = x.real * x.real + x.imag * x.imag
             return jnp.broadcast_to(x.astype(jnp.float32).sum()[None], (8,))
 
-        packed = self._packed_applies(iq.shape[0])
+        packed = self._packed_applies(n_samples)
 
         def ola_only(x):
+            x = maybe_unpack(x)
             if packed:
                 y = self._packed_resample(x, None)
             else:
@@ -729,7 +744,7 @@ class WidebandMonitor:
             return _reduce(y)
 
         def full(x):
-            out = self._body_1d(x, None)
+            out = self._body_1d(maybe_unpack(x), None)
             tot = sum(
                 leaf.astype(jnp.float32).sum()
                 for leaf in jax.tree_util.tree_leaves(out)

@@ -425,6 +425,12 @@ def test_profile_step(design):
     assert timer.durations['ola_resample'] > 0
     assert 'ola_resample' in timer.report()
 
+    # packed (2, N) float32 planes: the H2D layout bench.py ships (the
+    # axon tunnel cannot transfer complex64 host->device)
+    planes = jnp.stack([x.real, x.imag]).astype(jnp.float32)
+    timer_p = mon.profile_step(planes, reps=1)
+    assert set(timer_p.durations) == {'ola_resample', 'chan_stats_apd'}
+
     with pytest.raises(ValueError):
         mon.profile_step(x[None, :])
 
