@@ -194,14 +194,30 @@ def bench_monitor_rx(rx: int):
 
 def bench_streaming():
     """BASELINE config #3: streaming APD + persistence spectrum over a
-    1 GS capture at fixed memory (donated carry, one chunk resident)."""
+    1 GS capture at fixed device memory (donated carry).
+
+    Honesty notes. (1) Every fold consumes a DIFFERENT device-resident
+    chunk (the scan walks a 15-chunk stack): feeding one chunk to all
+    folds lets XLA hoist the entire fold out of the scan as
+    loop-invariant code, which silently benchmarked 1 fold as 15
+    (684 "MS/s" in an earlier round — wrong; see docs/BENCH_notes).
+    (2) The APD is the detector-binned APD of the reference CCDF
+    workflow (figures.py:827-836) and the flagship monitor: power is
+    mean-binned by a navg=16 detector period before histogramming,
+    which replaces a 35 ms full-chunk sort with an MXU binning matmul
+    + Pallas edge-compare histogram. The persistence histogram remains
+    exact per-frame counts."""
     import jax
     import jax.numpy as jnp
 
     from iqwaveform_tpu.ops.pallas.colhist_pallas import (
         columnwise_histogram_fast,
     )
-    from iqwaveform_tpu.ops.power import histogram_edge_counts
+    from iqwaveform_tpu.ops.pallas.hist_pallas import (
+        histogram_edge_counts_pallas,
+    )
+    from iqwaveform_tpu.ops.mxu_fft import fft_mxu
+    from iqwaveform_tpu.ops.power import binned_mean_matmul
     from iqwaveform_tpu.ops.window_design import get_window
     from iqwaveform_tpu.utils import unpack_iq
 
@@ -209,6 +225,7 @@ def bench_streaming():
     chunk = 2**24  # 16.78 Ms per fold
     n_folds = 60  # >= 1.0e9 samples total
     hist_bins = 1024
+    apd_navg = 16  # detector period (reference CCDF workflow bins first)
 
     w = get_window('hann', nfft, norm=True, fftshift=True).astype('complex64')
     edges_dB = np.linspace(-150.0, 50.0, hist_bins + 1).astype('float32')
@@ -217,39 +234,40 @@ def bench_streaming():
     def fold(carry, planes):
         v = unpack_iq(planes)
         frames = v.reshape(-1, nfft) * jnp.asarray(w / nfft)[None, :]
-        Y = jnp.fft.fft(frames, axis=1)
+        Y = fft_mxu(frames, axis=1)  # four-step DFT-matmul (2x XLA fft here)
         spg = Y.real * Y.real + Y.imag * Y.imag
         spg_dB = 10.0 * jnp.log10(spg + 1e-25)
         p = v.real * v.real + v.imag * v.imag
+        p_det = binned_mean_matmul(p, apd_navg)
         return {
             'hist': carry['hist'] + columnwise_histogram_fast(spg_dB, edges_dB),
             'psum': carry['psum'] + spg_dB.sum(axis=0),
             'pmax': jnp.maximum(carry['pmax'], spg_dB.max(axis=0)),
-            'apd': carry['apd'] + histogram_edge_counts(p, apd_edges),
+            'apd': carry['apd']
+            + histogram_edge_counts_pallas(p_det, apd_edges).astype(jnp.int32),
             'n': carry['n'] + np.float32(spg.shape[0]),
         }
 
     # scan a batch of folds per dispatch: a single fold per jit call is
-    # tunnel-round-trip bound (~230 ms/dispatch vs ~8 ms of compute); a
-    # production pipeline keeps many chunks in flight
+    # tunnel-round-trip bound (~230 ms/dispatch vs ~15 ms of compute); a
+    # production pipeline keeps many chunks in flight (CapturePrefetcher)
     folds_per_dispatch = 15
 
-    def run_folds(carry, planes):
+    def run_folds(carry, stack):
         return jax.lax.scan(
-            lambda c, _: (fold(c, planes), None),
-            carry,
-            None,
-            length=folds_per_dispatch,
+            lambda c, planes: (fold(c, planes), None), carry, stack
         )[0]
 
     step = jax.jit(run_folds, donate_argnums=0)
 
-    rng = np.random.default_rng(0)
-    ri = jnp.asarray(
-        np.stack(
-            [rng.standard_normal(chunk), rng.standard_normal(chunk)]
-        ).astype('float32')
-    )
+    # 15 distinct chunks, generated on device (H2D of 2 GB through the
+    # tunnel would dominate; production overlap is the prefetcher's job)
+    key = jax.random.PRNGKey(0)
+    stack = jax.jit(
+        lambda k: jax.random.normal(
+            k, (folds_per_dispatch, 2, chunk), jnp.float32
+        )
+    )(key)
     carry = {
         'hist': jnp.zeros((nfft, hist_bins), jnp.int32),
         'psum': jnp.zeros((nfft,), jnp.float32),
@@ -259,14 +277,14 @@ def bench_streaming():
     }
 
     t0 = time.perf_counter()
-    carry = step(carry, ri)
+    carry = step(carry, stack)
     np.asarray(carry['psum'])
     _log(f'streaming: compile+first dispatch {time.perf_counter() - t0:.1f}s')
 
     n_dispatch = -(-n_folds // folds_per_dispatch)
     t0 = time.perf_counter()
     for _ in range(n_dispatch):
-        carry = step(carry, ri)
+        carry = step(carry, stack)
     np.asarray(carry['psum'])  # f32 fence (execution is in-order)
     dt = time.perf_counter() - t0
 

@@ -269,6 +269,30 @@ def main():
         print('colhist pallas (tpu)            EXCEPTION:',
               f'{type(e).__name__}: {str(e)[:100]}', flush=True)
 
+    # --- slab-packed columnwise histogram kernel ---
+    from iqwaveform_tpu.ops.pallas.colhist_pallas import (
+        columnwise_histogram_packed,
+    )
+
+    chp_fn = jax.jit(
+        lambda v: columnwise_histogram_packed(v, ch_edges).astype(jnp.float32)
+    )
+    try:
+        got_ch = np.asarray(chp_fn(jnp.asarray(ch_vals)))
+        tot_ok = np.array_equal(got_ch.sum(axis=1), ch_ref.sum(axis=1))
+        cum_d = np.abs(
+            np.cumsum(got_ch, axis=1) - np.cumsum(ch_ref, axis=1)
+        ).max()
+        status = 'ok' if tot_ok and cum_d <= 2 else 'FAIL'
+        if status == 'FAIL':
+            failures.append('colhist packed pallas')
+        print(f'colhist packed pallas (tpu)      totals_exact={tot_ok} '
+              f'max cum delta {cum_d:.0f} {status}', flush=True)
+    except Exception as e:
+        failures.append('colhist packed pallas')
+        print('colhist packed pallas (tpu)     EXCEPTION:',
+              f'{type(e).__name__}: {str(e)[:100]}', flush=True)
+
     # --- edge-compare histogram pallas kernel ---
     from iqwaveform_tpu.ops.pallas.hist_pallas import histogram_edge_counts_pallas
     from iqwaveform_tpu.ops.power import histogram_edge_counts

@@ -174,3 +174,58 @@ def test_columnwise_histogram_pallas_exact_off_edge():
         columnwise_histogram_pallas(jnp.asarray(vals), edges, interpret=True)
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_columnwise_histogram_packed():
+    """slab-packed one-hot matmul histogram: exact counts vs a bincount
+    oracle on the same quantization, across bin counts spanning every
+    quadrant grid (QIxQJ in 1x1..2x2) and non-multiple shapes."""
+    from iqwaveform_tpu.ops.pallas.colhist_pallas import (
+        columnwise_histogram_packed,
+    )
+
+    rng = np.random.default_rng(2)
+    for shape, nb in [
+        ((256, 128), 1024),
+        ((300, 200), 512),
+        ((128, 128), 256),
+        ((512, 130), 64),
+        ((257, 64), 100),
+    ]:
+        vals = rng.uniform(-150, 50, size=shape).astype('float32')
+        edges = np.linspace(-150.0, 50.0, nb + 1)
+        # oracle on the kernel's own uniform quantization (edge-rounding
+        # equivalence with searchsorted is covered by the unpacked tests)
+        scale = 1.0 / (edges[1] - edges[0])
+        idx = np.clip(
+            np.floor((vals - edges[0]) * scale), 0, nb - 1
+        ).astype(np.int64)
+        ref = np.zeros((shape[1], nb), np.int64)
+        for f in range(shape[1]):
+            ref[f] = np.bincount(idx[:, f], minlength=nb)
+        got = np.asarray(
+            columnwise_histogram_packed(jnp.asarray(vals), edges, interpret=True)
+        )
+        np.testing.assert_array_equal(got.sum(axis=1), ref.sum(axis=1))
+        cum_diff = np.abs(np.cumsum(got, axis=1) - np.cumsum(ref, axis=1))
+        assert cum_diff.max() <= 1, cum_diff.max()
+
+    # bin-center values (no edge rounding) count exactly, bf16 factors too
+    nb = 512
+    edges = np.linspace(-100.0, 28.0, nb + 1)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    vals = centers[rng.integers(0, nb, size=(320, 96))].astype('float32')
+    vals[:5, :2] = -500.0
+    vals[5:9, :2] = 500.0
+    scale = 1.0 / (edges[1] - edges[0])
+    idx = np.clip(np.floor((vals - edges[0]) * scale), 0, nb - 1).astype(np.int64)
+    ref = np.zeros((96, nb), np.int64)
+    for f in range(96):
+        ref[f] = np.bincount(idx[:, f], minlength=nb)
+    for fd in (jnp.int8, jnp.bfloat16):
+        got = np.asarray(
+            columnwise_histogram_packed(
+                jnp.asarray(vals), edges, factor_dtype=fd, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
