@@ -147,7 +147,7 @@ def bench_spectrogram():
         v = unpack_iq(planes)
         spg = fourier.spectrogram(
             v, fs=122.88e6, window='hann', nperseg=nperseg,
-            return_axis_arrays=False,
+            return_axis_arrays=False, fft_backend='mxu',
         )
         spg_dB = powtodB(spg, eps=1e-25)
         return jnp.stack(
@@ -318,7 +318,7 @@ def bench_channelize64():
         _, _, cp = channelize_power(
             v, 1.0 / 122.88e6, fft_per_chan,
             analysis_bins_per_channel=int(fft_per_chan * 0.75),
-            window='hamming', channel_count=n_chan,
+            window='hamming', channel_count=n_chan, fft_backend='mxu',
         )  # cp: (time, channel)
         return jnp.stack(
             [cp.mean(axis=0), cp.max(axis=0),

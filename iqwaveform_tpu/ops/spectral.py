@@ -155,6 +155,7 @@ def channelize_power(
     fft_overlap_per_channel=0,
     channel_count: int = 1,
     axis=0,
+    fft_backend: str = 'xla',
 ):
     """channelize the waveform into a per-channel power time series
     (reference fourier.py:1330-1415).
@@ -186,6 +187,7 @@ def channelize_power(
         noverlap=fft_overlap_per_channel * channel_count,
         norm='power',
         axis=axis,
+        fft_backend=fft_backend,
     )
 
     # keep only bins inside the analysis bandwidth

@@ -137,6 +137,18 @@ def test_channelize_power_multichannel_tone_location():
     )
     np.testing.assert_allclose(np.asarray(power_j), power, rtol=1e-4)
 
+    # four-step MXU FFT backend matches
+    _, _, power_m = fourier.channelize_power(
+        jnp.asarray(x),
+        1 / fs,
+        fft_per_ch,
+        analysis_bins_per_channel=fft_per_ch,
+        window='hann',
+        channel_count=nch,
+        fft_backend='mxu',
+    )
+    np.testing.assert_allclose(np.asarray(power_m), power, rtol=1e-4)
+
 
 def test_channelize_power_validates():
     x = make_tone_noise(4096)
