@@ -684,9 +684,12 @@ class WidebandMonitor:
         host readback (axon's ``block_until_ready`` returns at dispatch).
 
         Returns a :class:`iqwaveform_tpu.utils.profiling.StageTimer`
-        whose ``report()`` prints the breakdown. Timings are wall clock
-        including dispatch, so use a large ``iq`` (and median-of-trials,
-        see ``scripts/profile_stages.py``) for publication-grade numbers;
+        whose ``report()`` prints the breakdown. Each prefix is
+        difference-timed ((time of 1+reps executions) - (time of 1)) so
+        the fixed per-dispatch cost — a few ms of tunnel round trip on
+        axon, which otherwise dwarfs a ~5 ms stage — cancels out of the
+        per-execution estimate. For publication-grade numbers use a
+        large ``iq`` and median-of-trials (scripts/profile_stages.py);
         this method is the quick in-session view.
         """
         import time
@@ -754,12 +757,18 @@ class WidebandMonitor:
         def _measure(fn):
             g = jax.jit(fn)
             np.asarray(g(iq))  # compile + warm (readback fences the queue)
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(reps):
-                out = g(iq)
-            np.asarray(out)
-            return (time.perf_counter() - t0) / reps
+
+            def run(n):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(n):
+                    out = g(iq)
+                np.asarray(out)
+                return time.perf_counter() - t0
+
+            run(1)  # warm the dispatch path
+            # difference timing cancels the fixed dispatch+readback cost
+            return max(run(1 + reps) - run(1), 0.0) / reps
 
         t_ola = _measure(ola_only)
         t_full = _measure(full)
