@@ -38,8 +38,21 @@ def test_axis_argument():
 
 
 def test_prime_size_raises():
+    # primes > 128 have no MXU-friendly factorization
     with pytest.raises(ValueError):
-        plan_factors(127)
+        plan_factors(131)
+
+
+def test_prime_below_lanes_direct_dft():
+    # primes <= 128 degenerate to a direct (n, n) DFT matmul (a=1)
+    assert plan_factors(127) == (1, 127)
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((4, 127)) + 1j * rng.standard_normal((4, 127))).astype(
+        'complex64'
+    )
+    ref = np.fft.fft(x.astype('complex128'), axis=1)
+    got = np.asarray(fft_mxu(jnp.asarray(x), axis=1))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
 
 
 def test_monitor_mxu_backend_matches_xla():
@@ -125,7 +138,8 @@ def test_fused_ola_supported_conditions():
     assert fused_ola_supported(16384, 8192, (5526, 10858), (1430, 6762))
     # misaligned effective window start
     assert not fused_ola_supported(16384, 8192, (4095, 12288), (0, 8192))
-    assert not fused_ola_supported(127, 127, (0, 127), (0, 127))
+    # primes > 128 have no factorization at all
+    assert not fused_ola_supported(131, 131, (0, 131), (0, 131))
 
 
 def test_fused_ola_narrow_passband_matches_separate():
