@@ -767,8 +767,17 @@ class WidebandMonitor:
                 return time.perf_counter() - t0
 
             run(1)  # warm the dispatch path
-            # difference timing cancels the fixed dispatch+readback cost
-            return max(run(1 + reps) - run(1), 0.0) / reps
+            # difference timing cancels the fixed dispatch+readback cost;
+            # median of 3 trial pairs per the repo timing rule (a hiccup
+            # in the subtracted term biases a single pair fast)
+            dts = []
+            for _ in range(3):
+                lo = run(1)
+                hi = run(1 + reps)
+                dts.append((hi - lo) / reps)
+            # floor at 1 ns: "below measurement resolution", keeps
+            # durations positive for reports and assertions
+            return max(float(np.median(dts)), 1e-9)
 
         t_ola = _measure(ola_only)
         t_full = _measure(full)

@@ -32,6 +32,8 @@ import numpy as np
 
 from ..utils import lru_cache
 
+_LANES = 128  # MXU tile / full contraction width
+
 __all__ = ['fft_mxu', 'ifft_mxu', 'plan_factors']
 
 
@@ -39,29 +41,33 @@ __all__ = ['fft_mxu', 'ifft_mxu', 'plan_factors']
 def plan_factors(n: int) -> tuple:
     """pick the (a, b) split for the four-step transform.
 
-    Stage 2 contracts the MINOR axis against the (b, b) DFT matrix, so
-    it runs at full MXU contraction width when b = 128; stage 1's
-    (a, a) matrix contracts a middle axis and tolerates any a. Choose
-    b as the largest divisor of n that is <= 128 (a v5e shoot-out at
+    Contraction width is what matters on the MXU: a factor below 128
+    contracts at partial width (a 32-wide contraction runs at ~1/4
+    utilization). So: use the balanced split when both of its factors
+    are >= 128 (full width everywhere, minimal n*(a+b) MAC count and
+    smallest DFT-matrix constants). Otherwise — n < 16384, where any
+    balanced split is sub-width — put the largest divisor <= 128 on
+    the minor-axis stage-2 contraction (a v5e shoot-out at
     (16384 frames x 1024): b=128/a=8 runs 1.94 ms vs 2.65 ms for the
     balanced 32x32 split and 2.53 ms for the XLA FFT). For n <= 128
     this degenerates to a = 1, i.e. one direct (n, n) DFT matmul —
-    optimal there. Falls back to the balanced split when every
-    divisor > 128 (e.g. squares of large primes)."""
+    optimal there, and it makes primes <= 128 legal sizes."""
+    balanced = None
+    for a in range(2, int(math.isqrt(n)) + 1):
+        if n % a == 0:
+            balanced = (n // a, a)
+    if balanced is not None and balanced[1] >= _LANES:
+        return balanced
     b = 1
-    for d in range(2, min(n, 128) + 1):
+    for d in range(2, min(n, _LANES) + 1):
         if n % d == 0:
             b = d
     if b > 1:
         return (n // b, b)
-    # no divisor <= 128: balanced split if composite at all
-    best = None
-    for a in range(2, int(math.isqrt(n)) + 1):
-        if n % a == 0:
-            best = (n // a, a)
-    if best is None:
-        raise ValueError(f'n={n} is prime; no four-step factorization')
-    return best
+    if balanced is not None:
+        # every divisor > 128 (e.g. squares of primes > 128)
+        return balanced
+    raise ValueError(f'n={n} is prime; no four-step factorization')
 
 
 @lru_cache()

@@ -324,7 +324,10 @@ def columnwise_histogram_fast(vals, edges):
     uniform = np.allclose(widths, widths[0], rtol=1e-6)
     if uniform and _on_tpu_like():
         B = edges_np.shape[0] - 1
-        if B <= 4096:
+        # the packed kernel is measured/validated on-chip to 1024 bins;
+        # beyond that its unrolled quadrant dots and VMEM output block
+        # grow linearly in B (16 MB at 4096), so use the unpacked kernel
+        if B <= 1024:
             return columnwise_histogram_packed(vals, edges)
         return columnwise_histogram_pallas(vals, edges)
 
