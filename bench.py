@@ -363,9 +363,11 @@ def run_config(name: str):
 def run_matrix():
     """run every benchmark config in its own subprocess; print all JSON
     lines and save them to docs/BENCH_matrix.json."""
+    # budgets sized for a cold tunnel session: remote compiles alone can
+    # take 2-4 min per config
     budgets = {
-        'monitor8192p': 480, 'monitor8192': 420, 'spectrogram': 240,
-        'monitorRx4': 480, 'streaming1gs': 600, 'channelize64': 360,
+        'monitor8192p': 480, 'monitor8192': 420, 'spectrogram': 420,
+        'monitorRx4': 480, 'streaming1gs': 600, 'channelize64': 540,
         'monitor8192bf16': 480,
     }
     lines = []
