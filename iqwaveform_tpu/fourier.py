@@ -60,3 +60,31 @@ from .ops.window_design import (  # noqa: F401
     get_window,
 )
 from .utils import to_blocks  # noqa: F401
+
+# names the reference's fourier module also exposes via its own imports
+# (so `from iqwaveform.fourier import X` keeps working after the rename)
+from os import cpu_count  # noqa: F401
+
+from .ops.power import stat_ufunc_from_shorthand  # noqa: F401
+from .ops.windows import register_extra_windows  # noqa: F401
+from .type_stubs import ArrayType  # noqa: F401
+from .utils import (  # noqa: F401
+    Domain,
+    array_namespace,
+    axis_index,
+    axis_slice,
+    dtype_change_float,
+    find_float_inds,
+    get_input_domain,
+    is_cupy_array,
+    isroundmod,
+    lazy_import,
+    lru_cache,
+    pad_along_axis,
+    sliding_window_view,
+)
+
+# reference fourier.py:48 module global (cupy workspace bound; the
+# device-memory role is played by streaming/sharding here — see
+# set_max_cupy_fft_chunk)
+MAX_CUPY_FFT_SAMPLES = None

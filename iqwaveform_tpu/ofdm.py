@@ -22,3 +22,12 @@ from .models.ofdm import (  # noqa: F401
 )
 from .models.ofdm import _pss_m_sequence, _sss_m_sequence  # noqa: F401
 from .utils import isclosetoint  # noqa: F401
+
+# names the reference's ofdm module also exposes via its own imports
+from .type_stubs import ArrayType  # noqa: F401
+from .utils import (  # noqa: F401
+    array_namespace,
+    isroundmod,
+    lru_cache,
+    pad_along_axis,
+)

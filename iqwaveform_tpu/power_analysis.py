@@ -22,3 +22,19 @@ from .ops.power import (  # noqa: F401
     unit_wave_to_linear,
     unstack_series_to_bins,
 )
+
+# names the reference's power_analysis module also exposes via its own
+# imports (`from iqwaveform.power_analysis import X` compatibility)
+from .type_stubs import ArrayLike, ArrayType  # noqa: F401
+from .utils import (  # noqa: F401
+    Domain,
+    array_namespace,
+    float_dtype_like,
+    get_input_domain,
+    histogram_last_axis,
+    is_cupy_array,
+    isroundmod,
+    lazy_import,
+    lru_cache,
+    to_blocks,
+)

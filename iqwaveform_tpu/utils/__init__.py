@@ -6,6 +6,7 @@ This subpackage is the TPU-native counterpart of reference util.py.
 from .caching import lazy_import, lru_cache, optional_import
 from .dispatch import (
     array_namespace,
+    is_cupy_array,
     is_jax_array,
     is_numpy_array,
     pack_iq_f32,
@@ -62,6 +63,7 @@ __all__ = [
     'grouped_slices_along_axis',
     'grouped_views_along_axis',
     'histogram_last_axis',
+    'is_cupy_array',
     'is_jax_array',
     'is_numpy_array',
     'isclosetoint',

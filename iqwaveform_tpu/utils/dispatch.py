@@ -29,6 +29,13 @@ def is_numpy_array(x) -> bool:
     return isinstance(x, np.ndarray)
 
 
+def is_cupy_array(x) -> bool:
+    """compat shim for code ported from the reference (util.py:12):
+    cupy's accelerator role is taken by jax here, so this is always
+    False — use :func:`is_jax_array` for the device-array test."""
+    return False
+
+
 def array_namespace(a, use_compat: bool = False):
     """return the array module (numpy or jax.numpy) for ``a``.
 

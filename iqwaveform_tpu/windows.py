@@ -8,3 +8,4 @@ from .ops.windows import (  # noqa: F401
     modified_bessel,
     register_extra_windows,
 )
+from .utils import lazy_import  # noqa: F401  (reference windows.py import surface)

@@ -189,3 +189,56 @@ def test_counter_fold_exact_beyond_float32():
     assert plain[0] != exact[0]
     # components stay integer-valued float32 in range
     assert (lo < 2**23).all() and (lo >= 0).all()
+
+
+def test_reference_facade_import_surface():
+    """every helper the reference modules leak into their public
+    namespaces stays importable from the same place here (audited
+    against an actual import of /root/reference with stubbed cupy
+    deps; `from iqwaveform.fourier import axis_slice`-style user code
+    must keep working after the package rename)."""
+    import importlib
+
+    surface = {
+        'util': [
+            'Domain', 'set_input_domain', 'get_input_domain',
+            'NonStreamContext', 'array_stream', 'pad_along_axis',
+            'array_namespace', 'sliding_window_view', 'float_dtype_like',
+            'to_blocks', 'axis_slice', 'axis_index', 'lru_cache',
+            'isroundmod', 'histogram_last_axis', 'lazy_import',
+            'is_cupy_array', 'find_float_inds', 'dtype_change_float',
+        ],
+        'fourier': [
+            'stft', 'istft', 'spectrogram', 'ola_filter', 'oaresample',
+            'resample', 'upfirdn', 'oaconvolve', 'get_window',
+            'design_cola_resampler', 'channelize_power', 'fftfreq',
+            'cpu_count', 'MAX_CUPY_FFT_SAMPLES', 'ArrayType', 'Domain',
+            'array_namespace', 'axis_index', 'axis_slice',
+            'dtype_change_float', 'find_float_inds', 'get_input_domain',
+            'is_cupy_array', 'isroundmod', 'lazy_import', 'lru_cache',
+            'pad_along_axis', 'register_extra_windows',
+            'sliding_window_view', 'stat_ufunc_from_shorthand',
+        ],
+        'power_analysis': [
+            'powtodB', 'dBtopow', 'envtopow', 'envtodB', 'sample_ccdf',
+            'iq_to_bin_power', 'iq_to_cyclic_power', 'ArrayLike',
+            'ArrayType', 'Domain', 'array_namespace', 'float_dtype_like',
+            'get_input_domain', 'histogram_last_axis', 'is_cupy_array',
+            'isroundmod', 'lazy_import', 'lru_cache', 'to_blocks',
+        ],
+        'ofdm': [
+            'PhyOFDM', 'Phy3GPP', 'Phy802_16', 'corr_at_indices',
+            'pss_5g_nr', 'sss_5g_nr', 'ArrayType', 'array_namespace',
+            'isroundmod', 'lru_cache', 'pad_along_axis',
+        ],
+        'windows': ['acg', 'cosh', 'knab', 'modified_bessel',
+                    'register_extra_windows', 'lazy_import'],
+        'type_stubs': ['ArrayType', 'ArrayLike', 'SeriesType',
+                       'DataFrameType', 'IndexType', 'AxisType',
+                       'LocatorType', 'DataArrayType', 'DatasetType',
+                       'TypeAlias'],
+    }
+    for mod, names in surface.items():
+        m = importlib.import_module(f'iqwaveform_tpu.{mod}')
+        missing = [n for n in names if not hasattr(m, n)]
+        assert not missing, f'{mod} missing {missing}'
