@@ -408,11 +408,13 @@ def main():
 
     # parent mode: try configurations in killable subprocesses (native
     # hangs in the TPU tunnel are immune to SIGALRM)
+    # budgets include tunnel client-init, which degrades to ~5 min when
+    # recent clients died holding chip grants
     attempts = [
-        ('monitor8192p', 480),
-        ('monitor8192', 420),
-        ('monitor2048', 300),
-        ('spectrogram', 240),
+        ('monitor8192p', 900),
+        ('monitor8192', 600),
+        ('monitor2048', 480),
+        ('spectrogram', 420),
     ]
 
     for name, budget in attempts:

@@ -34,7 +34,7 @@ from ..utils import lru_cache
 
 _LANES = 128  # MXU tile / full contraction width
 
-__all__ = ['fft_mxu', 'ifft_mxu', 'plan_factors']
+__all__ = ['fft_mxu', 'ifft_mxu', 'four_step_factored', 'plan_factors']
 
 
 @lru_cache()
@@ -84,7 +84,18 @@ def _dft_constants(n: int, inverse: bool):
     return a, b, Fa, Fb, W
 
 
-def _four_step(x, n: int, inverse: bool, precision):
+def four_step_factored(x, n: int, *, inverse: bool = False, precision=None):
+    """four-step DFT of the last axis, returned in FACTORED coordinates:
+    output D[..., k1, k2] holds natural bin k = k2*a + k1, with
+    (a, b) = plan_factors(n).
+
+    Consumers that only need bin-order-independent reductions (channel
+    power sums, statistics) can work on D directly and skip the
+    transposed readout — at channelizer shapes the (..., a, b) swapaxes
+    is a full-array lane/sublane shuffle that dominates the transform's
+    HBM traffic."""
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     a, b, Fa, Fb, W = _dft_constants(n, inverse)
 
     batch = x.shape[:-1]
@@ -95,6 +106,12 @@ def _four_step(x, n: int, inverse: bool, precision):
     C = B * W  # twiddles broadcast over batch
     # length-b DFTs along the rows: (..., a, b) @ (b x b)
     D = jnp.einsum('...ij,jk->...ik', C, Fb, precision=precision)
+    return D
+
+
+def _four_step(x, n: int, inverse: bool, precision):
+    D = four_step_factored(x, n, inverse=inverse, precision=precision)
+    batch = x.shape[:-1]
 
     # transposed readout: X[k2*a + k1] = D[k1, k2]
     X = jnp.swapaxes(D, -1, -2).reshape(batch + (n,))

@@ -150,6 +150,33 @@ def test_channelize_power_multichannel_tone_location():
     np.testing.assert_allclose(np.asarray(power_m), power, rtol=1e-4)
 
 
+def test_channelize_power_factored_path_matches_xla():
+    """the fft_backend='mxu' factored-coordinate fast path (channel
+    sums straight from four-step (k1, k2) coordinates, no transposed
+    readout) returns identical freqs/times and matching power for
+    trimmed and untrimmed analysis bandwidths."""
+    rng = np.random.default_rng(5)
+    x = (
+        rng.standard_normal(2**16) + 1j * rng.standard_normal(2**16)
+    ).astype('complex64')
+
+    for nch, fpc, ab in [(64, 256, 192), (16, 128, 96), (8, 64, 64)]:
+        f1, t1, c1 = fourier.channelize_power(
+            jnp.asarray(x), 1e-6, fpc, analysis_bins_per_channel=ab,
+            window='hamming', channel_count=nch,
+        )
+        f2, t2, c2 = fourier.channelize_power(
+            jnp.asarray(x), 1e-6, fpc, analysis_bins_per_channel=ab,
+            window='hamming', channel_count=nch, fft_backend='mxu',
+        )
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        c1 = np.asarray(c1)
+        np.testing.assert_allclose(
+            np.asarray(c2), c1, atol=2e-6 * c1.max()
+        )
+
+
 def test_channelize_power_validates():
     x = make_tone_noise(4096)
     with pytest.raises(ValueError):
