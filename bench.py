@@ -210,15 +210,13 @@ def bench_streaming():
     import jax
     import jax.numpy as jnp
 
-    from iqwaveform_tpu.ops.pallas.colhist_pallas import (
-        columnwise_histogram_fast,
+    from iqwaveform_tpu.parallel.streaming import (
+        apd_fold,
+        design_persistence,
+        persistence_finalize,
+        persistence_fold,
+        persistence_init,
     )
-    from iqwaveform_tpu.ops.pallas.hist_pallas import (
-        histogram_edge_counts_pallas,
-    )
-    from iqwaveform_tpu.ops.mxu_fft import four_step_factored, plan_factors
-    from iqwaveform_tpu.ops.power import binned_mean_matmul
-    from iqwaveform_tpu.ops.window_design import get_window
     from iqwaveform_tpu.utils import unpack_iq
 
     nfft = 1024
@@ -227,35 +225,20 @@ def bench_streaming():
     hist_bins = 1024
     apd_navg = 16  # detector period (reference CCDF workflow bins first)
 
-    w = get_window('hann', nfft, norm=True, fftshift=True).astype('complex64')
-    edges_dB = np.linspace(-150.0, 50.0, hist_bins + 1).astype('float32')
     apd_edges = (10 ** (np.linspace(-120.0, 30.0, 513) / 10.0)).astype('float32')
+    design = design_persistence(
+        nfft=nfft, window='hann', hist_bins=hist_bins, fft_backend='mxu'
+    )
 
-    # the per-bin reductions are computed in the four-step transform's
-    # factored (k1, k2) bin order — the transform's transposed readout
-    # (a full 64 MB lane shuffle per fold) is skipped, and the carry is
-    # unscrambled ONCE at readout: flat position p holds bin
-    # (p % b)*a + p // b
-    a_f, b_f = plan_factors(nfft)
-    bin_of_flat = (np.arange(nfft) % b_f) * a_f + np.arange(nfft) // b_f
-    unscramble = np.argsort(bin_of_flat)
-
+    # the fold composes the library's streaming primitives (the bench
+    # measures the public parallel.streaming path, not a bespoke loop)
     def fold(carry, planes):
         v = unpack_iq(planes)
-        frames = v.reshape(-1, nfft) * jnp.asarray(w / nfft)[None, :]
-        D = four_step_factored(frames, nfft)  # (frames, a, b)
-        spg = D.real * D.real + D.imag * D.imag
-        spg_dB = 10.0 * jnp.log10(spg.reshape(-1, nfft) + 1e-25)
-        p = v.real * v.real + v.imag * v.imag
-        p_det = binned_mean_matmul(p, apd_navg)
-        return {
-            'hist': carry['hist'] + columnwise_histogram_fast(spg_dB, edges_dB),
-            'psum': carry['psum'] + spg_dB.sum(axis=0),
-            'pmax': jnp.maximum(carry['pmax'], spg_dB.max(axis=0)),
-            'apd': carry['apd']
-            + histogram_edge_counts_pallas(p_det, apd_edges).astype(jnp.int32),
-            'n': carry['n'] + np.float32(spg_dB.shape[0]),
-        }
+        pcarry, apd = carry
+        return (
+            persistence_fold(pcarry, v, design),
+            apd_fold(apd, v, edges=apd_edges, navg=apd_navg, kernel='pallas'),
+        )
 
     # scan a batch of folds per dispatch: a single fold per jit call is
     # tunnel-round-trip bound (~230 ms/dispatch vs ~15 ms of compute); a
@@ -277,38 +260,26 @@ def bench_streaming():
             k, (folds_per_dispatch, 2, chunk), jnp.float32
         )
     )(key)
-    carry = {
-        'hist': jnp.zeros((nfft, hist_bins), jnp.int32),
-        'psum': jnp.zeros((nfft,), jnp.float32),
-        'pmax': jnp.full((nfft,), -jnp.inf, jnp.float32),
-        'apd': jnp.zeros((apd_edges.shape[0] + 1,), jnp.int32),
-        'n': jnp.zeros((), jnp.float32),
-    }
+    carry = (
+        persistence_init(design),
+        jnp.zeros((apd_edges.shape[0] + 1,), jnp.int32),
+    )
 
     t0 = time.perf_counter()
     carry = step(carry, stack)
-    np.asarray(carry['psum'])
+    np.asarray(carry[0].psum)
     _log(f'streaming: compile+first dispatch {time.perf_counter() - t0:.1f}s')
 
     n_dispatch = -(-n_folds // folds_per_dispatch)
     t0 = time.perf_counter()
     for _ in range(n_dispatch):
         carry = step(carry, stack)
-    np.asarray(carry['psum'])  # f32 fence (execution is in-order)
+    np.asarray(carry[0].psum)  # f32 fence (execution is in-order)
     dt = time.perf_counter() - t0
 
-    # one-time factored->natural bin unscramble of the accumulated
-    # statistics (the per-fold readout shuffle this replaces is 64 MB
-    # each; this is a one-off 4 MB gather at readout, untimed like the
-    # final host readback)
-    carry = jax.jit(
-        lambda c: dict(
-            c,
-            hist=c['hist'][unscramble],
-            psum=c['psum'][unscramble],
-            pmax=c['pmax'][unscramble],
-        )
-    )(carry)
+    # readout: quantiles + factored->natural bin unscramble (one small
+    # gather, untimed like the final host readback)
+    persistence_finalize(carry[0], design, fs=122.88e6)
 
     total = n_dispatch * folds_per_dispatch * chunk
     _log(f'streaming: {total / 1e9:.2f} GS in {dt:.2f}s')

@@ -14,12 +14,22 @@ from .sharded import (
 )
 from .streaming import (
     PersistenceCarry,
+    apd_fold,
+    design_persistence,
+    persistence_finalize,
+    persistence_fold,
+    persistence_init,
     streaming_apd,
     streaming_persistence_spectrum,
 )
 
 __all__ = [
     'PersistenceCarry',
+    'apd_fold',
+    'design_persistence',
+    'persistence_finalize',
+    'persistence_fold',
+    'persistence_init',
     'TIME_AXIS',
     'ccdf_from_counts',
     'pad_to_shard_multiple',

@@ -24,7 +24,12 @@ from ..ops.window_design import get_window
 
 __all__ = [
     'PersistenceCarry',
+    'apd_fold',
+    'design_persistence',
     'load_carry',
+    'persistence_finalize',
+    'persistence_fold',
+    'persistence_init',
     'save_carry',
     'streaming_apd',
     'streaming_persistence_spectrum',
@@ -66,11 +71,135 @@ class PersistenceCarry(NamedTuple):
     count: jax.Array  # () frame count
 
 
-def _spectrogram_chunk(chunk, w, nfft):
+def design_persistence(
+    *,
+    nfft: int,
+    window,
+    dtype='complex64',
+    hist_range_dB=(-150.0, 50.0),
+    hist_bins: int = 1024,
+    fft_backend: str = 'xla',
+) -> dict:
+    """host-side design for the persistence fold (the repo's
+    design-dict -> apply pattern): window, histogram edges, and — for
+    fft_backend='mxu' — the factored-coordinate bin permutation.
+
+    With 'mxu' the fold runs the four-step DFT matmuls and keeps every
+    per-frequency statistic in the transform's factored (k1, k2) bin
+    order, skipping its transposed readout (a full-spectrogram lane
+    shuffle per chunk); persistence_finalize unscrambles the
+    accumulated (nfft,)-shaped statistics once, at readout.
+    """
+    if fft_backend not in ('xla', 'mxu'):
+        raise ValueError("fft_backend must be 'xla' or 'mxu'")
+    w = get_window(
+        window, nfft, xp=np, dtype=np.dtype(dtype).name, norm=True,
+        fftshift=True,
+    )
+    edges = np.linspace(
+        hist_range_dB[0], hist_range_dB[1], hist_bins + 1
+    ).astype('float32')
+    unscramble = None
+    if fft_backend == 'mxu':
+        from ..ops.mxu_fft import plan_factors
+
+        a, b = plan_factors(nfft)
+        flat = np.arange(nfft)
+        unscramble = np.argsort((flat % b) * a + flat // b)
+    return {
+        'nfft': nfft,
+        'window': w,
+        'edges_dB': edges,
+        'fft_backend': fft_backend,
+        'unscramble': unscramble,
+    }
+
+
+def persistence_init(design: dict) -> PersistenceCarry:
+    """zeroed carry for persistence_fold."""
+    nfft = design['nfft']
+    hist_bins = design['edges_dB'].shape[0] - 1
+    return PersistenceCarry(
+        hist=jnp.zeros((nfft, hist_bins), dtype=jnp.int32),
+        psum=jnp.zeros((nfft,), dtype=jnp.float32),
+        pmax=jnp.full((nfft,), -jnp.inf, dtype=jnp.float32),
+        pmin=jnp.full((nfft,), jnp.inf, dtype=jnp.float32),
+        count=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def _spectrogram_chunk(chunk, design):
+    nfft = design['nfft']
     frames = chunk.reshape(-1, nfft)
-    wind = (w / nfft).astype(frames.dtype)
-    Y = jnp.fft.fft(frames * wind[None, :], axis=1)
+    wind = (design['window'] / nfft).astype(frames.dtype)
+    frames = frames * wind[None, :]
+    if design['fft_backend'] == 'mxu':
+        from ..ops.mxu_fft import four_step_factored
+
+        D = four_step_factored(frames, nfft)  # (frames, a, b)
+        return (D.real * D.real + D.imag * D.imag).reshape(-1, nfft)
+    Y = jnp.fft.fft(frames, axis=1)
     return Y.real * Y.real + Y.imag * Y.imag
+
+
+def persistence_fold(carry: PersistenceCarry, chunk, design: dict):
+    """accumulate one chunk of non-overlapping nfft frames into the
+    persistence carry (traceable; ``design`` is static). Bin order of
+    the carry is the design's internal order — always read results
+    through persistence_finalize."""
+    spg = _spectrogram_chunk(chunk, design)
+    spg_dB = 10.0 * jnp.log10(spg + 1e-25)
+
+    # one-hot-matmul kernel on TPU (~70x the XLA sort path), sort elsewhere
+    from ..ops.pallas.colhist_pallas import columnwise_histogram_fast
+
+    return PersistenceCarry(
+        hist=carry.hist + columnwise_histogram_fast(spg_dB, design['edges_dB']),
+        psum=carry.psum + spg_dB.sum(axis=0),
+        pmax=jnp.maximum(carry.pmax, spg_dB.max(axis=0)),
+        pmin=jnp.minimum(carry.pmin, spg_dB.min(axis=0)),
+        count=carry.count + spg_dB.shape[0],
+    )
+
+
+def persistence_finalize(
+    carry: PersistenceCarry,
+    design: dict,
+    *,
+    fs: float,
+    quantiles=(0.5, 0.95, 0.99),
+) -> dict:
+    """reduce a persistence carry to the result dict (monotonic
+    frequency order; applies the factored-order unscramble if the
+    design uses the MXU transform)."""
+    from ..ops.fft import fftfreq
+    from .sharded import quantile_from_histogram
+
+    u = design['unscramble']
+    edges = design['edges_dB']
+    q = np.asarray(quantiles, dtype='float32')
+
+    # one jit program: eager device ops each pay a remote compile on
+    # the tunneled backend
+    @jax.jit
+    def _readout(c):
+        hist = c.hist if u is None else c.hist[u]
+        psum = c.psum if u is None else c.psum[u]
+        pmax = c.pmax if u is None else c.pmax[u]
+        pmin = c.pmin if u is None else c.pmin[u]
+        qs = quantile_from_histogram(hist, edges, jnp.asarray(q))
+        return hist, psum / c.count, pmax, pmin, qs
+
+    hist, mean_dB, pmax, pmin, qs = _readout(carry)
+    return {
+        'freqs': fftfreq(design['nfft'], 1.0 / fs, xp=np),
+        'mean_dB': mean_dB,
+        'max_dB': pmax,
+        'min_dB': pmin,
+        'quantiles_dB': qs,
+        'hist': hist,
+        'hist_edges_dB': np.asarray(edges),
+    }
 
 
 def streaming_persistence_spectrum(
@@ -83,6 +212,8 @@ def streaming_persistence_spectrum(
     hist_range_dB=(-150.0, 50.0),
     hist_bins: int = 1024,
     quantiles=(0.5, 0.95, 0.99),
+    fft_backend: str = 'xla',
+    init_carry: PersistenceCarry = None,
 ):
     """persistence spectrum of a long capture via lax.scan chunking.
 
@@ -91,13 +222,16 @@ def streaming_persistence_spectrum(
     spectrogram regardless of capture length — the scan analogue of
     ops.spectral.power_spectral_density (fourier.py:1236-1327).
 
-    Returns:
-        dict with 'freqs', 'mean_dB', 'max_dB', 'min_dB', and
-        'quantiles_dB' of shape (len(quantiles), nfreq)
-    """
-    from ..ops.fft import fftfreq
-    from .sharded import quantile_from_histogram
+    fft_backend='mxu' runs the chunk transform as four-step DFT matmuls
+    in factored bin order (see design_persistence) — the configuration
+    bench.py's 1 GS streaming benchmark measures. ``init_carry`` resumes
+    accumulation from a prior run's carry (save_carry/load_carry).
 
+    Returns:
+        dict with 'freqs', 'mean_dB', 'max_dB', 'min_dB',
+        'quantiles_dB' of shape (len(quantiles), nfreq), 'hist',
+        'hist_edges_dB', and '_carry' (pass back as init_carry).
+    """
     x = jnp.asarray(x)
     chunk = chunk_frames * nfft
     n_chunks = x.shape[0] // chunk
@@ -105,52 +239,56 @@ def streaming_persistence_spectrum(
         raise ValueError(f'capture shorter than one chunk ({chunk} samples)')
     x = x[: n_chunks * chunk].reshape(n_chunks, chunk)
 
-    w = get_window(
-        window, nfft, xp=np, dtype=np.dtype(x.dtype).name, norm=True, fftshift=True
+    design = design_persistence(
+        nfft=nfft,
+        window=window,
+        dtype=np.dtype(x.dtype).name,
+        hist_range_dB=hist_range_dB,
+        hist_bins=hist_bins,
+        fft_backend=fft_backend,
     )
-    edges = np.linspace(hist_range_dB[0], hist_range_dB[1], hist_bins + 1).astype('float32')
+    init = persistence_init(design) if init_carry is None else init_carry
 
-    init = PersistenceCarry(
-        hist=jnp.zeros((nfft, hist_bins), dtype=jnp.int32),
-        psum=jnp.zeros((nfft,), dtype=jnp.float32),
-        pmax=jnp.full((nfft,), -jnp.inf, dtype=jnp.float32),
-        pmin=jnp.full((nfft,), jnp.inf, dtype=jnp.float32),
-        count=jnp.zeros((), dtype=jnp.int32),
+    final, _ = jax.lax.scan(
+        lambda c, cx: (persistence_fold(c, cx, design), None), init, x
     )
 
-    # one-hot-matmul kernel on TPU (6x the sort path), XLA sort elsewhere
-    from ..ops.pallas.colhist_pallas import columnwise_histogram_fast
+    out = persistence_finalize(final, design, fs=fs, quantiles=quantiles)
+    out['_carry'] = final
+    return out
 
-    def step(carry, chunk_x):
-        spg = _spectrogram_chunk(chunk_x, w, nfft)  # (frames, nfft)
-        spg_dB = 10.0 * jnp.log10(spg + 1e-25)
 
-        hist = carry.hist + columnwise_histogram_fast(spg_dB, edges)
+def apd_fold(counts, chunk, *, edges, navg: int = 1, kernel: str = 'auto'):
+    """accumulate one chunk's amplitude-power-distribution counts
+    (traceable; ``edges`` is a host numpy power-edge vector).
 
-        return (
-            PersistenceCarry(
-                hist=hist,
-                psum=carry.psum + spg_dB.sum(axis=0),
-                pmax=jnp.maximum(carry.pmax, spg_dB.max(axis=0)),
-                pmin=jnp.minimum(carry.pmin, spg_dB.min(axis=0)),
-                count=carry.count + spg_dB.shape[0],
-            ),
-            None,
-        )
+    navg > 1 bins power by a detector period first (mean over navg
+    consecutive samples — the reference CCDF workflow, figures.py:
+    827-836, as an MXU matmul) so arbitrarily long captures count in
+    ~1/navg the time. kernel: 'auto' uses the Pallas edge-compare
+    histogram on TPU targets and the sort path elsewhere; 'sort' and
+    'pallas' force a path.
+    """
+    p = chunk.real * chunk.real + chunk.imag * chunk.imag
+    if navg > 1:
+        from ..ops.power import binned_mean_matmul
 
-    final, _ = jax.lax.scan(step, init, x)
+        n_use = (p.shape[0] // navg) * navg
+        p = binned_mean_matmul(p[:n_use], navg)
 
-    qs = quantile_from_histogram(final.hist, edges, jnp.asarray(quantiles))
+    if kernel == 'auto':
+        from ..ops.pallas._common import on_tpu_like
 
-    return {
-        'freqs': fftfreq(nfft, 1.0 / fs, xp=np),
-        'mean_dB': final.psum / final.count,
-        'max_dB': final.pmax,
-        'min_dB': final.pmin,
-        'quantiles_dB': qs,
-        'hist': final.hist,
-        'hist_edges_dB': np.asarray(edges),
-    }
+        kernel = 'pallas' if on_tpu_like() else 'sort'
+    if kernel == 'pallas':
+        from ..ops.pallas.hist_pallas import histogram_edge_counts_pallas
+
+        c = histogram_edge_counts_pallas(p, edges)
+    else:
+        from ..ops.power import histogram_edge_counts
+
+        c = histogram_edge_counts(p, jnp.asarray(edges))
+    return counts + c.astype(counts.dtype)
 
 
 def streaming_apd(
@@ -158,27 +296,30 @@ def streaming_apd(
     *,
     edges,
     chunk_size: int = 1 << 20,
+    navg: int = 1,
+    kernel: str = 'auto',
 ):
     """amplitude-power-distribution counts of a long capture via lax.scan.
 
     Fixed-memory counterpart of ops.power.sample_ccdf
-    (power_analysis.py:552-580): per-chunk searchsorted + scatter-add into
-    a carried counts vector. Use sharded.ccdf_from_counts to convert.
+    (power_analysis.py:552-580). Use sharded.ccdf_from_counts to
+    convert. See apd_fold for navg (detector-binned APD) and kernel.
     """
     x = jnp.asarray(x)
-    edges = jnp.asarray(edges)
+    edges_np = np.asarray(edges, dtype='float32')
     n_chunks = x.shape[0] // chunk_size
     tail = x[n_chunks * chunk_size :]
     body = x[: n_chunks * chunk_size].reshape(n_chunks, chunk_size)
 
-    from ..ops.power import histogram_edge_counts
-
     def count_chunk(counts, chunk_x):
-        p = chunk_x.real * chunk_x.real + chunk_x.imag * chunk_x.imag
-        return counts + histogram_edge_counts(p, edges).astype(counts.dtype), None
+        return apd_fold(
+            counts, chunk_x, edges=edges_np, navg=navg, kernel=kernel
+        ), None
 
-    init = jnp.zeros((edges.shape[0] + 1,), dtype=jnp.int32)
-    counts, _ = jax.lax.scan(count_chunk, init, body)
+    init = jnp.zeros((edges_np.shape[0] + 1,), dtype=jnp.int32)
+    counts = init
+    if n_chunks:
+        counts, _ = jax.lax.scan(count_chunk, init, body)
 
     if tail.shape[0]:
         counts, _ = count_chunk(counts, tail)

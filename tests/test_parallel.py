@@ -225,6 +225,75 @@ def test_streaming_apd_matches_sample_ccdf():
     np.testing.assert_allclose(np.asarray(ccdf), expected, atol=1e-5)
 
 
+def test_streaming_apd_detector_binned():
+    """navg > 1 counts the detector-binned power series (the reference
+    CCDF workflow, figures.py:827-836)."""
+    navg = 16
+    n = 128 * navg * 13
+    x = make_tone_noise(n)
+    p = (np.abs(x) ** 2).astype('float32')
+    p_det = p[: (n // navg) * navg].reshape(-1, navg).mean(axis=1)
+    edges = np.linspace(0, float(p.max()) * 1.01, 64).astype('float32')
+
+    counts = parallel.streaming_apd(
+        jnp.asarray(x), edges=edges, chunk_size=navg * 512, navg=navg
+    )
+    expected = np.searchsorted(edges, p_det, side='left')
+    expected = np.bincount(expected, minlength=edges.shape[0] + 1)
+    got = np.asarray(counts)
+    assert got.sum() == expected.sum()
+    # binned_mean_matmul's f32 dot and reshape-mean may round a sample
+    # across an edge; cumulative counts agree within 1 everywhere
+    assert np.abs(np.cumsum(got) - np.cumsum(expected)).max() <= 1
+
+
+def test_streaming_persistence_mxu_backend_and_resume():
+    """fft_backend='mxu' (factored bin order + readout unscramble)
+    matches the XLA path, and init_carry continues accumulation: two
+    halves == one run."""
+    fs = 1e6
+    nfft = 256
+    n = nfft * 64 * 4
+    x = make_tone_noise(n, fs=fs)
+    kw = dict(fs=fs, window='hann', nfft=nfft, chunk_frames=64,
+              quantiles=(0.5,), hist_bins=512)
+
+    r_xla = parallel.streaming_persistence_spectrum(jnp.asarray(x), **kw)
+    r_mxu = parallel.streaming_persistence_spectrum(
+        jnp.asarray(x), fft_backend='mxu', **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_xla['hist']).sum(axis=1),
+        np.asarray(r_mxu['hist']).sum(axis=1),
+    )
+    cum = np.abs(
+        np.cumsum(np.asarray(r_xla['hist']), axis=1)
+        - np.cumsum(np.asarray(r_mxu['hist']), axis=1)
+    )
+    assert cum.max() <= 2  # float rounding at bin edges only
+    np.testing.assert_allclose(
+        np.asarray(r_mxu['mean_dB']), np.asarray(r_xla['mean_dB']), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_mxu['max_dB']), np.asarray(r_xla['max_dB']), atol=1e-4
+    )
+
+    # resume: first half then second half through init_carry
+    half = n // 2
+    r1 = parallel.streaming_persistence_spectrum(
+        jnp.asarray(x[:half]), fft_backend='mxu', **kw
+    )
+    r2 = parallel.streaming_persistence_spectrum(
+        jnp.asarray(x[half:]), fft_backend='mxu', init_carry=r1['_carry'], **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r2['hist']), np.asarray(r_mxu['hist'])
+    )
+    np.testing.assert_allclose(
+        np.asarray(r2['mean_dB']), np.asarray(r_mxu['mean_dB']), atol=1e-5
+    )
+
+
 def test_quantile_from_histogram_uniform():
     """uniform histogram -> quantiles linear in q."""
     hist = np.ones((3, 100), dtype='int32') * 10
