@@ -96,9 +96,14 @@ def design_persistence(
         window, nfft, xp=np, dtype=np.dtype(dtype).name, norm=True,
         fftshift=True,
     )
-    edges = np.linspace(
-        hist_range_dB[0], hist_range_dB[1], hist_bins + 1
-    ).astype('float32')
+    # hist_bins=0: stats-only fold (mean/max/min, no histogram and no
+    # quantiles) — the per-frame histogram is the dominant fold cost
+    # when only envelope statistics are wanted
+    edges = None
+    if hist_bins:
+        edges = np.linspace(
+            hist_range_dB[0], hist_range_dB[1], hist_bins + 1
+        ).astype('float32')
     unscramble = None
     if fft_backend == 'mxu':
         from ..ops.mxu_fft import plan_factors
@@ -118,9 +123,13 @@ def design_persistence(
 def persistence_init(design: dict) -> PersistenceCarry:
     """zeroed carry for persistence_fold."""
     nfft = design['nfft']
-    hist_bins = design['edges_dB'].shape[0] - 1
+    if design['edges_dB'] is None:
+        hist = None
+    else:
+        hist_bins = design['edges_dB'].shape[0] - 1
+        hist = jnp.zeros((nfft, hist_bins), dtype=jnp.int32)
     return PersistenceCarry(
-        hist=jnp.zeros((nfft, hist_bins), dtype=jnp.int32),
+        hist=hist,
         psum=jnp.zeros((nfft,), dtype=jnp.float32),
         pmax=jnp.full((nfft,), -jnp.inf, dtype=jnp.float32),
         pmin=jnp.full((nfft,), jnp.inf, dtype=jnp.float32),
@@ -150,11 +159,19 @@ def persistence_fold(carry: PersistenceCarry, chunk, design: dict):
     spg = _spectrogram_chunk(chunk, design)
     spg_dB = 10.0 * jnp.log10(spg + 1e-25)
 
-    # one-hot-matmul kernel on TPU (~70x the XLA sort path), sort elsewhere
-    from ..ops.pallas.colhist_pallas import columnwise_histogram_fast
+    if design['edges_dB'] is None:
+        hist = None
+    else:
+        # one-hot-matmul kernel on TPU (~70x the XLA sort path), sort
+        # elsewhere
+        from ..ops.pallas.colhist_pallas import columnwise_histogram_fast
+
+        hist = carry.hist + columnwise_histogram_fast(
+            spg_dB, design['edges_dB']
+        )
 
     return PersistenceCarry(
-        hist=carry.hist + columnwise_histogram_fast(spg_dB, design['edges_dB']),
+        hist=hist,
         psum=carry.psum + spg_dB.sum(axis=0),
         pmax=jnp.maximum(carry.pmax, spg_dB.max(axis=0)),
         pmin=jnp.minimum(carry.pmin, spg_dB.min(axis=0)),
@@ -183,23 +200,29 @@ def persistence_finalize(
     # the tunneled backend
     @jax.jit
     def _readout(c):
-        hist = c.hist if u is None else c.hist[u]
+        hist = None if c.hist is None else (c.hist if u is None else c.hist[u])
         psum = c.psum if u is None else c.psum[u]
         pmax = c.pmax if u is None else c.pmax[u]
         pmin = c.pmin if u is None else c.pmin[u]
-        qs = quantile_from_histogram(hist, edges, jnp.asarray(q))
+        qs = (
+            None
+            if hist is None
+            else quantile_from_histogram(hist, edges, jnp.asarray(q))
+        )
         return hist, psum / c.count, pmax, pmin, qs
 
     hist, mean_dB, pmax, pmin, qs = _readout(carry)
-    return {
+    out = {
         'freqs': fftfreq(design['nfft'], 1.0 / fs, xp=np),
         'mean_dB': mean_dB,
         'max_dB': pmax,
         'min_dB': pmin,
-        'quantiles_dB': qs,
-        'hist': hist,
-        'hist_edges_dB': np.asarray(edges),
     }
+    if hist is not None:
+        out['quantiles_dB'] = qs
+        out['hist'] = hist
+        out['hist_edges_dB'] = np.asarray(edges)
+    return out
 
 
 def streaming_persistence_spectrum(

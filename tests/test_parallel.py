@@ -247,6 +247,41 @@ def test_streaming_apd_detector_binned():
     assert np.abs(np.cumsum(got) - np.cumsum(expected)).max() <= 1
 
 
+def test_persistence_stats_only_fold():
+    """hist_bins=0: stats-only persistence design (no histogram in the
+    fold/carry) reproduces the public spectrogram's mean/max/min dB."""
+    from iqwaveform_tpu.parallel.streaming import (
+        design_persistence,
+        persistence_finalize,
+        persistence_fold,
+        persistence_init,
+    )
+
+    nperseg = 256
+    x = make_tone_noise(nperseg * 128)
+    design = design_persistence(
+        nfft=nperseg, window='hann', hist_bins=0, fft_backend='mxu'
+    )
+    c = persistence_fold(persistence_init(design), jnp.asarray(x), design)
+    assert c.hist is None
+    out = persistence_finalize(c, design, fs=1e6)
+    assert 'hist' not in out and 'quantiles_dB' not in out
+
+    spg = fourier.spectrogram(
+        x, fs=1e6, window='hann', nperseg=nperseg, return_axis_arrays=False
+    )
+    spg_dB = 10 * np.log10(np.asarray(spg) + 1e-25)
+    np.testing.assert_allclose(
+        np.asarray(out['mean_dB']), spg_dB.mean(axis=0), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out['max_dB']), spg_dB.max(axis=0), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out['min_dB']), spg_dB.min(axis=0), atol=2e-3
+    )
+
+
 def test_streaming_persistence_mxu_backend_and_resume():
     """fft_backend='mxu' (factored bin order + readout unscramble)
     matches the XLA path, and init_carry continues accumulation: two
