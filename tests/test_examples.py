@@ -52,3 +52,9 @@ def test_streaming_capture_example(tmp_path):
     out = _run_example('streaming_capture.py', str(tmp_path))
     assert 'streaming_capture done' in out
     assert 'strongest channel: 5' in out
+
+
+def test_persistence_spectrum_example(tmp_path):
+    out = _run_example('persistence_spectrum.py', str(tmp_path))
+    assert 'persistence_spectrum done' in out
+    assert (tmp_path / 'persistence_carry.npz').exists()
