@@ -362,12 +362,13 @@ def run_config(name: str):
 def run_matrix():
     """run every benchmark config in its own subprocess; print all JSON
     lines and save them to docs/BENCH_matrix.json."""
-    # budgets sized for a cold tunnel session: remote compiles alone can
-    # take 2-4 min per config
+    # budgets sized for a cold tunnel session: client init alone can
+    # reach ~8 min when recent clients died holding chip grants, and
+    # remote compiles take 2-4 min per config
     budgets = {
-        'monitor8192p': 480, 'monitor8192': 420, 'spectrogram': 420,
-        'monitorRx4': 480, 'streaming1gs': 600, 'channelize64': 540,
-        'monitor8192bf16': 480,
+        'monitor8192p': 900, 'monitor8192': 800, 'spectrogram': 800,
+        'monitorRx4': 900, 'streaming1gs': 1100, 'channelize64': 1000,
+        'monitor8192bf16': 900,
     }
     lines = []
     for name, budget in budgets.items():

@@ -189,11 +189,16 @@ def channelize_power(
     import jax.numpy as jnp
 
     xp = array_namespace(iq)
+    window_is_spec = isinstance(window, str) or (
+        isinstance(window, tuple) and window and isinstance(window[0], str)
+    )
     if (
         fft_backend == 'mxu'
         and channel_count > 1
         and fft_overlap_per_channel == 0
         and xp is jnp
+        and iq.ndim == 1
+        and window_is_spec
     ):
         return _channelize_power_factored(
             iq,

@@ -92,6 +92,14 @@ def design_persistence(
     """
     if fft_backend not in ('xla', 'mxu'):
         raise ValueError("fft_backend must be 'xla' or 'mxu'")
+    if not (
+        isinstance(window, str)
+        or (isinstance(window, tuple) and window and isinstance(window[0], str))
+    ):
+        raise TypeError(
+            'design_persistence takes a window name or (name, param) '
+            'tuple (the design is host-cached by value)'
+        )
     w = get_window(
         window, nfft, xp=np, dtype=np.dtype(dtype).name, norm=True,
         fftshift=True,
@@ -117,6 +125,16 @@ def design_persistence(
         'edges_dB': edges,
         'fft_backend': fft_backend,
         'unscramble': unscramble,
+        # resume-safety tag: carries accumulated under one design must
+        # not continue under another (e.g. factored vs natural bin
+        # order would silently corrupt every per-bin statistic)
+        'fingerprint': (
+            nfft,
+            hist_bins,
+            tuple(np.round(hist_range_dB, 9)) if hist_bins else None,
+            fft_backend,
+            window,
+        ),
     }
 
 
@@ -179,25 +197,29 @@ def persistence_fold(carry: PersistenceCarry, chunk, design: dict):
     )
 
 
-def persistence_finalize(
-    carry: PersistenceCarry,
-    design: dict,
-    *,
-    fs: float,
-    quantiles=(0.5, 0.95, 0.99),
-) -> dict:
-    """reduce a persistence carry to the result dict (monotonic
-    frequency order; applies the factored-order unscramble if the
-    design uses the MXU transform)."""
-    from ..ops.fft import fftfreq
-    from .sharded import quantile_from_histogram
+import functools as _functools
 
+
+@_functools.lru_cache(maxsize=64)
+def _readout_program(fingerprint, quantiles):
+    """jitted finalize readout, cached per design fingerprint so that
+    periodic checkpoint readouts of a long capture compile once (a
+    fresh closure per call would pay a remote compile every time on
+    the tunneled backend)."""
+    nfft, hist_bins, hist_range, fft_backend, window = fingerprint
+    design = design_persistence(
+        nfft=nfft,
+        window=window,
+        hist_range_dB=hist_range or (-150.0, 50.0),
+        hist_bins=hist_bins,
+        fft_backend=fft_backend,
+    )
     u = design['unscramble']
     edges = design['edges_dB']
     q = np.asarray(quantiles, dtype='float32')
 
-    # one jit program: eager device ops each pay a remote compile on
-    # the tunneled backend
+    from .sharded import quantile_from_histogram
+
     @jax.jit
     def _readout(c):
         hist = None if c.hist is None else (c.hist if u is None else c.hist[u])
@@ -211,7 +233,24 @@ def persistence_finalize(
         )
         return hist, psum / c.count, pmax, pmin, qs
 
-    hist, mean_dB, pmax, pmin, qs = _readout(carry)
+    return _readout
+
+
+def persistence_finalize(
+    carry: PersistenceCarry,
+    design: dict,
+    *,
+    fs: float,
+    quantiles=(0.5, 0.95, 0.99),
+) -> dict:
+    """reduce a persistence carry to the result dict (monotonic
+    frequency order; applies the factored-order unscramble if the
+    design uses the MXU transform)."""
+    from ..ops.fft import fftfreq
+
+    hist, mean_dB, pmax, pmin, qs = _readout_program(
+        design['fingerprint'], tuple(float(v) for v in quantiles)
+    )(carry)
     out = {
         'freqs': fftfreq(design['nfft'], 1.0 / fs, xp=np),
         'mean_dB': mean_dB,
@@ -221,7 +260,7 @@ def persistence_finalize(
     if hist is not None:
         out['quantiles_dB'] = qs
         out['hist'] = hist
-        out['hist_edges_dB'] = np.asarray(edges)
+        out['hist_edges_dB'] = np.asarray(design['edges_dB'])
     return out
 
 
@@ -247,13 +286,21 @@ def streaming_persistence_spectrum(
 
     fft_backend='mxu' runs the chunk transform as four-step DFT matmuls
     in factored bin order (see design_persistence) — the configuration
-    bench.py's 1 GS streaming benchmark measures. ``init_carry`` resumes
-    accumulation from a prior run's carry (save_carry/load_carry).
+    bench.py's 1 GS streaming benchmark measures.
+
+    ``init_carry`` resumes accumulation from a prior run: pass the
+    previous call's RESULT DICT (preferred — its design fingerprint is
+    validated, since a carry accumulated under a different design, e.g.
+    the other fft_backend's bin order, would silently corrupt every
+    per-bin statistic), or a bare PersistenceCarry from
+    save_carry/load_carry (no validation possible; the caller owns
+    design consistency).
 
     Returns:
         dict with 'freqs', 'mean_dB', 'max_dB', 'min_dB',
         'quantiles_dB' of shape (len(quantiles), nfreq), 'hist',
-        'hist_edges_dB', and '_carry' (pass back as init_carry).
+        'hist_edges_dB', and '_carry'/'_design' (pass the dict back as
+        init_carry).
     """
     x = jnp.asarray(x)
     chunk = chunk_frames * nfft
@@ -270,7 +317,18 @@ def streaming_persistence_spectrum(
         hist_bins=hist_bins,
         fft_backend=fft_backend,
     )
-    init = persistence_init(design) if init_carry is None else init_carry
+    if init_carry is None:
+        init = persistence_init(design)
+    elif isinstance(init_carry, dict):
+        if init_carry.get('_design') != design['fingerprint']:
+            raise ValueError(
+                'init_carry was accumulated under a different design '
+                f"({init_carry.get('_design')} != {design['fingerprint']}); "
+                'resuming would mix incompatible bin orders/ranges'
+            )
+        init = init_carry['_carry']
+    else:
+        init = init_carry
 
     final, _ = jax.lax.scan(
         lambda c, cx: (persistence_fold(c, cx, design), None), init, x
@@ -278,39 +336,59 @@ def streaming_persistence_spectrum(
 
     out = persistence_finalize(final, design, fs=fs, quantiles=quantiles)
     out['_carry'] = final
+    out['_design'] = design['fingerprint']
     return out
 
 
 def apd_fold(counts, chunk, *, edges, navg: int = 1, kernel: str = 'auto'):
     """accumulate one chunk's amplitude-power-distribution counts
-    (traceable; ``edges`` is a host numpy power-edge vector).
+    (traceable). ``edges`` may be host numpy or a jax array; the Pallas
+    kernel path needs host numpy (edges embed into the kernel as
+    constants).
 
     navg > 1 bins power by a detector period first (mean over navg
     consecutive samples — the reference CCDF workflow, figures.py:
     827-836, as an MXU matmul) so arbitrarily long captures count in
-    ~1/navg the time. kernel: 'auto' uses the Pallas edge-compare
-    histogram on TPU targets and the sort path elsewhere; 'sort' and
-    'pallas' force a path.
+    ~1/navg the time; the chunk length must then be a navg multiple
+    (detector windows never span chunk boundaries). kernel: 'auto'
+    uses the Pallas edge-compare histogram on TPU targets (host-numpy
+    edges only) and the sort path elsewhere; 'sort' and 'pallas' force
+    a path.
     """
+    from ..utils.dispatch import is_jax_array
+
     p = chunk.real * chunk.real + chunk.imag * chunk.imag
     if navg > 1:
         from ..ops.power import binned_mean_matmul
 
-        n_use = (p.shape[0] // navg) * navg
-        p = binned_mean_matmul(p[:n_use], navg)
+        if p.shape[0] % navg:
+            raise ValueError(
+                f'chunk length {p.shape[0]} must be a multiple of '
+                f'navg={navg} (a detector window cannot span chunks)'
+            )
+        p = binned_mean_matmul(p, navg)
 
     if kernel == 'auto':
         from ..ops.pallas._common import on_tpu_like
 
-        kernel = 'pallas' if on_tpu_like() else 'sort'
+        kernel = (
+            'pallas' if on_tpu_like() and not is_jax_array(edges) else 'sort'
+        )
     if kernel == 'pallas':
+        if is_jax_array(edges):
+            raise TypeError(
+                "kernel='pallas' needs host numpy edges (they embed "
+                'into the kernel as constants)'
+            )
         from ..ops.pallas.hist_pallas import histogram_edge_counts_pallas
 
         c = histogram_edge_counts_pallas(p, edges)
     else:
         from ..ops.power import histogram_edge_counts
 
-        c = histogram_edge_counts(p, jnp.asarray(edges))
+        c = histogram_edge_counts(
+            p, edges if is_jax_array(edges) else jnp.asarray(edges)
+        )
     return counts + c.astype(counts.dtype)
 
 
@@ -326,20 +404,32 @@ def streaming_apd(
 
     Fixed-memory counterpart of ops.power.sample_ccdf
     (power_analysis.py:552-580). Use sharded.ccdf_from_counts to
-    convert. See apd_fold for navg (detector-binned APD) and kernel.
+    convert. See apd_fold for navg (detector-binned APD; chunk_size
+    must be a navg multiple and trailing samples short of a detector
+    window are dropped) and kernel.
     """
+    from ..utils.dispatch import is_jax_array
+
     x = jnp.asarray(x)
-    edges_np = np.asarray(edges, dtype='float32')
+    if navg > 1 and chunk_size % navg:
+        raise ValueError(
+            f'chunk_size={chunk_size} must be a multiple of navg={navg}'
+        )
+    if not is_jax_array(edges):
+        edges = np.asarray(edges, dtype='float32')
+    n_edges = edges.shape[0]
     n_chunks = x.shape[0] // chunk_size
     tail = x[n_chunks * chunk_size :]
+    if navg > 1:
+        tail = tail[: (tail.shape[0] // navg) * navg]
     body = x[: n_chunks * chunk_size].reshape(n_chunks, chunk_size)
 
     def count_chunk(counts, chunk_x):
         return apd_fold(
-            counts, chunk_x, edges=edges_np, navg=navg, kernel=kernel
+            counts, chunk_x, edges=edges, navg=navg, kernel=kernel
         ), None
 
-    init = jnp.zeros((edges_np.shape[0] + 1,), dtype=jnp.int32)
+    init = jnp.zeros((n_edges + 1,), dtype=jnp.int32)
     counts = init
     if n_chunks:
         counts, _ = jax.lax.scan(count_chunk, init, body)

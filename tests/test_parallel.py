@@ -313,13 +313,14 @@ def test_streaming_persistence_mxu_backend_and_resume():
         np.asarray(r_mxu['max_dB']), np.asarray(r_xla['max_dB']), atol=1e-4
     )
 
-    # resume: first half then second half through init_carry
+    # resume: first half then second half through init_carry (result
+    # dict: design fingerprint validated)
     half = n // 2
     r1 = parallel.streaming_persistence_spectrum(
         jnp.asarray(x[:half]), fft_backend='mxu', **kw
     )
     r2 = parallel.streaming_persistence_spectrum(
-        jnp.asarray(x[half:]), fft_backend='mxu', init_carry=r1['_carry'], **kw
+        jnp.asarray(x[half:]), fft_backend='mxu', init_carry=r1, **kw
     )
     np.testing.assert_array_equal(
         np.asarray(r2['hist']), np.asarray(r_mxu['hist'])
@@ -327,6 +328,14 @@ def test_streaming_persistence_mxu_backend_and_resume():
     np.testing.assert_allclose(
         np.asarray(r2['mean_dB']), np.asarray(r_mxu['mean_dB']), atol=1e-5
     )
+
+    # a carry accumulated under a different design must be rejected
+    # (resuming an xla-order carry under mxu factored order would
+    # silently corrupt per-bin statistics)
+    with pytest.raises(ValueError, match='different design'):
+        parallel.streaming_persistence_spectrum(
+            jnp.asarray(x[half:]), fft_backend='xla', init_carry=r1, **kw
+        )
 
 
 def test_quantile_from_histogram_uniform():
