@@ -40,7 +40,10 @@ def _measure(step, x, fence_key=None, trials=3):
 
     The per-trial estimate (t_12reps - t_2reps)/10 subtracts the fixed
     tunnel round-trip, but a hiccup landing in the SUBTRACTED 2-rep term
-    biases throughput up — so take the median over several trials."""
+    biases throughput up (and one in the 12-rep term biases it down) —
+    take the median over several trials, and when the trials disagree
+    by more than 1.5x (an erratic tunnel phase) double the trial count
+    before trusting the median."""
 
     def run_and_fence(reps):
         t0 = time.perf_counter()
@@ -55,11 +58,16 @@ def _measure(step, x, fence_key=None, trials=3):
     _log(f'bench: compile+first step {t_compile:.1f}s')
     run_and_fence(2)  # warm
     reps_lo, reps_hi = 2, 12
-    dts = []
-    for _ in range(trials):
+
+    def trial():
         t_lo = run_and_fence(reps_lo)
         t_hi = run_and_fence(reps_hi)
-        dts.append((t_hi - t_lo) / (reps_hi - reps_lo))
+        return (t_hi - t_lo) / (reps_hi - reps_lo)
+
+    dts = [trial() for _ in range(trials)]
+    if max(dts) > 1.5 * max(min(dts), 1e-9):
+        dts += [trial() for _ in range(trials)]
+        _log('bench: inconsistent trials, extended')
     _log('bench: trial dts [ms] ' + ', '.join(f'{d * 1e3:.2f}' for d in dts))
     return float(np.median(dts))
 
