@@ -150,6 +150,48 @@ def test_channelize_power_multichannel_tone_location():
     np.testing.assert_allclose(np.asarray(power_m), power, rtol=1e-4)
 
 
+def test_channelize_power_mxu_guard_fallbacks():
+    """inputs the factored fast path cannot take (multi-dim iq, a
+    precomputed window vector) must fall back to the stft path and
+    still match the XLA backend."""
+    import scipy.signal
+
+    rng = np.random.default_rng(7)
+    n, nch, fpc = 2**14, 8, 64
+    x2 = (
+        rng.standard_normal((n, 3)) + 1j * rng.standard_normal((n, 3))
+    ).astype('complex64')
+
+    # multi-dim iq: reference semantics channelize axis 0 per column
+    _, _, c_ref = fourier.channelize_power(
+        jnp.asarray(x2), 1e-6, fpc, analysis_bins_per_channel=48,
+        window='hamming', channel_count=nch,
+    )
+    _, _, c_mxu = fourier.channelize_power(
+        jnp.asarray(x2), 1e-6, fpc, analysis_bins_per_channel=48,
+        window='hamming', channel_count=nch, fft_backend='mxu',
+    )
+    assert np.asarray(c_mxu).shape == np.asarray(c_ref).shape
+    np.testing.assert_allclose(
+        np.asarray(c_mxu), np.asarray(c_ref), rtol=1e-4
+    )
+
+    # precomputed window vector
+    wv = scipy.signal.get_window('hamming', fpc * nch)
+    x1 = x2[:, 0]
+    _, _, v_ref = fourier.channelize_power(
+        jnp.asarray(x1), 1e-6, fpc, analysis_bins_per_channel=48,
+        window=wv, channel_count=nch,
+    )
+    _, _, v_mxu = fourier.channelize_power(
+        jnp.asarray(x1), 1e-6, fpc, analysis_bins_per_channel=48,
+        window=wv, channel_count=nch, fft_backend='mxu',
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_mxu), np.asarray(v_ref), rtol=1e-4
+    )
+
+
 def test_channelize_power_factored_path_matches_xla():
     """the fft_backend='mxu' factored-coordinate fast path (channel
     sums straight from four-step (k1, k2) coordinates, no transposed
