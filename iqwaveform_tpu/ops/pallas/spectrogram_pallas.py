@@ -1,0 +1,191 @@
+"""Pallas TPU kernel: windowed spectrogram frames -> dB, in one pass.
+
+The streaming persistence fold's transform stage (window multiply ->
+four-step DFT -> |.|^2 -> dB) costs ~2.5-3 ms per 2^24-sample chunk
+through XLA: each einsum stage materializes a full complex
+intermediate in HBM, and the small stage-1 DFT contracts only
+a = nfft/128 wide. This kernel runs the whole chain VMEM-resident per
+block and packs stage 1 to full MXU width as a block-diagonal
+constant kron(I_{128/a}, Fa) applied to (128/a) frames stacked on
+sublanes — the same trick as the slab-packed histogram
+(colhist_pallas): a dot pays a full pipeline pass however few lanes
+it fills, so fill them.
+
+Output is the spectrogram dB frame batch in the four-step transform's
+FACTORED bin order (flat position k1*b + k2 holds natural bin
+k2*a + k1) — exactly what parallel.streaming's persistence fold
+consumes (per-bin reductions are bin-order independent; the carry is
+unscrambled once at readout). Reference semantics: fourier.py:
+1203-1233 (spectrogram) in dB, noverlap=0.
+
+Layout rules as the other kernels here (ROADMAP.md): BlockSpec-driven
+2-D pipelining, no manual DMA, no fori_loop, 128-lane minors;
+in-kernel ops are sublane tile-repeats, dots against host constants,
+and elementwise VPU (log lowers through Mosaic — proven by
+chan_stats_pallas).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils import lru_cache
+from ._common import on_tpu_like as _on_tpu_like
+from .fused_ola_pallas import _make_dot
+
+__all__ = ['spectrogram_dB_pallas', 'spectrogram_pallas_supported']
+
+_LANES = 128
+_ROWS = 1024  # sublane rows processed per grid step
+_LN10_INV_10 = float(10.0 / np.log(10.0))
+
+
+def spectrogram_pallas_supported(nfft: int, n_samples: int) -> bool:
+    """kernel applies when nfft = a*128 with the frame rows of one
+    grid step filling the (1024, 128) block exactly."""
+    if nfft % _LANES:
+        return False
+    a = nfft // _LANES
+    if a < 1 or a > _LANES or _LANES % a or _ROWS % a:
+        return False
+    return n_samples % (_ROWS * _LANES) == 0
+
+
+@lru_cache()
+def _spg_constants(nfft: int, w_key: bytes):
+    """host-side factored window / DFT constants (f32 planes)."""
+    a = nfft // _LANES
+    b = _LANES
+    i1 = np.arange(a)
+    i2 = np.arange(b)
+    Fa = np.exp(-2j * np.pi * np.outer(i1, i1) / a).astype('complex64')
+    W = np.exp(-2j * np.pi * np.outer(i1, i2) / nfft).astype('complex64')
+    Fb = np.exp(-2j * np.pi * np.outer(i2, i2) / b).astype('complex64')
+
+    # stage-1 packing: one (128, 128) dot transforms 128/a frames
+    BdFa = np.kron(np.eye(_LANES // a, dtype='complex64'), Fa)
+
+    # fftshift-baked, 1/nfft-scaled window in factored (a, b) layout
+    w = np.frombuffer(w_key, dtype='complex64').reshape(a, b)
+
+    def planes(x):
+        x = np.ascontiguousarray(x)
+        return x.real.astype('float32'), x.imag.astype('float32')
+
+    return (*planes(w), *planes(BdFa), *planes(W), *planes(Fb))
+
+
+def _spg_kernel(
+    xr_ref, xi_ref, wr_ref, wi_ref, bfr_ref, bfi_ref,
+    twr_ref, twi_ref, fbr_ref, fbi_ref, out_ref, *, a, passes, interpret
+):
+    dot = _make_dot(passes)
+
+    def rep(x, n):
+        if interpret:
+            return jnp.concatenate([x] * n, axis=0)
+        return pltpu.repeat(x, n, axis=0)
+
+    ar = xr_ref[...]  # (1024, 128): rows f*a + i1, lanes i2
+    ai = xi_ref[...]
+
+    # window (factored (a, b) -> tiled over the block's frames)
+    wfr = rep(wr_ref[...], _ROWS // a)
+    wfi = rep(wi_ref[...], _ROWS // a)
+    cr = ar * wfr - ai * wfi
+    ci = ar * wfi + ai * wfr
+
+    # twiddles tiled over one slab's 128/a frames
+    twr = rep(twr_ref[...], _LANES // a)
+    twi = rep(twi_ref[...], _LANES // a)
+
+    bfr, bfi = bfr_ref[...], bfi_ref[...]
+    fbr, fbi = fbr_ref[...], fbi_ref[...]
+
+    for s in range(_ROWS // _LANES):
+        rows = slice(s * _LANES, (s + 1) * _LANES)
+        sr, si = cr[rows, :], ci[rows, :]
+        # stage 1: block-diagonal length-a DFTs down the frame rows
+        br = dot(bfr, sr) - dot(bfi, si)
+        bi = dot(bfr, si) + dot(bfi, sr)
+        # twiddle
+        tr = br * twr - bi * twi
+        ti = br * twi + bi * twr
+        # stage 2: length-b DFTs along the lanes
+        dr = dot(tr, fbr) - dot(ti, fbi)
+        di = dot(tr, fbi) + dot(ti, fbr)
+        p = dr * dr + di * di
+        out_ref[rows, :] = _LN10_INV_10 * jnp.log(p + 1e-25)
+
+
+def spectrogram_dB_pallas(
+    xr,
+    xi,
+    w: np.ndarray,
+    nfft: int,
+    *,
+    passes: int = 6,
+    interpret: bool = None,
+):
+    """dB spectrogram of non-overlapping ``nfft`` frames from float32
+    (real, imag) planes, bins in FACTORED four-step order.
+
+    Args:
+        xr, xi: (n,) float32 planes, n a multiple of 1024*128
+        w: (nfft,) complex64 host window (fftshift baked, WITHOUT the
+            1/nfft scale — applied here)
+        passes: 6 = f32 HIGHEST dots, 3 = hi/lo bf16 split (~7e-6 rel),
+            1 = bf16 (~4e-3 rel)
+
+    Returns:
+        (n // nfft, nfft) float32 dB spectrogram; flat bin position
+        k1*128 + k2 holds natural bin k2*a + k1 (a = nfft // 128) —
+        undo with design_persistence's unscramble.
+    """
+    if interpret is None:
+        interpret = not _on_tpu_like()
+    n = xr.shape[0]
+    if not spectrogram_pallas_supported(nfft, n):
+        raise ValueError(
+            f'unsupported shape: nfft={nfft}, n={n} (need nfft = a*128, '
+            f'a a power-of-two divisor of 128, n % {_ROWS * _LANES} == 0)'
+        )
+    a = nfft // _LANES
+
+    w_key = np.ascontiguousarray((w / nfft).astype('complex64')).tobytes()
+    consts = _spg_constants(nfft, w_key)
+
+    n_steps = n // (_ROWS * _LANES)
+
+    def vec_spec(c):
+        return pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _spg_kernel, a=a, passes=passes, interpret=interpret
+        ),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
+            *[vec_spec(c) for c in consts],
+        ],
+        out_specs=pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel',),
+        ),
+        interpret=interpret,
+    )(
+        xr.reshape(n // _LANES, _LANES),
+        xi.reshape(n // _LANES, _LANES),
+        *[jnp.asarray(c) for c in consts],
+    )
+
+    return out.reshape(n // nfft, nfft)

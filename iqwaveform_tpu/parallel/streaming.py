@@ -79,19 +79,36 @@ def design_persistence(
     hist_range_dB=(-150.0, 50.0),
     hist_bins: int = 1024,
     fft_backend: str = 'xla',
+    fft_precision: str = 'highest',
 ) -> dict:
     """host-side design for the persistence fold (the repo's
     design-dict -> apply pattern): window, histogram edges, and — for
-    fft_backend='mxu' — the factored-coordinate bin permutation.
+    the factored backends — the bin permutation.
 
-    With 'mxu' the fold runs the four-step DFT matmuls and keeps every
-    per-frequency statistic in the transform's factored (k1, k2) bin
-    order, skipping its transposed readout (a full-spectrogram lane
-    shuffle per chunk); persistence_finalize unscrambles the
-    accumulated (nfft,)-shaped statistics once, at readout.
+    fft_backend:
+        'xla'    jnp.fft, natural bin order
+        'mxu'    four-step DFT matmuls; every per-frequency statistic
+                 stays in the transform's factored (k1, k2) bin order,
+                 skipping its transposed readout (a full-spectrogram
+                 lane shuffle per chunk); persistence_finalize
+                 unscrambles the accumulated (nfft,)-shaped statistics
+                 once, at readout
+        'pallas' the fused VMEM-resident window->DFT->dB kernel
+                 (ops/pallas/spectrogram_pallas.py), same factored
+                 order; requires nfft = a*128 (a a power-of-two
+                 divisor of 128) and chunk lengths in multiples of
+                 131072 samples
+
+    fft_precision ('pallas' backend only): 'highest' (f32 dots),
+    'high' (hi/lo bf16 3-pass, ~7e-6 relative), 'bf16' (~4e-3).
     """
-    if fft_backend not in ('xla', 'mxu'):
-        raise ValueError("fft_backend must be 'xla' or 'mxu'")
+    if fft_backend not in ('xla', 'mxu', 'pallas'):
+        raise ValueError("fft_backend must be 'xla', 'mxu' or 'pallas'")
+    passes = {'highest': 6, 'high': 3, 'bf16': 1}.get(fft_precision)
+    if passes is None:
+        raise ValueError(
+            "fft_precision must be 'highest', 'high' or 'bf16'"
+        )
     if not (
         isinstance(window, str)
         or (isinstance(window, tuple) and window and isinstance(window[0], str))
@@ -113,10 +130,22 @@ def design_persistence(
             hist_range_dB[0], hist_range_dB[1], hist_bins + 1
         ).astype('float32')
     unscramble = None
-    if fft_backend == 'mxu':
-        from ..ops.mxu_fft import plan_factors
+    if fft_backend in ('mxu', 'pallas'):
+        if fft_backend == 'pallas':
+            from ..ops.pallas.spectrogram_pallas import (
+                spectrogram_pallas_supported,
+            )
 
-        a, b = plan_factors(nfft)
+            if not spectrogram_pallas_supported(nfft, 0):
+                raise ValueError(
+                    f"fft_backend='pallas' needs nfft = a*128 with a a "
+                    f'power-of-two divisor of 128, not {nfft}'
+                )
+            a, b = nfft // 128, 128
+        else:
+            from ..ops.mxu_fft import plan_factors
+
+            a, b = plan_factors(nfft)
         flat = np.arange(nfft)
         unscramble = np.argsort((flat % b) * a + flat // b)
     return {
@@ -124,6 +153,7 @@ def design_persistence(
         'window': w,
         'edges_dB': edges,
         'fft_backend': fft_backend,
+        'fft_passes': passes,
         'unscramble': unscramble,
         # resume-safety tag: carries accumulated under one design must
         # not continue under another (e.g. factored vs natural bin
@@ -155,8 +185,19 @@ def persistence_init(design: dict) -> PersistenceCarry:
     )
 
 
-def _spectrogram_chunk(chunk, design):
+def _spectrogram_dB_chunk(chunk, design):
+    """chunk -> (frames, nfft) dB spectrogram in the design's bin order."""
     nfft = design['nfft']
+    if design['fft_backend'] == 'pallas':
+        from ..ops.pallas.spectrogram_pallas import spectrogram_dB_pallas
+
+        return spectrogram_dB_pallas(
+            chunk.real,
+            chunk.imag,
+            design['window'],
+            nfft,
+            passes=design['fft_passes'],
+        )
     frames = chunk.reshape(-1, nfft)
     wind = (design['window'] / nfft).astype(frames.dtype)
     frames = frames * wind[None, :]
@@ -164,9 +205,11 @@ def _spectrogram_chunk(chunk, design):
         from ..ops.mxu_fft import four_step_factored
 
         D = four_step_factored(frames, nfft)  # (frames, a, b)
-        return (D.real * D.real + D.imag * D.imag).reshape(-1, nfft)
-    Y = jnp.fft.fft(frames, axis=1)
-    return Y.real * Y.real + Y.imag * Y.imag
+        spg = (D.real * D.real + D.imag * D.imag).reshape(-1, nfft)
+    else:
+        Y = jnp.fft.fft(frames, axis=1)
+        spg = Y.real * Y.real + Y.imag * Y.imag
+    return 10.0 * jnp.log10(spg + 1e-25)
 
 
 def persistence_fold(carry: PersistenceCarry, chunk, design: dict):
@@ -174,8 +217,7 @@ def persistence_fold(carry: PersistenceCarry, chunk, design: dict):
     persistence carry (traceable; ``design`` is static). Bin order of
     the carry is the design's internal order — always read results
     through persistence_finalize."""
-    spg = _spectrogram_chunk(chunk, design)
-    spg_dB = 10.0 * jnp.log10(spg + 1e-25)
+    spg_dB = _spectrogram_dB_chunk(chunk, design)
 
     if design['edges_dB'] is None:
         hist = None
@@ -275,6 +317,7 @@ def streaming_persistence_spectrum(
     hist_bins: int = 1024,
     quantiles=(0.5, 0.95, 0.99),
     fft_backend: str = 'xla',
+    fft_precision: str = 'highest',
     init_carry: PersistenceCarry = None,
 ):
     """persistence spectrum of a long capture via lax.scan chunking.
@@ -316,6 +359,7 @@ def streaming_persistence_spectrum(
         hist_range_dB=hist_range_dB,
         hist_bins=hist_bins,
         fft_backend=fft_backend,
+        fft_precision=fft_precision,
     )
     if init_carry is None:
         init = persistence_init(design)

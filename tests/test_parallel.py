@@ -282,6 +282,50 @@ def test_persistence_stats_only_fold():
     )
 
 
+def test_streaming_persistence_pallas_backend():
+    """fft_backend='pallas' (fused window->DFT->dB kernel, interpret
+    mode on CPU) matches the mxu factored path at each precision tier."""
+    fs = 1e6
+    nfft = 256
+    n = 1024 * 128  # one kernel grid step
+    x = make_tone_noise(n, fs=fs)
+    kw = dict(fs=fs, window='hann', nfft=nfft, chunk_frames=n // nfft,
+              quantiles=(0.5,), hist_bins=256)
+
+    r_mxu = parallel.streaming_persistence_spectrum(
+        jnp.asarray(x), fft_backend='mxu', **kw
+    )
+    r_pal = parallel.streaming_persistence_spectrum(
+        jnp.asarray(x), fft_backend='pallas', **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_pal['mean_dB']), np.asarray(r_mxu['mean_dB']), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_pal['max_dB']), np.asarray(r_mxu['max_dB']), atol=1e-3
+    )
+    cum = np.abs(
+        np.cumsum(np.asarray(r_pal['hist']), axis=1)
+        - np.cumsum(np.asarray(r_mxu['hist']), axis=1)
+    )
+    assert cum.max() <= 2
+
+    # 3-pass tier tracks highest within its documented error
+    r_hi = parallel.streaming_persistence_spectrum(
+        jnp.asarray(x), fft_backend='pallas', fft_precision='high', **kw
+    )
+    inband = np.asarray(r_mxu['mean_dB']) > -60
+    d = np.abs(np.asarray(r_hi['mean_dB']) - np.asarray(r_mxu['mean_dB']))
+    assert d[inband].max() < 0.01  # dB
+
+    # unsupported nfft rejected at design time
+    with pytest.raises(ValueError, match='pallas'):
+        parallel.streaming_persistence_spectrum(
+            jnp.asarray(x), fs=fs, window='hann', nfft=192,
+            chunk_frames=n // 192, fft_backend='pallas',
+        )
+
+
 def test_streaming_persistence_mxu_backend_and_resume():
     """fft_backend='mxu' (factored bin order + readout unscramble)
     matches the XLA path, and init_carry continues accumulation: two
