@@ -157,7 +157,8 @@ def bench_spectrogram():
         )
     )
     design = design_persistence(
-        nfft=nperseg, window='hann', hist_bins=0, fft_backend='mxu'
+        nfft=nperseg, window='hann', hist_bins=0,
+        fft_backend='pallas', fft_precision='high',
     )
 
     @jax.jit

@@ -293,6 +293,49 @@ def main():
         print('colhist packed pallas (tpu)     EXCEPTION:',
               f'{type(e).__name__}: {str(e)[:100]}', flush=True)
 
+    # --- fused spectrogram (window->DFT->dB) pallas kernel ---
+    from iqwaveform_tpu.ops.mxu_fft import four_step_factored
+    from iqwaveform_tpu.ops.pallas.spectrogram_pallas import (
+        spectrogram_dB_pallas,
+    )
+    from iqwaveform_tpu.ops.window_design import get_window as _gw
+
+    sg_nfft = 1024
+    sg_n = 1024 * 128
+    sg_w = _gw('hann', sg_nfft, norm=True, fftshift=True).astype('complex64')
+    sg_planes = rng.standard_normal((2, sg_n)).astype('float32')
+
+    def _sg_oracle(planes):
+        v = planes[0] + 1j * planes[1]
+        frames = v.reshape(-1, sg_nfft) * jnp.asarray(sg_w / sg_nfft)[None, :]
+        D = four_step_factored(frames, sg_nfft)
+        spg = (D.real**2 + D.imag**2).reshape(-1, sg_nfft)
+        return 10.0 * jnp.log10(spg + 1e-25)
+
+    try:
+        exp_sg = np.asarray(jax.jit(_sg_oracle)(jnp.asarray(sg_planes)))
+        for p, tol in ((6, 2e-5), (3, 5e-5)):
+            got_sg = np.asarray(
+                jax.jit(
+                    lambda pl_, p=p: spectrogram_dB_pallas(
+                        pl_[0], pl_[1], sg_w, sg_nfft, passes=p
+                    )
+                )(jnp.asarray(sg_planes))
+            )
+            err = np.abs((got_sg - exp_sg) / exp_sg).max()
+            status = 'ok' if err < tol else 'FAIL'
+            if status == 'FAIL':
+                failures.append(f'spectrogram pallas p{p}')
+            print(
+                f'spectrogram pallas p={p} (tpu)    rel err {err:.3e} '
+                f'(tol {tol}) {status}',
+                flush=True,
+            )
+    except Exception as e:
+        failures.append('spectrogram pallas')
+        print('spectrogram pallas (tpu)        EXCEPTION:',
+              f'{type(e).__name__}: {str(e)[:100]}', flush=True)
+
     # --- edge-compare histogram pallas kernel ---
     from iqwaveform_tpu.ops.pallas.hist_pallas import histogram_edge_counts_pallas
     from iqwaveform_tpu.ops.power import histogram_edge_counts
