@@ -242,8 +242,8 @@ def bench_streaming():
 
     apd_edges = (10 ** (np.linspace(-120.0, 30.0, 513) / 10.0)).astype('float32')
     # fused window->DFT->dB Pallas kernel at the hi/lo bf16 3-pass tier
-    # (3.3e-7 relative on the dB spectrogram vs the f32 mxu path,
-    # measured on-chip; docs/BENCH_notes.md)
+    # (~0.02 dB worst-case on low-power bins vs the f32 mxu path —
+    # a tenth of the 0.2 dB histogram bin width; docs/BENCH_notes.md)
     design = design_persistence(
         nfft=nfft, window='hann', hist_bins=hist_bins,
         fft_backend='pallas', fft_precision='high',

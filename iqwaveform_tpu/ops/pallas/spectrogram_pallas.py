@@ -140,8 +140,11 @@ def spectrogram_dB_pallas(
         xr, xi: (n,) float32 planes, n a multiple of 1024*128
         w: (nfft,) complex64 host window (fftshift baked, WITHOUT the
             1/nfft scale — applied here)
-        passes: 6 = f32 HIGHEST dots, 3 = hi/lo bf16 split (~7e-6 rel),
-            1 = bf16 (~4e-3 rel)
+        passes: 6 = f32 HIGHEST dots (~3e-6 relative of the dB value on
+            chip); 3 = hi/lo bf16 split dropping the lo*lo term
+            (~2.5e-4 relative, i.e. ~0.02 dB worst-case on low-power
+            bins — one histogram bin width is typically ~0.2 dB);
+            1 = plain bf16 dots (~0.05 dB)
 
     Returns:
         (n // nfft, nfft) float32 dB spectrogram; flat bin position

@@ -99,8 +99,10 @@ def design_persistence(
                  divisor of 128) and chunk lengths in multiples of
                  131072 samples
 
-    fft_precision ('pallas' backend only): 'highest' (f32 dots),
-    'high' (hi/lo bf16 3-pass, ~7e-6 relative), 'bf16' (~4e-3).
+    fft_precision ('pallas' backend only): 'highest' (f32 dots, ~3e-6
+    relative of the dB spectrogram), 'high' (hi/lo bf16 3-pass,
+    ~0.02 dB worst-case on low-power bins — below the default 0.2 dB
+    histogram bin width), 'bf16' (~0.05 dB).
     """
     if fft_backend not in ('xla', 'mxu', 'pallas'):
         raise ValueError("fft_backend must be 'xla', 'mxu' or 'pallas'")

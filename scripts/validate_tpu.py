@@ -314,7 +314,9 @@ def main():
 
     try:
         exp_sg = np.asarray(jax.jit(_sg_oracle)(jnp.asarray(sg_planes)))
-        for p, tol in ((6, 2e-5), (3, 5e-5)):
+        # p=3 drops the hi/lo split's lo*lo term: ~2.5e-4 relative of
+        # the dB value (~0.02 dB worst case on low-power bins)
+        for p, tol in ((6, 2e-5), (3, 1e-3)):
             got_sg = np.asarray(
                 jax.jit(
                     lambda pl_, p=p: spectrogram_dB_pallas(
