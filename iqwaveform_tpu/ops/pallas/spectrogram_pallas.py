@@ -59,14 +59,15 @@ def spectrogram_pallas_supported(nfft: int, n_samples: int) -> bool:
 
 @lru_cache()
 def _spg_constants(nfft: int, w_key: bytes):
-    """host-side factored window / DFT constants (f32 planes)."""
-    a = nfft // _LANES
-    b = _LANES
-    i1 = np.arange(a)
-    i2 = np.arange(b)
-    Fa = np.exp(-2j * np.pi * np.outer(i1, i1) / a).astype('complex64')
-    W = np.exp(-2j * np.pi * np.outer(i1, i2) / nfft).astype('complex64')
-    Fb = np.exp(-2j * np.pi * np.outer(i2, i2) / b).astype('complex64')
+    """host-side factored window / DFT constants (f32 planes). The DFT
+    matrices come from the same _dft_constants the mxu path uses, so
+    the factored bin order of both backends agrees by construction
+    (plan_factors(a*128) = (a, 128) for every supported a)."""
+    from ..mxu_fft import _dft_constants, plan_factors
+
+    a, b = plan_factors(nfft)
+    assert b == _LANES and a == nfft // _LANES, (a, b)
+    _, _, Fa, Fb, W = _dft_constants(nfft, False)
 
     # stage-1 packing: one (128, 128) dot transforms 128/a frames
     BdFa = np.kron(np.eye(_LANES // a, dtype='complex64'), Fa)
@@ -81,11 +82,51 @@ def _spg_constants(nfft: int, w_key: bytes):
     return (*planes(w), *planes(BdFa), *planes(W), *planes(Fb))
 
 
+def _split_bf16(v):
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _spg_kernel(
     xr_ref, xi_ref, wr_ref, wi_ref, bfr_ref, bfi_ref,
     twr_ref, twi_ref, fbr_ref, fbi_ref, out_ref, *, a, passes, interpret
 ):
-    dot = _make_dot(passes)
+    if passes == 3:
+        # manual hi/lo bf16 3-pass (Mosaic lowers only DEFAULT/HIGHEST)
+        # with the loop-invariant constant splits hoisted out of the
+        # slab loop — _make_dot(3) would re-split per call
+        dd = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        def make_dot_lhsconst(c):
+            ch, cl = _split_bf16(c)
+
+            def dot(x):
+                xh, xl = _split_bf16(x)
+                return dd(ch, xh) + dd(ch, xl) + dd(cl, xh)
+
+            return dot
+
+        def make_dot_rhsconst(c):
+            ch, cl = _split_bf16(c)
+
+            def dot(x):
+                xh, xl = _split_bf16(x)
+                return dd(xh, ch) + dd(xh, cl) + dd(xl, ch)
+
+            return dot
+    else:
+        d2 = _make_dot(passes)
+
+        def make_dot_lhsconst(c):
+            return lambda x: d2(c, x)
+
+        def make_dot_rhsconst(c):
+            return lambda x: d2(x, c)
 
     def rep(x, n):
         if interpret:
@@ -105,21 +146,23 @@ def _spg_kernel(
     twr = rep(twr_ref[...], _LANES // a)
     twi = rep(twi_ref[...], _LANES // a)
 
-    bfr, bfi = bfr_ref[...], bfi_ref[...]
-    fbr, fbi = fbr_ref[...], fbi_ref[...]
+    dot_bfr = make_dot_lhsconst(bfr_ref[...])
+    dot_bfi = make_dot_lhsconst(bfi_ref[...])
+    dot_fbr = make_dot_rhsconst(fbr_ref[...])
+    dot_fbi = make_dot_rhsconst(fbi_ref[...])
 
     for s in range(_ROWS // _LANES):
         rows = slice(s * _LANES, (s + 1) * _LANES)
         sr, si = cr[rows, :], ci[rows, :]
         # stage 1: block-diagonal length-a DFTs down the frame rows
-        br = dot(bfr, sr) - dot(bfi, si)
-        bi = dot(bfr, si) + dot(bfi, sr)
+        br = dot_bfr(sr) - dot_bfi(si)
+        bi = dot_bfr(si) + dot_bfi(sr)
         # twiddle
         tr = br * twr - bi * twi
         ti = br * twi + bi * twr
         # stage 2: length-b DFTs along the lanes
-        dr = dot(tr, fbr) - dot(ti, fbi)
-        di = dot(tr, fbi) + dot(ti, fbr)
+        dr = dot_fbr(tr) - dot_fbi(ti)
+        di = dot_fbr(ti) + dot_fbi(tr)
         p = dr * dr + di * di
         out_ref[rows, :] = _LN10_INV_10 * jnp.log(p + 1e-25)
 

@@ -111,6 +111,12 @@ def design_persistence(
         raise ValueError(
             "fft_precision must be 'highest', 'high' or 'bf16'"
         )
+    if fft_backend != 'pallas' and fft_precision != 'highest':
+        raise ValueError(
+            f"fft_precision={fft_precision!r} only applies to "
+            "fft_backend='pallas' (the xla/mxu paths always run f32 "
+            'HIGHEST dots); drop the argument or switch backend'
+        )
     if not (
         isinstance(window, str)
         or (isinstance(window, tuple) and window and isinstance(window[0], str))
@@ -143,11 +149,11 @@ def design_persistence(
                     f"fft_backend='pallas' needs nfft = a*128 with a a "
                     f'power-of-two divisor of 128, not {nfft}'
                 )
-            a, b = nfft // 128, 128
-        else:
-            from ..ops.mxu_fft import plan_factors
+        # both factored backends share plan_factors' (a, b), so their
+        # bin orders agree (the kernel asserts the same identity)
+        from ..ops.mxu_fft import plan_factors
 
-            a, b = plan_factors(nfft)
+        a, b = plan_factors(nfft)
         flat = np.arange(nfft)
         unscramble = np.argsort((flat % b) * a + flat // b)
     return {
@@ -165,6 +171,9 @@ def design_persistence(
             hist_bins,
             tuple(np.round(hist_range_dB, 9)) if hist_bins else None,
             fft_backend,
+            # precision changes the measurement function (up to ~0.05
+            # dB between tiers) — carries must not mix tiers
+            fft_precision if fft_backend == 'pallas' else 'highest',
             window,
         ),
     }
@@ -193,9 +202,10 @@ def _spectrogram_dB_chunk(chunk, design):
     if design['fft_backend'] == 'pallas':
         from ..ops.pallas.spectrogram_pallas import spectrogram_dB_pallas
 
+        flat = chunk.reshape(-1)  # same contract as the framed backends
         return spectrogram_dB_pallas(
-            chunk.real,
-            chunk.imag,
+            flat.real,
+            flat.imag,
             design['window'],
             nfft,
             passes=design['fft_passes'],
@@ -250,13 +260,18 @@ def _readout_program(fingerprint, quantiles):
     periodic checkpoint readouts of a long capture compile once (a
     fresh closure per call would pay a remote compile every time on
     the tunneled backend)."""
-    nfft, hist_bins, hist_range, fft_backend, window = fingerprint
+    nfft, hist_bins, hist_range, fft_backend, fft_precision, window = (
+        fingerprint
+    )
     design = design_persistence(
         nfft=nfft,
         window=window,
         hist_range_dB=hist_range or (-150.0, 50.0),
         hist_bins=hist_bins,
         fft_backend=fft_backend,
+        fft_precision=(
+            fft_precision if fft_backend == 'pallas' else 'highest'
+        ),
     )
     u = design['unscramble']
     edges = design['edges_dB']
@@ -329,9 +344,12 @@ def streaming_persistence_spectrum(
     spectrogram regardless of capture length — the scan analogue of
     ops.spectral.power_spectral_density (fourier.py:1236-1327).
 
-    fft_backend='mxu' runs the chunk transform as four-step DFT matmuls
-    in factored bin order (see design_persistence) — the configuration
-    bench.py's 1 GS streaming benchmark measures.
+    fft_backend='mxu' runs the chunk transform as four-step DFT
+    matmuls in factored bin order; fft_backend='pallas' (with
+    fft_precision='high') is the fused-kernel configuration bench.py's
+    1 GS streaming benchmark measures — it additionally requires
+    chunk_frames*nfft to be a multiple of 131072 samples (see
+    design_persistence).
 
     ``init_carry`` resumes accumulation from a prior run: pass the
     previous call's RESULT DICT (preferred — its design fingerprint is
@@ -349,6 +367,11 @@ def streaming_persistence_spectrum(
     """
     x = jnp.asarray(x)
     chunk = chunk_frames * nfft
+    if fft_backend == 'pallas' and chunk % (1024 * 128):
+        raise ValueError(
+            f"fft_backend='pallas' needs chunk_frames*nfft "
+            f'({chunk}) to be a multiple of 131072; adjust chunk_frames'
+        )
     n_chunks = x.shape[0] // chunk
     if n_chunks == 0:
         raise ValueError(f'capture shorter than one chunk ({chunk} samples)')
