@@ -65,44 +65,90 @@ def is_decade(x, **kwargs):
     return np.isclose(y, np.round(y), **kwargs)
 
 
-@lru_cache()
-def _log_tick_range(vlo, vhi, count, subs=(1.0,)):
-    """LogLocator-generated ticks confined to [vlo, vhi)
-    (reference figures.py:44-53)."""
-    locator = mpl.ticker.LogLocator(base=10.0, subs=subs, numticks=count)
-    ticks = locator.tick_values(vlo, vhi)
-    return ticks[(ticks >= vlo) & (ticks < vhi)]
+# --- gamma-QQ tick machinery (original derivation) -----------------------
+#
+# The gamma-QQ axis variable is a survival probability q in (0, 1). Useful
+# tick values fall into three regimes (behavior parity with reference
+# figures.py:98-185, algorithm re-derived):
+#
+#   lower tail   q << 1          decades 10^-e
+#   center       ~[0.15, 0.85]   nice decimal steps
+#   upper tail   1-q << 1        complement (sub)decades 1 - m*10^-e
+#
+# Rather than generating candidates through matplotlib locators and then
+# iteratively deleting the most crowded, we enumerate a fixed "quantile
+# ladder" where every candidate carries a rank (0 = most preferred), and
+# greedily pack ticks best-rank-first subject to a minimum spacing floor in
+# the *linearized* (transformed) coordinate. Round quantiles such as 0.5,
+# 0.99 and whole decades therefore survive thinning, and spacing is even
+# where it matters: on the drawn axis.
+
+_QQ_CENTER_LO = 0.15
+_QQ_CENTER_HI = 0.85
+_QQ_TAIL_DECADES = 12
 
 
 @lru_cache()
-def _linear_tick_range(vlo, vhi, count, steps=(1.0,)):
-    """MaxNLocator-generated ticks confined to [vlo, vhi)
-    (reference figures.py:56-65)."""
-    locator = mpl.ticker.MaxNLocator(nbins=count, steps=steps)
-    ticks = locator.tick_values(vlo, vhi)
-    return ticks[(ticks >= vlo) & (ticks < vhi)]
+def _quantile_ladder(qmin: float, qmax: float) -> tuple:
+    """(value, rank) candidates inside [qmin, qmax], sorted by value."""
+    cands: dict[float, int] = {0.5: 0, 0.9: 0, 0.99: 0, 0.95: 1, 0.8: 1}
+
+    # center grid: coarse 0.1 steps first, 0.05 infill at lower priority
+    for step, rank in ((0.1, 1), (0.05, 2)):
+        n = math.ceil(_QQ_CENTER_LO / step)
+        while (v := round(n * step, 10)) <= _QQ_CENTER_HI:
+            cands.setdefault(v, rank)
+            n += 1
+
+    for e in range(1, _QQ_TAIL_DECADES + 1):
+        # lower-tail decades; the first few are strongly preferred
+        cands.setdefault(10.0**-e, 0 if e <= 5 else 1)
+        # upper-tail complement decades and 2/3/5 subdecades
+        for m in (1, 2, 3, 5):
+            v = 1.0 - m * 10.0**-e
+            if _QQ_CENTER_HI < v < 1.0:
+                cands.setdefault(v, 0 if (m == 1 and e <= 5) else 2)
+
+    picked = [(v, r) for v, r in cands.items() if qmin <= v <= qmax]
+    picked.sort()
+    return tuple(picked)
 
 
-@lru_cache()
-def _prune_ticks(ticks: tuple, count: int, prefer: tuple = tuple()) -> np.ndarray:
-    """prune ticks to `count`, spreading them evenly while preserving the
-    `prefer` list when possible (reference figures.py:68-95)."""
-    ticks = np.array(ticks).copy()
-    keep = set(np.array(prefer)[: min(len(prefer), count)].tolist())
+def _pack_ticks(candidates, transform, nbins: int, lo: float, hi: float):
+    """greedy rank-ordered tick selection with a transformed-space
+    minimum-spacing floor; returns the chosen values sorted."""
+    if not candidates:
+        return np.array([])
+    vals = np.array([v for v, _ in candidates])
+    ranks = np.array([r for _, r in candidates])
+    pos = np.asarray(transform.transform(vals), dtype=float)
 
-    def crowding(t):
-        gap_left = np.diff(t, prepend=np.nan)
-        gap_right = np.diff(t, append=np.nan)
-        return np.fmin(gap_left, gap_right)
+    ends = np.asarray(transform.transform(np.array([lo, hi])), dtype=float)
+    span = float(np.ptp(ends[np.isfinite(ends)])) if np.isfinite(ends).any() else 0.0
+    if not span:
+        finite = pos[np.isfinite(pos)]
+        span = float(np.ptp(finite)) if finite.size else 1.0
+    min_gap = span / max(nbins, 1) * 0.66
 
-    while len(ticks) > count:
-        order = np.argsort(crowding(ticks))
-        removable = [i for i in order if ticks[i] not in keep]
-        if not removable:
+    # visit best-rank first; within a rank, outside-in so extreme decades
+    # anchor the tails before the interior fills
+    center = np.nanmedian(pos[np.isfinite(pos)]) if np.isfinite(pos).any() else 0.0
+    order = np.lexsort((-np.abs(pos - center), ranks))
+
+    taken_pos: list[float] = []
+    taken_val: list[float] = []
+    for i in order:
+        if len(taken_val) >= nbins:
             break
-        ticks = np.delete(ticks, removable[0])
+        p = pos[i]
+        if not np.isfinite(p):
+            continue
+        if any(abs(p - t) < min_gap for t in taken_pos):
+            continue
+        taken_pos.append(p)
+        taken_val.append(vals[i])
 
-    return ticks
+    return np.sort(np.array(taken_val))
 
 
 # the locator/formatter/scale classes subclass lazily-imported matplotlib
@@ -114,129 +160,107 @@ def _build_mpl_classes():
     if GammaMaxNLocator is not None:
         return
 
-    class _GammaMaxNLocator(mpl_mod.ticker.MaxNLocator):
-        """tick locator for linearized gamma-distributed survival functions
-        (reference figures.py:98-185)."""
+    class _GammaMaxNLocator(mpl_mod.ticker.Locator):
+        """tick locator for linearized gamma-distributed survival functions.
 
-        # quantiles to avoid removing when selecting ticks
-        PREFER_TICKS = [
-            0.5,
-            0.9,
-            0.1,
-            0.99,
-            1 - 1e-3,
-            1 - 1e-4,
-            0.95,
-            1e-4,
-            0.8,
-            1 - 1e-5,
-            0.98,
-            1e-2,
-            1 - 1e-6,
-            1e-5,
-            1e-3,
-            1 - 1e-7,
-            1 - 1e-8,
-            1 - 1e-9,
-            1e-7,
-            1e-9,
-            1e-8,
-        ]
+        Behavior parity with reference figures.py:98-185 (decade ticks in
+        the tails, nice decimal steps in the center, thinned in the
+        linearized space with round quantiles favored); the quantile-ladder
+        candidate generation and greedy spacing-floor packing are an
+        original re-derivation — see `_quantile_ladder`/`_pack_ticks`.
+        """
 
         def __init__(self, transform, nbins=None, minor=False):
             self._transform = transform
+            self._nbins = 10 if nbins is None else int(nbins)
             self._minor = minor
-            super().__init__(nbins)
 
         def __call__(self):
-            dmin, dmax = self.axis.get_data_interval()
-            vmin, vmax = self.axis.get_view_interval()
-            return self.tick_values(max(vmin, dmin), min(vmax, dmax))
+            dlo, dhi = sorted(self.axis.get_data_interval())
+            vlo, vhi = sorted(self.axis.get_view_interval())
+            return self.tick_values(max(vlo, dlo), min(vhi, dhi))
 
         def tick_values(self, vmin, vmax):
-            vmin, vmax = min((vmin, vmax)), max((vmin, vmax))
-            vmin, vmax = self.limit_range_for_scale(vmin, vmax, 1e-9)
-
-            # probability regimes: log-spaced tails, linear center
-            vth_lo = 0.15
-            vth_hi = 0.85
-
-            maybe_ticks = []
-            maybe_ticks.extend(_log_tick_range(vmin, vth_lo, self._nbins, subs=(1.0,)))
-            maybe_ticks.extend(
-                _linear_tick_range(vth_lo, vth_hi, self._nbins, steps=(1, 5, 10))
-            )
-            maybe_ticks.extend(
-                1
-                - _log_tick_range(1 - vmax, 1 - vth_hi, self._nbins, subs=(1.0, 2, 3, 5))
-            )
-            maybe_ticks.extend([0.9, 0.95])
-            maybe_ticks = np.sort(np.unique(maybe_ticks))
-
-            # select in the transformed (linearized) space
-            tr_ticks = self._transform.transform(maybe_ticks)
-            tr_prefer = self._transform.transform(
-                np.array(self.PREFER_TICKS + [vmin] + [vmax])
-            )
-            tr_ticks = _prune_ticks(tuple(tr_ticks), self._nbins, tuple(tr_prefer))
-            ticks = self._transform.inverted().transform(tr_ticks)
-            return np.sort(ticks)
+            lo, hi = self.limit_range_for_scale(vmin, vmax, 1e-9)
+            ladder = _quantile_ladder(lo, hi)
+            return _pack_ticks(ladder, self._transform, self._nbins, lo, hi)
 
         def get_transform(self):
             return self._transform
 
         def limit_range_for_scale(self, vmin, vmax, minpos):
-            """limit the domain to (0, 1)."""
-            vmin, vmax = min((vmin, vmax)), max((vmin, vmax))
-
+            """clamp the domain to the open unit interval."""
             if not np.isfinite(minpos):
                 minpos = 1e-12
-
-            ret = (
-                minpos if vmin <= minpos else vmin,
-                1.0 - minpos if vmax >= 1 - minpos else vmax,
-            )
-
-            self.axis.set_view_interval(ret[1], ret[0], True)
-            return ret
+            lo, hi = sorted((vmin, vmax))
+            lo, hi = max(lo, minpos), min(hi, 1.0 - minpos)
+            # survival-probability axes read high -> low, left -> right
+            self.axis.set_view_interval(hi, lo, True)
+            return lo, hi
 
         def view_limits(self, vmin, vmax):
             return self.nonsingular(vmin, vmax)
 
-    class _GammaLogitFormatter(mpl_mod.ticker.LogitFormatter):
-        """probability tick labels on the gamma-QQ scale
-        (reference figures.py:188-215)."""
+    class _GammaLogitFormatter(mpl_mod.ticker.Formatter):
+        """probability tick labels on the gamma-QQ scale.
+
+        Label contract matches reference figures.py:188-215 — 0.5 renders
+        as the configured one-half string, lower-tail decades as powers of
+        ten, upper-tail values as one-minus forms, center values as plain
+        decimals — but this is a standalone Formatter (not a
+        LogitFormatter subclass) with its own branch structure.
+        """
+
+        def __init__(self, one_half: str = '0.5', minor: bool = False):
+            self._one_half = one_half
+            self._minor = minor
+
+        @staticmethod
+        def _sci(v: float) -> str:
+            """mathtext ``m{\\times}10^{e}`` (bare ``10^{e}`` for m=1)."""
+            exponent = math.floor(math.log10(v) + 1e-9)
+            mantissa = v / 10.0**exponent
+            if math.isclose(mantissa, 1.0, rel_tol=1e-6):
+                return '10^{%d}' % exponent
+            return r'%g{\times}10^{%d}' % (round(mantissa, 6), exponent)
 
         def __call__(self, x, pos=None):
-            if self._minor and x not in self._labelled:
+            if self._minor or not (0.0 < x < 1.0):
                 return ''
-            if x <= 0 or x >= 1:
-                return ''
-            if math.isclose(2 * x, round(2 * x)) and round(2 * x) == 1:
-                s = self._one_half
-            elif np.any(np.isclose(x, np.array([0.9, 0.99]), rtol=1e-5)):
-                if x < 0.15:
-                    s = f'{round_places(x, 1):f}'
+            if math.isclose(x, 0.5, rel_tol=1e-9):
+                body = self._one_half
+            elif x < 0.15:
+                # lower tail: scientific once values get small
+                body = self._sci(x) if (x < 0.05 or is_decade(x, rtol=1e-5)) else f'{x:g}'
+            elif x > 0.85:
+                rest = 1.0 - x
+                if rest >= 0.009:
+                    body = f'{round(x, 4):g}'  # 0.9 / 0.95 / 0.99 style
                 else:
-                    s = str(x)
-            elif x < 0.1 and is_decade(x, rtol=1e-5):
-                exponent = round(np.log10(x))
-                s = '10^{%d}' % exponent
-            elif x > 0.9 and is_decade(1 - x, rtol=1e-5):
-                exponent = round(np.log10(1 - x))
-                s = self._one_minus('10^{%d}' % exponent)
-            elif x < 0.05:
-                s = self._format_value(x, self.locs)
-            elif x > 0.98:
-                s = self._one_minus(self._format_value(1 - x, 1 - self.locs))
+                    body = '1-%s' % self._sci(rest)
             else:
-                s = self._format_value(x, self.locs, sci_notation=False)
-            return r'$\mathdefault{%s}$' % s
+                body = f'{round(x, 4):g}'
+            return r'$\mathdefault{%s}$' % body
+
+    def _gamma_qq_transform_pair(k, db_ordinal: bool):
+        """forward/inverse maps between a survival probability and the
+        (optionally dB-scaled) gamma quantile — the linearizing transform
+        (math per reference figures.py:249-259)."""
+
+        def forward(q):
+            level = stats.gamma.isf(q, a=k, scale=1)
+            return powtodB(level) if db_ordinal else level
+
+        def inverse(level):
+            power = dBtopow(level) if db_ordinal else level
+            return stats.gamma.sf(power, a=k, scale=1)
+
+        return forward, inverse
 
     class _GammaQQScale(mpl_mod.scale.FuncScale):
         """transformed scale that linearizes gamma-distributed survival
         functions when the independent axis is log-scaled (e.g. dB)
-        (reference figures.py:218-278).
+        (behavior parity: reference figures.py:218-278).
 
         Usage:
 
@@ -250,33 +274,13 @@ def _build_mpl_classes():
         name = 'gamma-qq'
 
         def __init__(
-            self,
-            axis,
-            *,
-            k,
-            major_ticks=10,
-            minor_ticks=None,
-            vmin=None,
-            vmax=None,
-            db_ordinal=True,
+            self, axis, *, k, major_ticks=10, minor_ticks=None,
+            vmin=None, vmax=None, db_ordinal=True,
         ):
-            def forward(q):
-                x = stats.gamma.isf(q, a=k, scale=1)
-                if db_ordinal:
-                    x = powtodB(x)
-                return x
-
-            def inverse(x):
-                if db_ordinal:
-                    x = dBtopow(x)
-                return stats.gamma.sf(x, a=k, scale=1)
-
-            transform = mpl_mod.scale.FuncTransform(forward=forward, inverse=inverse)
-            self._major_locator = _GammaMaxNLocator(
-                transform=transform, nbins=major_ticks
-            )
-
-            super().__init__(axis, (forward, inverse))
+            pair = _gamma_qq_transform_pair(k, db_ordinal)
+            transform = mpl_mod.scale.FuncTransform(*pair)
+            self._major_locator = _GammaMaxNLocator(transform, nbins=major_ticks)
+            super().__init__(axis, pair)
 
         def set_default_locators_and_formatters(self, axis):
             axis.set_major_locator(self._major_locator)

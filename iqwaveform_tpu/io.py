@@ -88,43 +88,57 @@ def read_sigmf_metadata(metadata_fn, ntia=False):
     )
 
 
+def _load_sigmf_payload(metadata_path: Path, data_ext: str) -> np.ndarray:
+    """load the raw sample payload stored next to a .sigmf-meta file."""
+    if data_ext != '.npy':
+        raise TypeError(f'SIGMF data extension {data_ext} not supported')
+    return np.load(metadata_path.with_suffix('.sigmf-data.npy'))
+
+
+def _cut_at_capture_starts(x: np.ndarray, capture_starts, stack: bool):
+    """cut the flat payload at each capture's sample_start offset; with
+    ``stack`` the per-capture segments become columns of one 2-D array."""
+    interior_cuts = sorted(capture_starts)[1:]
+    segments = np.array_split(x, interior_cuts)
+    return np.vstack(segments).T if stack else segments
+
+
+def _voltage_scale_from_cal(cal: dict, require: bool, z0: float):
+    """multiplicative raw-sample -> volts factor from the calibrated
+    front-end gain (1/sqrt(2*G/z0)), or None when uncalibrated."""
+    gain_dB = cal.get('gain (dB)', None)
+    if gain_dB is None:
+        if require:
+            raise LookupError('no calibration data is available in NTIA extensions')
+        return None
+    return 1.0 / np.sqrt(2.0 * 10.0 ** (gain_dB / 10.0) / z0)
+
+
 def read_sigmf(
-    metadata_path: str,
-    force_sample_rate: float = None,
-    sigmf_data_ext='.npy',
-    stack=False,
-    ntia_extensions=False,
-    z0=50,
+    metadata_path: str, force_sample_rate: float = None, sigmf_data_ext='.npy',
+    stack=False, ntia_extensions=False, z0=50,
 ):
     """load a SigMF capture stored in npy format, split by capture start,
-    with optional gain de-embedding to volts (reference io.py:58-96)."""
-    metadata_path = Path(metadata_path)
+    with optional gain de-embedding to volts.
 
-    center_freqs, timestamps, sample_rate, cal = read_sigmf_metadata(
+    Behavior parity with reference io.py:58-96 (return contract:
+    ``(captures, center_frequencies, Ts, calibration)``), decomposed here
+    into payload-load / capture-split / calibration-scale steps.
+    """
+    metadata_path = Path(metadata_path)
+    center_freqs, _timestamps, sample_rate, cal = read_sigmf_metadata(
         metadata_path, ntia=ntia_extensions
     )
+    Ts = 1.0 / (force_sample_rate if force_sample_rate is not None else sample_rate)
 
-    if force_sample_rate is not None:
-        sample_rate = force_sample_rate
+    payload = _load_sigmf_payload(metadata_path, sigmf_data_ext)
+    captures = _cut_at_capture_starts(payload, center_freqs.keys(), stack)
 
-    if sigmf_data_ext == '.npy':
-        data_fn = metadata_path.with_suffix('.sigmf-data.npy')
-        x = np.load(data_fn)
-    else:
-        raise TypeError(f'SIGMF data extension {sigmf_data_ext} not supported')
+    scale = _voltage_scale_from_cal(cal, require=ntia_extensions, z0=z0)
+    if scale is not None:
+        captures = np.multiply(captures, scale)
 
-    x_split = np.array_split(x, list(center_freqs.keys())[1:])
-
-    if stack:
-        x_split = np.vstack(x_split).T
-
-    if cal.get('gain (dB)', None) is not None:
-        gain = 10 ** (cal['gain (dB)'] / 10.0)
-        x_split = x_split / np.sqrt(gain * 2 / z0)
-    elif ntia_extensions:
-        raise LookupError('no calibration data is available in NTIA extensions')
-
-    return (x_split, np.array(list(center_freqs.values())), 1.0 / sample_rate, cal)
+    return captures, np.array(list(center_freqs.values())), Ts, cal
 
 
 def read_sigmf_to_df(
@@ -296,7 +310,7 @@ def read_iq_data(
         path: .sigmf-data file path
         sample_format: 'ci16_le' or 'cf32_le'
         offset_samples / num_samples: complex-sample span (-1 = to EOF)
-        scale: per-sample scale for ci16 (default 1/32768)
+        scale: per-sample scale (ci16 default 1/32768, cf32 default 1)
     """
     path = str(path)
     fmt = sample_format.replace('_le', '')
@@ -321,12 +335,16 @@ def read_iq_data(
 
     if fmt == 'cf32':
         if _iqio is not None:
-            return _iqio.load_cf32(
+            z = _iqio.load_cf32(
                 path, offset_samples=offset_samples, num_samples=num_samples
             )
-        raw = np.memmap(path, dtype=np.complex64, mode='r')
-        n = raw.size - offset_samples if num_samples < 0 else num_samples
-        return np.array(raw[offset_samples : offset_samples + n])
+        else:
+            raw = np.memmap(path, dtype=np.complex64, mode='r')
+            n = raw.size - offset_samples if num_samples < 0 else num_samples
+            z = np.array(raw[offset_samples : offset_samples + n])
+        if scale is not None and scale != 1.0:
+            z *= np.complex64(scale)
+        return z
 
     raise ValueError(f'unsupported sample_format {sample_format!r}')
 
@@ -523,6 +541,9 @@ class CapturePrefetcher:
 
                     time.sleep(0.002)
             self._thread.join()
+        # iteration after the context exits must hit the RuntimeError
+        # guard rather than block on a drained queue with a dead producer
+        self._queue = None
         return False
 
     def __iter__(self):

@@ -169,7 +169,7 @@ def design_persistence(
         'fingerprint': (
             nfft,
             hist_bins,
-            tuple(np.round(hist_range_dB, 9)) if hist_bins else None,
+            tuple(float(v) for v in hist_range_dB) if hist_bins else None,
             fft_backend,
             # precision changes the measurement function (up to ~0.05
             # dB between tiers) — carries must not mix tiers

@@ -51,14 +51,15 @@ static void *convert_worker(void *arg)
     const float scale = s->job.scale;
 
     if (s->job.dst_im != NULL && s->job.srcf != NULL) {
-        /* plane deinterleave from float32 payload */
+        /* plane deinterleave (+ scale) from float32 payload; the copy is
+           bandwidth-bound, so the multiply is free even at scale=1 */
         const float *src = s->job.srcf + 2 * s->begin;
         float *re = s->job.dst + s->begin;
         float *im = s->job.dst_im + s->begin;
         npy_intp n = s->end - s->begin;
         for (npy_intp i = 0; i < n; i++) {
-            re[i] = src[2 * i];
-            im[i] = src[2 * i + 1];
+            re[i] = scale * src[2 * i];
+            im[i] = scale * src[2 * i + 1];
         }
         return NULL;
     }

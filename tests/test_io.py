@@ -288,6 +288,38 @@ def test_read_iq_planes_cf32(tmp_path):
     np.testing.assert_array_equal(p[0] + 1j * p[1], z)
 
 
+def test_read_iq_cf32_scale_applied(tmp_path):
+    """an explicit scale= must scale cf32 payloads in both loaders
+    (ADVICE r2: the native plane path used to drop it silently)."""
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(
+        'complex64'
+    )
+    x.tofile(tmp_path / 'c.sigmf-data')
+
+    p = io.read_iq_planes(tmp_path / 'c.sigmf-data', 'cf32_le', scale=0.25)
+    np.testing.assert_allclose(p[0], 0.25 * x.real, rtol=1e-6)
+    np.testing.assert_allclose(p[1], 0.25 * x.imag, rtol=1e-6)
+
+    z = io.read_iq_data(tmp_path / 'c.sigmf-data', 'cf32_le', scale=0.25)
+    np.testing.assert_allclose(z, (0.25 * x).astype('complex64'), rtol=1e-6)
+
+
+def test_capture_prefetcher_post_context_iteration_raises(tmp_path):
+    """iterating after the with-block must raise, not block forever
+    (ADVICE r2: __exit__ used to leave the drained queue in place)."""
+    import pytest
+
+    x = np.arange(4096 * 2, dtype='complex64')
+    x.tofile(tmp_path / 'd.sigmf-data')
+    pf = io.CapturePrefetcher(tmp_path / 'd.sigmf-data', 4096, 'cf32_le')
+    with pf as chunks:
+        for _ in chunks:
+            pass
+    with pytest.raises(RuntimeError, match='inside the context'):
+        next(iter(pf))
+
+
 def test_capture_prefetcher_matches_sync(tmp_path):
     rng = np.random.default_rng(2)
     n = 4096 * 5 + 17  # 5 whole chunks + a tail
