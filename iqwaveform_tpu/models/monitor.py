@@ -300,10 +300,10 @@ class WidebandMonitor:
                 self._nfft_big, d.channel_count, self._skip_bins, d.apd_navg
             ):
                 raise ValueError(
-                    "chan_kernel='pallas' requires full-band analysis "
-                    '(no bin trim), 128 | channelizer FFT size with >= 8 '
-                    'sublane rows, whole channels per lane group, and '
-                    'apd_navg dividing 128'
+                    "chan_kernel='pallas' requires 128 | channelizer FFT "
+                    'size with >= 8 sublane rows, apd_navg dividing 128, '
+                    'and at most one channel/trim boundary per factored '
+                    'lane (chan_stats_supported)'
                 )
             import functools as _ft
 
@@ -313,6 +313,7 @@ class WidebandMonitor:
                 channel_count=d.channel_count,
                 window=np.asarray(self._w_ch) / self._nfft_big,
                 navg=d.apd_navg,
+                skip_bins=self._skip_bins,
                 precision=d.fft_precision,
             )
         elif d.chan_kernel != 'xla':
@@ -366,6 +367,7 @@ class WidebandMonitor:
                     channel_count=d.channel_count,
                     window=np.asarray(self._w_ch) / self._nfft_big,
                     navg=d.apd_navg,
+                    skip_bins=self._skip_bins,
                     precision=prec,
                 )
 

@@ -47,21 +47,27 @@ _EPS = 1e-25
 def chan_stats_supported(
     nfft_big: int, channel_count: int, skip_bins: int, navg: int
 ) -> bool:
-    """the kernel covers the monitor's hot configuration: full-band
-    analysis (no bin trim), 128 | nfft_big with a >= 8 sublane rows,
-    whole channels per k2 lane group, and navg dividing one lane row."""
-    if skip_bins != 0 or nfft_big % _LANES:
+    """the kernel covers the monitor's hot configurations: 128 | nfft_big
+    with a >= 8 sublane rows, navg dividing one lane row, and a channel
+    layout (including an analysis-bin trim, skip_bins > 0) in which each
+    factored-coordinate lane spans at most two channel intervals — i.e.
+    at most one channel/trim boundary falls strictly inside any lane's
+    a-bin span, so per-channel sums decompose into whole-lane sums plus
+    one masked prefix correction per boundary lane (VERDICT r2 #3)."""
+    if nfft_big % _LANES or skip_bins % 2 or skip_bins < 0:
         return False
     a = nfft_big // _LANES
-    bins_per_ch = nfft_big // channel_count
-    return (
-        a >= 8
-        and a % 8 == 0
-        and nfft_big % channel_count == 0
-        and bins_per_ch % a == 0
-        and navg >= 1
-        and _LANES % navg == 0
-    )
+    if a < 8 or a % 8 or navg < 1 or _LANES % navg or channel_count > _LANES:
+        return False
+    if (nfft_big - skip_bins) % channel_count:
+        return False
+    # at most one boundary strictly inside any lane: boundaries on lane
+    # edges are free, interior ones must land in distinct lanes
+    analysis_bins = (nfft_big - skip_bins) // channel_count
+    bounds = skip_bins // 2 + analysis_bins * np.arange(channel_count + 1)
+    interior = bounds[bounds % a != 0]
+    lane_of = interior // a
+    return np.unique(lane_of).size == lane_of.size
 
 
 @lru_cache()
@@ -99,10 +105,64 @@ def _group_matrix(b: int, group: int, scale: float):
     return G
 
 
+@lru_cache()
+def _channel_interval_matrices(nfft_big: int, skip_bins: int, channel_count: int):
+    """trim-aware per-lane channel assignment (VERDICT r2 #3).
+
+    Channel c owns natural bins [skip/2 + c*analysis, skip/2 +
+    (c+1)*analysis); lane j of the factored layout covers the contiguous
+    bins [j*a, (j+1)*a) as k1 runs down the sublanes. With at most one
+    channel/trim boundary interior to any lane (chan_stats_supported),
+    the per-channel power decomposes into
+
+        channel_power = S_full @ ga + P @ gb
+
+    where S_full[t, j] is lane j's whole-column sum, P[t, j] its masked
+    prefix sum over sublanes k1 < r(j) (r = the boundary offset), ga
+    assigns whole lanes and boundary-lane *suffixes* to their channels,
+    and gb = (prefix-channel map) - (suffix-channel map) corrects the
+    prefix rows. Returns (ga, gb, maskP, has_boundary).
+    """
+    a = nfft_big // _LANES
+    b = _LANES
+    analysis = (nfft_big - skip_bins) // channel_count
+
+    def chan_of(k: int) -> int:
+        rel = k - skip_bins // 2
+        if rel < 0:
+            return -1
+        c = rel // analysis
+        return c if c < channel_count else -1
+
+    A = np.zeros((b, b), 'float32')
+    BL = np.zeros((b, b), 'float32')
+    BR = np.zeros((b, b), 'float32')
+    maskP = np.zeros((a, b), 'float32')
+    has_boundary = False
+    for j in range(b):
+        chans = [chan_of(j * a + i) for i in range(a)]
+        r = 0
+        for i in range(1, a):
+            if chans[i] != chans[i - 1]:
+                r = i
+                break
+        if r == 0:
+            if chans[0] >= 0:
+                A[j, chans[0]] = 1.0
+        else:
+            has_boundary = True
+            maskP[:r, j] = 1.0
+            if chans[0] >= 0:
+                BL[j, chans[0]] = 1.0
+            if chans[r] >= 0:
+                BR[j, chans[r]] = 1.0
+    return A + BR, BL - BR, maskP, has_boundary
+
+
 def _chan_stats_kernel(
-    yr, yi, war, wai, far, fai, twr, twi, fbr, fbi, gbin, gch,
+    yr, yi, war, wai, far, fai, twr, twi, fbr, fbi, gbin, gch, gbd, mp,
     lsum, smax, chp, pbin,
-    *, T, a, b, nch, navg, passes,
+    *, T, a, b, nch, navg, passes, boundary,
 ):
     dot = _make_dot(passes)
     # exact-leaning precision for the tiny grouping dots (counts feed an
@@ -144,10 +204,16 @@ def _chan_stats_kernel(
     lsum[...] += jnp.sum(jnp.log(spg + _EPS), axis=0)
     smax[...] = jnp.maximum(smax[...], jnp.max(spg, axis=0))
 
-    # channel power: bin k = k2*a + k1 -> channel k2 // g with
-    # g = lanes per channel (bins_per_channel // a); the lane-group sum
-    # is the gch dot, zero-padded to the full lane row by construction
-    chp[...] = dot6(jnp.sum(spg, axis=1), gch[...])
+    # channel power: lane j covers contiguous bins [j*a, (j+1)*a); whole
+    # lanes and boundary-lane suffixes assign through the gch dot, and
+    # (with an analysis-bin trim) boundary-lane masked prefixes correct
+    # through the gbd dot — see _channel_interval_matrices
+    s_full = jnp.sum(spg, axis=1)  # (T, b)
+    chp_val = dot6(s_full, gch[...])
+    if boundary:
+        p_pref = jnp.sum(spg * mp[...][None], axis=1)
+        chp_val += dot6(p_pref, gbd[...])
+    chp[...] = chp_val
 
 
 def chan_stats_pallas(
@@ -157,6 +223,7 @@ def chan_stats_pallas(
     channel_count: int,
     window: np.ndarray,
     navg: int = 1,
+    skip_bins: int = 0,
     precision='high',
     frames_per_block: int = 16,
     interpret: bool = None,
@@ -166,10 +233,14 @@ def chan_stats_pallas(
     y: (S,) complex64 with S a multiple of nfft_big.
     window: complex (nfft_big,) channelizer window (normalization and
         fftshift baked in, as WidebandMonitor._w_ch / nfft_big).
+    skip_bins: total analysis-bandwidth trim (reference
+        fourier.py:1399-1404): the outer skip_bins/2 natural bins on each
+        side join no channel; channel c owns analysis_bins =
+        (nfft_big - skip_bins) / channel_count contiguous kept bins.
 
     Returns dict:
         psd_log_sum: (nfft_big,) sum over frames of ln(spg + 1e-25),
-            natural bin order
+            natural bin order (full band, no trim)
         psd_max: (nfft_big,) max over frames of spg, natural bin order
         channel_power: (frames, channel_count) raw per-channel power
         p_binned: (S // navg,) detector-binned |y|^2 (padding removed)
@@ -179,15 +250,17 @@ def chan_stats_pallas(
     w = np.asarray(window, dtype='complex64')
     a, b, consts = _chan_constants(nfft_big, w.tobytes())
     gbin = _group_matrix(b, navg, 1.0 / navg)
-    gch = _group_matrix(b, b // channel_count, 1.0)
-    consts = consts + (gbin, gch)
+    gch, gbd, mp, boundary = _channel_interval_matrices(
+        nfft_big, skip_bins, channel_count
+    )
+    consts = consts + (gbin, gch, gbd, mp)
 
     M = y.shape[0] // nfft_big
     yr = y.real.reshape(M * a, b)
     yi = y.imag.reshape(M * a, b)
     return _chan_call(
         yr, yi, M=M, a=a, b=b, channel_count=channel_count, navg=navg,
-        consts=consts, precision=precision,
+        consts=consts, precision=precision, boundary=boundary,
         frames_per_block=frames_per_block, interpret=interpret,
         col_blocks=(0, 0),
     )
@@ -200,6 +273,7 @@ def chan_stats_packed_pallas(
     channel_count: int,
     window: np.ndarray,
     navg: int = 1,
+    skip_bins: int = 0,
     precision='high',
     frames_per_block: int = 16,
     interpret: bool = None,
@@ -214,13 +288,15 @@ def chan_stats_packed_pallas(
     w = np.asarray(window, dtype='complex64')
     a, b, consts = _chan_constants(nfft_big, w.tobytes())
     gbin = _group_matrix(b, navg, 1.0 / navg)
-    gch = _group_matrix(b, b // channel_count, 1.0)
-    consts = consts + (gbin, gch)
+    gch, gbd, mp, boundary = _channel_interval_matrices(
+        nfft_big, skip_bins, channel_count
+    )
+    consts = consts + (gbin, gch, gbd, mp)
 
     M = y_packed.shape[0] * _LANES // nfft_big
     return _chan_call(
         y_packed, y_packed, M=M, a=a, b=b, channel_count=channel_count,
-        navg=navg, consts=consts, precision=precision,
+        navg=navg, consts=consts, precision=precision, boundary=boundary,
         frames_per_block=frames_per_block, interpret=interpret,
         col_blocks=(0, 1),
     )
@@ -228,7 +304,7 @@ def chan_stats_packed_pallas(
 
 def _chan_call(
     yr, yi, *, M, a, b, channel_count, navg, consts, precision,
-    frames_per_block, interpret, col_blocks,
+    frames_per_block, interpret, col_blocks, boundary=False,
 ):
     # the per-frame channel-power output block has T sublane rows, so T
     # must stay a multiple of 8 (and divide the frame count)
@@ -251,7 +327,7 @@ def _chan_call(
     lsum, smax, chp, pbin = pl.pallas_call(
         functools.partial(
             _chan_stats_kernel,
-            T=T, a=a, b=b, nch=channel_count, navg=navg,
+            T=T, a=a, b=b, nch=channel_count, navg=navg, boundary=boundary,
             passes={'highest': 6, 'high': 3, 'default': 1, 'bf16': 1}.get(
                 precision if isinstance(precision, str) else 'highest', 3
             ),

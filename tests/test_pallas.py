@@ -264,3 +264,65 @@ def test_strict_kernel_dispatch_raises(monkeypatch):
         assert np.asarray(out).shape[0] == 256 + 64  # nfft + ncp
     finally:
         _common.set_strict_kernels(True)
+
+
+@pytest.mark.parametrize('skip_frac', [0.0, 0.25])
+def test_chan_stats_pallas_trim(skip_frac):
+    """trim-aware channel power (VERDICT r2 #3): with an analysis-bin
+    trim whose channel boundaries cross factored lanes, the kernel's
+    interval-mask + boundary-correction dots must match the direct
+    FFT->trim->reshape->sum oracle; the full-band psd outputs are
+    unaffected by the trim."""
+    from iqwaveform_tpu.ops.pallas.chan_stats_pallas import (
+        chan_stats_pallas,
+        chan_stats_supported,
+    )
+
+    rng = np.random.default_rng(0)
+    nch, fpc = 8, 256
+    ana = round(fpc * (1 - skip_frac))
+    nfft_big = nch * fpc  # a=16 sublane rows; 192-bin channels cross lanes
+    skip = nch * (fpc - ana)
+    navg = 4
+    assert chan_stats_supported(nfft_big, nch, skip, navg)
+
+    M = 8
+    y = (
+        rng.standard_normal(M * nfft_big) + 1j * rng.standard_normal(M * nfft_big)
+    ).astype('complex64')
+    wc = (np.hanning(nfft_big) / nfft_big).astype('complex64')
+
+    out = chan_stats_pallas(
+        jnp.asarray(y), nfft_big=nfft_big, channel_count=nch, window=wc,
+        navg=navg, skip_bins=skip, interpret=True,
+    )
+
+    frames = y.reshape(M, nfft_big) * wc[None]
+    spg = np.abs(np.fft.fft(frames, axis=1)) ** 2
+    X = spg[:, skip // 2 : nfft_big - skip // 2] if skip else spg
+    cp_ref = X.reshape(M, nch, ana).sum(axis=2)
+    cp = np.asarray(out['channel_power'])
+    assert np.abs(cp - cp_ref).max() <= 1e-5 * cp_ref.max()
+
+    ps_ref = np.log(spg + 1e-25).sum(axis=0)
+    ps = np.asarray(out['psd_log_sum'])
+    assert np.abs(ps - ps_ref).max() <= 1e-4 * np.abs(ps_ref).max()
+    np.testing.assert_allclose(
+        np.asarray(out['psd_max']), spg.max(axis=0), rtol=1e-4
+    )
+
+
+def test_chan_stats_supported_trim_rules():
+    from iqwaveform_tpu.ops.pallas.chan_stats_pallas import chan_stats_supported
+
+    # config #4 shape: 64ch x 256, 192 analysis bins -> skip 4096 of 16384
+    assert chan_stats_supported(16384, 64, 4096, 16)
+    # odd skip rejected
+    assert not chan_stats_supported(16384, 64, 4095, 16)
+    # 8-bin channels with a=16 lanes still work (one interior boundary
+    # per lane; the other boundaries land on lane edges)
+    assert chan_stats_supported(2048, 128, 1024, 16)
+    # 6-bin channels put multiple boundaries inside one lane -> rejected
+    assert not chan_stats_supported(2048, 128, 1280, 16)
+    # non-integral analysis bins rejected
+    assert not chan_stats_supported(16384, 64, 4000, 16)
