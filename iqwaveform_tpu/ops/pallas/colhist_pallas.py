@@ -183,43 +183,48 @@ def _rep_rows(x, n, interpret):
 
 
 def _colhist_packed_kernel(
-    idx_ref, out_ref, *, Tb, G, G_hi, QI, QJ, factor_dtype, interpret
+    idx_ref, out_ref, *, Tb, G, G_hi, QI, QJ, slab_size, factor_dtype, interpret
 ):
     """idx block (128, Tb) int32 -> raw (slab, quadrant) count tiles.
 
-    Packs _SLAB=8 frequencies into every MXU pass: the per-frequency
-    formulation issues one (G_hi, Tb)x(Tb, G) pass per frequency per
-    time chunk and is pass-floor bound (~134 cycles/pass measured
-    regardless of G — the systolic array charges a full pipeline pass
-    for any output tile up to 128x128). Here one dot computes a full
-    (128, 128) tile holding 8 frequencies' partial histograms: factor
-    rows cycle through the slab's 8 frequencies (sublane tile-repeat)
-    while the copy index enumerates 16 hi (or lo) levels, so tile
-    [c*8+p, d*8+p] = count(f=slab*8+p, hi=qi*16+c, lo=qj*16+d). The
-    p != p' cross-frequency cells are discarded host-side. Passes per
-    time chunk drop from 8 to QI*QJ per slab (2x for 1024 bins, 4x for
-    256)."""
+    Packs ``slab_size`` frequencies into every MXU pass: the
+    per-frequency formulation issues one (G_hi, Tb)x(Tb, G) pass per
+    frequency per time chunk and is pass-floor bound (~134 cycles/pass
+    measured regardless of G — the systolic array charges a full
+    pipeline pass for any output tile up to 128x128). Here one dot
+    computes a full (128, 128) tile holding slab_size frequencies'
+    partial histograms: factor rows cycle through the slab's
+    frequencies (sublane tile-repeat) while the copy index enumerates
+    128/slab_size hi (or lo) levels, so with C = 128/slab_size, tile
+    [c*slab+p, d*slab+p] = count(f, hi=qi*C+c, lo=qj*C+d). The p != p'
+    cross-frequency cells are discarded host-side.
+
+    Passes per (freq block, time chunk) = (128/slab_size)*QI*QJ;
+    _pick_slab minimizes this over the power-of-two slab sizes (e.g. at
+    1024 bins slab 4 x 32 copies runs QI=QJ=1 -> 32 passes, half the
+    slab-8 64; at 256 bins slab 8 stays optimal at 16)."""
     t = pl.program_id(1)
-    n_slabs = idx_ref.shape[0] // _SLAB
+    copies = _LANES // slab_size
+    n_slabs = idx_ref.shape[0] // slab_size
 
     @pl.when(t == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    # copy index c in [0, 16) of each factor row
-    code = jax.lax.broadcasted_iota(jnp.int32, (_LANES, Tb), 0) // _SLAB
+    # copy index c in [0, copies) of each factor row
+    code = jax.lax.broadcasted_iota(jnp.int32, (_LANES, Tb), 0) // slab_size
     acc_dtype = jnp.int32 if factor_dtype == jnp.int8 else jnp.float32
 
     for s in range(n_slabs):
-        slab = idx_ref[s * _SLAB : (s + 1) * _SLAB, :]  # (8, Tb)
+        slab = idx_ref[s * slab_size : (s + 1) * slab_size, :]  # (slab, Tb)
         hi = slab // G
         lo = slab - hi * G
-        rep_hi = _rep_rows(hi, _COPIES, interpret)  # (128, Tb)
-        rep_lo = _rep_rows(lo, _COPIES, interpret)
+        rep_hi = _rep_rows(hi, copies, interpret)  # (128, Tb)
+        rep_lo = _rep_rows(lo, copies, interpret)
         for qi in range(QI):
-            Hq = (rep_hi == code + _COPIES * qi).astype(factor_dtype)
+            Hq = (rep_hi == code + copies * qi).astype(factor_dtype)
             for qj in range(QJ):
-                Lq = (rep_lo == code + _COPIES * qj).astype(factor_dtype)
+                Lq = (rep_lo == code + copies * qj).astype(factor_dtype)
                 # contract the shared time lanes of both factors
                 tile = jax.lax.dot_general(
                     Hq,
@@ -231,37 +236,73 @@ def _colhist_packed_kernel(
                 out_ref[r : r + _LANES, :] += tile
 
 
+@functools.lru_cache()
+def _pick_slab(B: int):
+    """minimize MXU passes per (freq block, time chunk) over power-of-two
+    slab sizes: passes = (128/slab) * QI * QJ with QI*QJ the smallest
+    power-of-two product where QI*QJ*(128/slab)^2 >= B. Returns
+    (slab, QI, QJ)."""
+    best = None
+    for slab in (1, 2, 4, 8, 16, 32, 64):
+        copies = _LANES // slab
+        QI = QJ = 1
+        while QI * QJ * copies * copies < B:
+            if QJ <= QI:
+                QJ *= 2
+            else:
+                QI *= 2
+        passes = (_LANES // slab) * QI * QJ
+        if best is None or passes < best[0]:
+            best = (passes, slab, QI, QJ)
+    return best[1], best[2], best[3]
+
+
 def columnwise_histogram_packed(
     vals,
     edges,
     *,
     time_block: int = 128,
     factor_dtype=jnp.bfloat16,
+    slab_size: int = None,
     interpret: bool = None,
+    levels: tuple = None,
 ):
     """per-column histogram of ``vals`` (rows, cols) over UNIFORM
     ``edges`` -> (cols, n_bins) int32 counts; same contract as
     columnwise_histogram_pallas but measured 6.5x faster at 1024 bins
-    (2.9 vs 18.7 ms at (16384, 1024), and 0.4-0.8 ms at <=512 bins) by
-    packing 8 frequencies per MXU pass (see _colhist_packed_kernel).
+    at the fixed slab of 8 — and the pass-minimizing slab (_pick_slab;
+    e.g. 4 x 32 copies at 1024 bins) halves the MXU passes again.
     Bin-edge rounding caveat as the unpacked kernel: totals exact, a
-    sample within float32 rounding of an edge may land one bin over."""
+    sample within float32 rounding of an edge may land one bin over.
+
+    ``levels``: pass (idx, B) to count PRE-QUANTIZED int32 level
+    indices (e.g. emitted by the fused spectrogram kernel) instead of
+    quantizing ``vals`` here; ``vals``/``edges`` are then ignored for
+    values and only ``idx`` (rows, cols) is read.
+    """
     if interpret is None:
         interpret = not _on_tpu_like()
 
-    idx, B = _quantize_uniform(vals, edges)
+    if levels is not None:
+        idx, B = levels
+    else:
+        idx, B = _quantize_uniform(vals, edges)
 
-    # minimal quadrant grid: G_hi = QI*16 hi-levels, G = QJ*16 lo-levels
-    QJ = 1
-    QI = 1
-    while QI * QJ * _COPIES * _COPIES < B:
-        if QJ <= QI:
-            QJ *= 2
-        else:
-            QI *= 2
-    G_hi, G = QI * _COPIES, QJ * _COPIES
+    slab = slab_size
+    if slab is None:
+        slab, QI, QJ = _pick_slab(B)
+    else:
+        copies = _LANES // slab
+        QI = QJ = 1
+        while QI * QJ * copies * copies < B:
+            if QJ <= QI:
+                QJ *= 2
+            else:
+                QI *= 2
+    copies = _LANES // slab
+    G_hi, G = QI * copies, QJ * copies
 
-    T, F = vals.shape
+    T, F = idx.shape
     F_p = _round_up(F, _LANES)
     T_p = _round_up(T, time_block)
 
@@ -270,7 +311,7 @@ def columnwise_histogram_packed(
         idx.T, ((0, F_p - F), (0, T_p - T)), constant_values=sentinel
     )
 
-    rows_per_fblock = (_LANES // _SLAB) * QI * QJ * _LANES
+    rows_per_fblock = (_LANES // slab) * QI * QJ * _LANES
     out = pl.pallas_call(
         functools.partial(
             _colhist_packed_kernel,
@@ -279,6 +320,7 @@ def columnwise_histogram_packed(
             G_hi=G_hi,
             QI=QI,
             QJ=QJ,
+            slab_size=slab,
             factor_dtype=factor_dtype,
             interpret=interpret,
         ),
@@ -298,17 +340,17 @@ def columnwise_histogram_packed(
         interpret=interpret,
     )(idx)
 
-    # raw tiles -> counts: tile[c*8+p, d*8+p'] is only meaningful on the
-    # frequency diagonal p == p'
+    # raw tiles -> counts: tile[c*slab+p, d*slab+p'] is only meaningful
+    # on the frequency diagonal p == p'
     o = out.reshape(
         F_p // _LANES,
-        _LANES // _SLAB,
+        _LANES // slab,
         QI,
         QJ,
-        _COPIES,
-        _SLAB,
-        _COPIES,
-        _SLAB,
+        copies,
+        slab,
+        copies,
+        slab,
     )
     diag = jnp.einsum('fsijcpdp->fspicjd', o)
     counts = diag.reshape(F_p, G_hi * G)[:F, :B]

@@ -229,6 +229,10 @@ def persistence_fold(carry: PersistenceCarry, chunk, design: dict):
     persistence carry (traceable; ``design`` is static). Bin order of
     the carry is the design's internal order — always read results
     through persistence_finalize."""
+    fused = _fused_levels_fold(carry, chunk, design)
+    if fused is not None:
+        return fused
+
     spg_dB = _spectrogram_dB_chunk(chunk, design)
 
     if design['edges_dB'] is None:
@@ -248,6 +252,48 @@ def persistence_fold(carry: PersistenceCarry, chunk, design: dict):
         pmax=jnp.maximum(carry.pmax, spg_dB.max(axis=0)),
         pmin=jnp.minimum(carry.pmin, spg_dB.min(axis=0)),
         count=carry.count + spg_dB.shape[0],
+    )
+
+
+def _fused_levels_fold(carry, chunk, design):
+    """pallas-backend fold through the fused spectrogram->levels+stats
+    kernel (VERDICT r2 #2): the dB frames never round-trip through HBM —
+    the kernel emits quantized histogram levels plus the per-bin
+    sum/max/min accumulated in VMEM, and only the level indices feed the
+    packed one-hot-matmul histogram. Returns None when the design/shape
+    wants the unfused path (stats-only folds, nfft < 1024, non-multiple
+    chunk sizes, >4096 bins)."""
+    if design['fft_backend'] != 'pallas' or design['edges_dB'] is None:
+        return None
+    if design['edges_dB'].shape[0] - 1 > 4096:
+        return None
+    from ..ops.pallas.spectrogram_pallas import (
+        spectrogram_levels_pallas,
+        spectrogram_levels_supported,
+    )
+
+    flat = chunk.reshape(-1)
+    if not spectrogram_levels_supported(design['nfft'], flat.shape[0]):
+        return None
+
+    from ..ops.pallas.colhist_pallas import columnwise_histogram_packed
+
+    idx, psum, pmax, pmin = spectrogram_levels_pallas(
+        flat.real,
+        flat.imag,
+        design['window'],
+        design['nfft'],
+        design['edges_dB'],
+        passes=design['fft_passes'],
+    )
+    B = design['edges_dB'].shape[0] - 1
+    counts = columnwise_histogram_packed(None, None, levels=(idx, B))
+    return PersistenceCarry(
+        hist=carry.hist + counts,
+        psum=carry.psum + psum,
+        pmax=jnp.maximum(carry.pmax, pmax),
+        pmin=jnp.minimum(carry.pmin, pmin),
+        count=carry.count + idx.shape[0],
     )
 
 

@@ -326,6 +326,61 @@ def test_streaming_persistence_pallas_backend():
         )
 
 
+def test_streaming_persistence_fused_levels_fold():
+    """at nfft >= 1024 the pallas backend takes the fused
+    levels+stats fold (VERDICT r2 #2: the dB spectrogram never
+    round-trips through HBM) — results must match the mxu factored path
+    like the unfused pallas fold does."""
+    from iqwaveform_tpu.parallel import streaming as streaming_mod
+
+    fs = 1e6
+    nfft = 1024
+    n = 1024 * 128 * 2  # two kernel grid steps per chunk, two chunks
+    x = make_tone_noise(2 * n, fs=fs)
+    kw = dict(fs=fs, window='hann', nfft=nfft, chunk_frames=n // nfft,
+              quantiles=(0.5, 0.99), hist_bins=512)
+
+    # the fused branch must actually engage at this shape
+    design = streaming_mod.design_persistence(
+        nfft=nfft, window='hann', hist_bins=512, fft_backend='pallas'
+    )
+    chunk = jnp.zeros((n,), jnp.complex64)
+    assert streaming_mod._fused_levels_fold(
+        streaming_mod.persistence_init(design), chunk, design
+    ) is not None
+
+    r_mxu = parallel.streaming_persistence_spectrum(
+        jnp.asarray(x), fft_backend='mxu', **kw
+    )
+    r_pal = parallel.streaming_persistence_spectrum(
+        jnp.asarray(x), fft_backend='pallas', **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_pal['mean_dB']), np.asarray(r_mxu['mean_dB']), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_pal['max_dB']), np.asarray(r_mxu['max_dB']), atol=1e-3
+    )
+    # min of dB picks the deepest noise-floor frame, where the kernel's
+    # ln vs the mxu path's log10 differ by float32 rounding at near-ties
+    np.testing.assert_allclose(
+        np.asarray(r_pal['min_dB']), np.asarray(r_mxu['min_dB']), atol=5e-3
+    )
+    cum = np.abs(
+        np.cumsum(np.asarray(r_pal['hist']), axis=1)
+        - np.cumsum(np.asarray(r_mxu['hist']), axis=1)
+    )
+    assert cum.max() <= 2
+    # counts totals exact: every frame counted exactly once per freq
+    assert (np.asarray(r_pal['hist']).sum(axis=1) == 2 * n // nfft).all()
+    # histogram quantiles agree to bin resolution
+    np.testing.assert_allclose(
+        np.asarray(r_pal['quantiles_dB']),
+        np.asarray(r_mxu['quantiles_dB']),
+        atol=2 * (200.0 / 512),
+    )
+
+
 def test_streaming_persistence_mxu_backend_and_resume():
     """fft_backend='mxu' (factored bin order + readout unscramble)
     matches the XLA path, and init_carry continues accumulation: two
