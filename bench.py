@@ -133,6 +133,43 @@ def bench_monitor(nfft_hint: int, ola_kernel: str = 'matmul', fft_precision: str
     return f'monitor_pipeline_nfft{design.nfft}{tag}_1chip', n / dt / 1e6
 
 
+def bench_monitor_i16():
+    """fft_precision='i16': int16 frame planes (the native SigMF ci16
+    capture format) with the ADC scale folded into the kernel window —
+    the same halved HBM frame traffic as the bf16 tier, but lossless
+    for integer captures (accuracy = the 'high' tier)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
+
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=2048,
+        apd_navg=16, fft_backend='mxu', ola_kernel='pallas',
+        apd_kernel='pallas', chan_kernel='pallas',
+        fft_precision='i16', input_scale=2.0**-11, min_fft_size=8191,
+    )
+    mon = WidebandMonitor(design)
+    quantum = mon.min_input_multiple()
+    n = int(np.ceil(2**24 / quantum)) * quantum
+    _log(f'bench: monitor i16 nfft={design.nfft}->{design.nfft_out}')
+
+    # int16 planes generated on device (models a ci16 capture already
+    # resident; H2D int16 through the tunnel is separately exercised by
+    # the disk->chip example)
+    key = jax.random.PRNGKey(0)
+    counts = jax.jit(
+        lambda k: jnp.round(
+            jax.random.normal(k, (2, n), jnp.float32) * 1024.0
+        ).astype(jnp.int16)
+    )(key)
+
+    step = jax.jit(mon.step_planes)
+    dt = _measure(step, counts, fence_key='psd_mean')
+    return f'monitor_pipeline_nfft{design.nfft}_i16_1chip', n / dt / 1e6
+
+
 def bench_spectrogram():
     """BASELINE config #1: 1024-pt Hann spectrogram + envelope power
     stats (mean/max/min dB per bin), via the library's persistence
@@ -305,6 +342,49 @@ def bench_streaming():
     return 'streaming_apd_persistence_1GS_1chip', total / dt / 1e6, []
 
 
+def bench_psd():
+    """one-shot persistence PSD with quantiles (the reference's flagship
+    entry point, fourier.py:1236-1327): the factored fast path with
+    histogram quantiles (VERDICT r2 #4) vs the exact XLA sort path."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.ops.spectral import power_spectral_density
+    from iqwaveform_tpu.utils import unpack_iq
+
+    fs = 122.88e6
+    n = 2**24
+    nfft = 1024
+    stats = ['mean', 'max', 0.5, 0.95, 0.99]
+    rng = np.random.default_rng(0)
+    ri = jnp.asarray(
+        np.stack([rng.standard_normal(n), rng.standard_normal(n)]).astype(
+            'float32'
+        )
+    )
+
+    kw = dict(fs=fs, window='hann', resolution=fs / nfft, statistics=stats)
+    fast = jax.jit(
+        lambda p: power_spectral_density(
+            unpack_iq(p), fft_backend='pallas', quantile_method='histogram',
+            **kw,
+        )
+    )
+    xla = jax.jit(lambda p: power_spectral_density(unpack_iq(p), **kw))
+
+    dt_fast = _measure(fast, ri)
+    dt_xla = _measure(xla, ri)
+    _log(
+        f'psd: fast {n / dt_fast / 1e6:.0f} MS/s vs xla '
+        f'{n / dt_xla / 1e6:.0f} MS/s ({dt_xla / dt_fast:.2f}x)'
+    )
+    extras = [
+        ('psd_quantiles_xla_1chip', n / dt_xla / 1e6, 'MS/s'),
+        ('psd_fast_vs_xla_speedup', dt_xla / dt_fast, 'x'),
+    ]
+    return 'psd_quantiles_1chip', n / dt_fast / 1e6, extras
+
+
 def bench_channelize64():
     """BASELINE config #4: batched 64-channel channelizer -> per-channel
     power series -> detector stats, 4 captures x 10 Ms per step."""
@@ -346,12 +426,14 @@ CONFIGS = {
     'monitor8192p': lambda: bench_monitor(8192, ola_kernel='pallas', fft_precision='high', apd_kernel='pallas', chan_kernel='pallas'),
     # opt-in bf16 frame-storage tier (~4e-3 rel; see MonitorDesign)
     'monitor8192bf16': lambda: bench_monitor(8192, ola_kernel='pallas', fft_precision='bf16', apd_kernel='pallas', chan_kernel='pallas'),
+    'monitor8192i16': bench_monitor_i16,
     'monitor8192': lambda: bench_monitor(8192),
     'monitor2048': lambda: bench_monitor(2048),
     'spectrogram': bench_spectrogram,
     'monitorRx4': lambda: bench_monitor_rx(4),
     'streaming1gs': bench_streaming,
     'channelize64': bench_channelize64,
+    'psd': bench_psd,
 }
 
 
@@ -381,7 +463,7 @@ def run_matrix():
     budgets = {
         'monitor8192p': 900, 'monitor8192': 800, 'spectrogram': 800,
         'monitorRx4': 900, 'streaming1gs': 1100, 'channelize64': 1000,
-        'monitor8192bf16': 900,
+        'monitor8192bf16': 900, 'monitor8192i16': 900, 'psd': 900,
     }
     lines = []
     for name, budget in budgets.items():

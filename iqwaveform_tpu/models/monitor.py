@@ -65,10 +65,19 @@ class MonitorDesign:
     fft_backend: str = 'xla'
     # matmul precision for the mxu backend: 'highest' (6-pass bf16,
     # ~3e-7 rel), 'high' (3-pass, ~2e-5 max rel / ~1e-6 RMS, ~2x faster),
-    # or 'bf16' (1-pass + bf16 frame storage in the pallas OLA kernels:
+    # 'bf16' (1-pass + bf16 frame storage in the pallas OLA kernels:
     # halves HBM frame traffic at ~4e-3 rel / ~0.05 dB — opt-in only,
-    # exceeds the 1e-5 RMS budget)
+    # exceeds the 1e-5 RMS budget), or 'i16' (int16 frame storage +
+    # 3-pass dots: the same halved frame traffic as 'bf16' but LOSSLESS
+    # for natively integer captures — feed step_planes() int16 planes
+    # straight from a SigMF ci16 payload with input_scale set to the ADC
+    # scale; accuracy matches 'high'. Requires ola_kernel='pallas'.)
     fft_precision: str = 'highest'
+    # multiplicative raw-sample -> physical-units scale applied inside
+    # the OLA kernels (folded into the analysis window, so it is free).
+    # For ci16 captures the SigMF convention is 1/32768. Non-unity
+    # values require ola_kernel='pallas' (the packed kernel path).
+    input_scale: float = 1.0
     # fused OLA spectral-transform implementation when the factored path
     # applies: 'matmul' = XLA einsums (ops.mxu_fft.fused_ola_mxu);
     # 'pallas' = VMEM-resident kernel (ops.pallas.fused_ola_pallas) — the
@@ -103,6 +112,7 @@ def design_wideband_monitor(
     ola_kernel: str = 'matmul',
     apd_kernel: str = 'sort',
     chan_kernel: str = 'xla',
+    input_scale: float = 1.0,
     **resampler_kws,
 ) -> MonitorDesign:
     """derive a MonitorDesign from radio rates (host-side design math,
@@ -133,6 +143,7 @@ def design_wideband_monitor(
         ola_kernel=ola_kernel,
         apd_kernel=apd_kernel,
         chan_kernel=chan_kernel,
+        input_scale=input_scale,
     )
 
 
@@ -205,6 +216,18 @@ class WidebandMonitor:
             d.nfft, d.nfft_out, pb_start, pb_end
         )
 
+        # raw-sample scaling ('i16' integer captures / calibrated ADC
+        # counts) only has a consistent injection point in the pallas OLA
+        # kernels' folded analysis window
+        if (d.fft_precision == 'i16' or d.input_scale != 1.0) and (
+            d.ola_kernel != 'pallas' or d.fft_backend != 'mxu'
+        ):
+            raise ValueError(
+                "fft_precision='i16' / input_scale != 1 require "
+                "fft_backend='mxu' with ola_kernel='pallas' (the scale "
+                'folds into the fused kernel window)'
+            )
+
         # APD power-bin edges from dB range
         edges_dB = np.linspace(d.apd_range_dB[0], d.apd_range_dB[1], d.apd_bins)
         self.apd_edges_dB = edges_dB
@@ -228,6 +251,10 @@ class WidebandMonitor:
                 # 1-pass bf16 dots AND bf16 frame storage in the pallas
                 # kernels (~4e-3 rel; opt-in — see fused_ola_pallas)
                 'bf16': _jax.lax.Precision.DEFAULT,
+                # int16 frame storage + 3-pass dots in the pallas
+                # kernels; the non-pallas fallbacks see float32 and run
+                # the 3-pass tier
+                'i16': 'high',
             }[d.fft_precision]
             self._fft = _ft.partial(fft_mxu, precision=prec)
             self._ifft = _ft.partial(ifft_mxu, precision=prec)
@@ -251,7 +278,8 @@ class WidebandMonitor:
                     from ..ops.pallas.fused_ola_pallas import fused_ola_pallas
 
                     wind = (
-                        self._w_in
+                        d.input_scale
+                        * self._w_in
                         / np.abs(self._w_in[:: self.hop_in]).sum()
                     ).astype('complex64')
                     self._fused_ola_raw = _ft.partial(
@@ -346,7 +374,9 @@ class WidebandMonitor:
                 import functools as _ft
 
                 wind = (
-                    self._w_in / np.abs(self._w_in[:: self.hop_in]).sum()
+                    d.input_scale
+                    * self._w_in
+                    / np.abs(self._w_in[:: self.hop_in]).sum()
                 ).astype('complex64')
                 prec = d.fft_precision
                 self._packed_ola = _ft.partial(
@@ -486,19 +516,18 @@ class WidebandMonitor:
             and chan_frames > 0
         )
 
-    def _packed_resample(self, x, axis_name):
-        """OLA bandpass + resample stage of the packed body: complex (or
-        packed-plane) input stream -> packed (rows, 256) float32 planes of
-        the resampled output (halo-exchanged under ``axis_name``)."""
+    def _packed_resample(self, planes, axis_name):
+        """OLA bandpass + resample stage of the packed body: (2, N)
+        sample planes (float32, or int16 raw counts at the 'i16' tier)
+        -> packed (rows, 256) float32 planes of the resampled output
+        (halo-exchanged under ``axis_name``)."""
         d = self.design
         hop_in = self.hop_in
         hop_out = d.nfft_out - self.noverlap_out
-        S = x.shape[0]
+        S = planes.shape[1]
         n_frames = S // hop_in
         R = d.nfft // hop_in
         M1 = n_frames // R
-
-        planes = jnp.stack([x.real, x.imag])  # elided when x came packed
         if self.noverlap_in > 0:
             if axis_name is None:
                 halo = jnp.zeros((2, self.noverlap_in), planes.dtype)
@@ -555,7 +584,13 @@ class WidebandMonitor:
     def _body_packed(self, x, axis_name):
         """the fully-packed monitor body: planes in, packed kernels
         throughout, no complex intermediate streams."""
-        y_packed = self._packed_resample(x, axis_name)
+        # elided by XLA when x was built by unpack_iq(planes)
+        return self._body_packed_planes(
+            jnp.stack([x.real, x.imag]), axis_name
+        )
+
+    def _body_packed_planes(self, planes, axis_name):
+        y_packed = self._packed_resample(planes, axis_name)
 
         # channelizer + statistics + APD, packed all the way
         cs = self._chan_stats_packed(y_packed)
@@ -642,6 +677,26 @@ class WidebandMonitor:
         if iq.ndim == 1:
             return self._body_1d(iq, None)
         return jax.vmap(lambda row: self._body_1d(row, None))(iq)
+
+    def step_planes(self, planes):
+        """single-chip forward step on raw (2, N) (real, imag) sample
+        planes with no complex intermediate — the native entry for
+        integer SDR captures: at fft_precision='i16', pass int16 planes
+        straight from a SigMF ci16 payload (io.read_iq_planes) and set
+        design.input_scale to the ADC scale; the planes cross
+        host->device at half the float32 transfer size and the kernels
+        dequantize in VMEM. float32 planes are accepted at every tier
+        (identical results to step(unpack_iq(planes)))."""
+        if planes.ndim == 3:
+            return jax.vmap(lambda p: self.step_planes(p))(planes)
+        if not self._packed_applies(planes.shape[1]):
+            raise ValueError(
+                'step_planes requires the fully-packed kernel path '
+                "(fft_backend='mxu', ola_kernel='pallas', "
+                "chan_kernel='pallas', aligned input length "
+                f'{planes.shape[1]}; see min_input_multiple)'
+            )
+        return self._body_packed_planes(planes, None)
 
     def sharded_step(self, iq):
         """multi-chip forward step over the mesh. iq: (B, N) complex64,

@@ -228,7 +228,7 @@ def _fused_ola_strided_kernel(
 
 
 def _pick_passes(precision) -> int:
-    if precision in ('high', jax.lax.Precision.HIGH):
+    if precision in ('high', 'i16', jax.lax.Precision.HIGH):
         return 3
     if precision in ('default', 'bf16', jax.lax.Precision.DEFAULT):
         return 1
@@ -238,8 +238,20 @@ def _pick_passes(precision) -> int:
 def _storage_dtype(precision):
     """'bf16' additionally stores the frame planes in bfloat16, halving
     the kernel's HBM frame traffic (~4e-3 relative error — opt-in for
-    monitoring workloads that only need ~0.05 dB accuracy)."""
-    return jnp.bfloat16 if precision == 'bf16' else jnp.float32
+    monitoring workloads that only need ~0.05 dB accuracy).
+
+    'i16' stores the planes as int16 raw sample counts with 3-pass
+    dots: the same halved frame traffic as 'bf16' but LOSSLESS for
+    natively integer captures (SigMF ci16 — the common SDR wire
+    format), so accuracy matches the 'high' tier (~7e-6 RMS). The
+    caller must supply integer-valued planes (int16, or float32 holding
+    integers — .astype(int16) truncates fractions) and fold the ADC
+    scale into ``w_in``."""
+    if precision == 'bf16':
+        return jnp.bfloat16
+    if precision == 'i16':
+        return jnp.int16
+    return jnp.float32
 
 
 def fused_ola_pallas(

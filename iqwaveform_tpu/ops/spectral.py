@@ -56,6 +56,10 @@ def power_spectral_density(
     truncate=True,
     dB=True,
     axis=0,
+    fft_backend: str = 'xla',
+    quantile_method: str = 'exact',
+    hist_bins: int = 1024,
+    hist_range_dB=(-150.0, 50.0),
 ):
     """persistence spectrum: spectrogram -> bandwidth trim -> dB -> a stack
     of per-frequency statistics across time (reference fourier.py:1236-1327).
@@ -63,6 +67,20 @@ def power_spectral_density(
     Args:
         statistics: list of quantiles (floats) and/or named detectors
             ('min','max','peak','mean','rms', callable)
+        fft_backend: 'xla' (default), or 'mxu'/'pallas' — the factored
+            four-step MXU transform (per-frequency statistics are
+            bin-order independent, so the transform's transposed readout
+            is skipped and the stack unscrambles once at the end; the
+            same machinery as parallel.streaming's persistence fold).
+            Device (jax) 1-D TIME-domain input with no overlap/zeroing
+            only.
+        quantile_method: 'exact' (full per-bin order statistics via
+            xp.quantile) or 'histogram' — quantiles inverted from a
+            per-frequency dB histogram (accuracy = hist range /
+            hist_bins; the packed one-hot-matmul kernel on TPU), which
+            replaces the dominant full sort at large frame counts.
+            'histogram' implies the factored path's constraints and
+            dB=True.
 
     Accepts TIME-domain IQ or FREQUENCY-domain STFT input (see
     utils.set_input_domain).
@@ -72,6 +90,15 @@ def power_spectral_density(
         noverlap = round(fractional_overlap * nfft)
     else:
         raise ValueError('sample_rate_Hz/resolution must be a counting number')
+
+    if fft_backend != 'xla' or quantile_method == 'histogram':
+        return _psd_factored_fast(
+            x, fs=fs, bandwidth=bandwidth, window=window, nfft=nfft,
+            noverlap=noverlap, fractional_window=fractional_window,
+            statistics=statistics, truncate=truncate, dB=dB, axis=axis,
+            fft_backend=fft_backend, quantile_method=quantile_method,
+            hist_bins=hist_bins, hist_range_dB=hist_range_dB,
+        )
 
     if isroundmod((1 - fractional_window) * nfft, 1):
         nzero = round((1 - fractional_window) * nfft)
@@ -144,6 +171,120 @@ def power_spectral_density(
 
     out = xp.stack(results, axis=axis)
     return out.astype('float32')
+
+
+def _psd_factored_fast(
+    x, *, fs, bandwidth, window, nfft, noverlap, fractional_window,
+    statistics, truncate, dB, axis, fft_backend, quantile_method,
+    hist_bins, hist_range_dB,
+):
+    """power_spectral_density via the factored-order persistence
+    machinery (VERDICT r2 #4): the four-step MXU transform (or the
+    fused Pallas kernel) computes the spectrogram in factored (k1, k2)
+    bin order, per-frequency statistics reduce in that order, and the
+    stack unscrambles once at the end — the transform's transposed
+    readout and (with quantile_method='histogram') the full per-bin
+    sort never run. Reference counterpart: fourier.py:1236-1327."""
+    import jax.numpy as jnp
+
+    xp = array_namespace(x)
+    domain = get_input_domain()
+    if (
+        xp is not jnp
+        or domain != Domain.TIME
+        or getattr(x, 'ndim', 1) != 1
+        or axis != 0
+        or noverlap
+        or fractional_window != 1
+        or not dB
+    ):
+        raise ValueError(
+            "fft_backend='mxu'/'pallas' and quantile_method='histogram' "
+            'require device (jax) 1-D TIME-domain input with '
+            'fractional_overlap=0, fractional_window=1, dB=True'
+        )
+    if quantile_method not in ('exact', 'histogram'):
+        raise ValueError(
+            "quantile_method must be 'exact' or 'histogram', "
+            f'not {quantile_method!r}'
+        )
+
+    from ..parallel import streaming as _streaming
+
+    backend = 'mxu' if fft_backend == 'xla' else fft_backend
+
+    isquantile = find_float_inds(tuple(statistics))
+    quantiles = tuple(float(s) for s, q in zip(statistics, isquantile) if q)
+    named = [s for s, q in zip(statistics, isquantile) if not q]
+
+    n_frames = x.shape[0] // nfft
+    x_trunc = x[: n_frames * nfft]
+    dtype_name = np.dtype(x.dtype).name
+
+    if quantile_method == 'histogram':
+        unsupported = {s for s in named if s not in ('mean', 'max', 'peak', 'min')}
+        if unsupported:
+            raise ValueError(
+                "quantile_method='histogram' supports named statistics "
+                f'mean/max/peak/min, not {sorted(map(str, unsupported))}'
+            )
+        design = _streaming.design_persistence(
+            nfft=nfft,
+            window=window,
+            dtype=dtype_name,
+            hist_range_dB=tuple(float(v) for v in hist_range_dB),
+            hist_bins=int(hist_bins),
+            fft_backend=backend,
+        )
+        carry = _streaming.persistence_fold(
+            _streaming.persistence_init(design), x_trunc, design
+        )
+        out = _streaming.persistence_finalize(
+            carry, design, fs=fs, quantiles=quantiles or (0.5,)
+        )
+        stat_map = {
+            'mean': out['mean_dB'],
+            'max': out['max_dB'],
+            'peak': out['max_dB'],
+            'min': out['min_dB'],
+        }
+        rows, qi = [], 0
+        for s, is_q in zip(statistics, isquantile):
+            if is_q:
+                rows.append(out['quantiles_dB'][qi])
+                qi += 1
+            else:
+                rows.append(stat_map[s])
+        stack = jnp.stack(rows, axis=0)
+    else:
+        design = _streaming.design_persistence(
+            nfft=nfft,
+            window=window,
+            dtype=dtype_name,
+            hist_bins=0,
+            fft_backend=backend,
+        )
+        spg_dB = _streaming._spectrogram_dB_chunk(x_trunc, design)
+        rows = []
+        for s, is_q in zip(statistics, isquantile):
+            if is_q:
+                rows.append(
+                    jnp.quantile(spg_dB, jnp.float32(float(s)), axis=0)
+                )
+            else:
+                ufunc = power_analysis.stat_ufunc_from_shorthand(s, xp=jnp)
+                rows.append(ufunc(spg_dB, axis=0))
+        # factored (k1, k2) -> monotonic frequency order, once, at the end
+        stack = jnp.stack(rows, axis=0)[:, design['unscramble']]
+
+    if truncate:
+        if bandwidth == INF:
+            bw_args = (None, None)
+        else:
+            bw_args = (-bandwidth / 2, +bandwidth / 2)
+        ilo, ihi = _freq_band_edges(nfft, 1.0 / fs, *bw_args)
+        stack = axis_slice(stack, ilo, ihi, axis=1)
+    return stack.astype('float32')
 
 
 def channelize_power(

@@ -8,9 +8,18 @@ edge-compare APD, Pallas channelizer-statistics kernel. Oracle = the same
 design with the plain XLA kernels (jnp.fft + HIGHEST-precision einsum
 paths) jitted on the CPU backend — the path the test suite pins to scipy.
 
+Every deliverable is gated PASS/FAIL (VERDICT r2 #5). psd_max — a max
+ORDER STATISTIC whose value flips between near-tied frames under any
+float reordering — is gated against the oracle's top-2 envelope: any
+value inside [second-largest, largest] per bin is error-free, values
+outside count by their distance to the envelope. This makes the gate
+binary without crediting real kernel error.
+
 Usage: python scripts/rms_error_tpu.py [n_log2] [fft_precision]
 (defaults: 2**24 samples, 'high' — the 3-pass bf16 production point;
-pass 'highest' for the full-precision operating point)
+pass 'highest' for the full-precision operating point). Importable:
+scripts.rms_error_tpu.run() returns the failure list (validate_tpu.py
+calls it so every round records explicit RMS PASS/FAIL lines).
 """
 
 import sys
@@ -27,23 +36,65 @@ def rel_rms(got, ref):
     )
 
 
-def main():
+def _oracle_top2_dB(mon, planes_np):
+    """(2, nfft_big) dB envelope: per-bin largest and second-largest
+    frame of the oracle's channelizer spectrogram (CPU backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.parallel.sharded import _sharded_ola_body
+    from iqwaveform_tpu.utils import unpack_iq
+
+    d = mon.design
+    nfft_big = mon._nfft_big
+
+    def f2(p):
+        x = unpack_iq(p)
+        y = _sharded_ola_body(
+            x,
+            w_in=mon._w_in,
+            w_shift_out=mon._w_shift_out,
+            nfft=d.nfft,
+            nfft_out=d.nfft_out,
+            noverlap_in=mon.noverlap_in,
+            noverlap_out=mon.noverlap_out,
+            bounds_in=mon._bounds_in,
+            bounds_out=mon._bounds_out,
+            zero_lo=mon._zero_lo,
+            zero_hi=mon._zero_hi,
+            axis_name=None,
+            fft_fn=jnp.fft.fft,
+            ifft_fn=jnp.fft.ifft,
+        )
+        nf = y.shape[0] // nfft_big
+        frames = y[: nf * nfft_big].reshape(nf, nfft_big)
+        wind = (jnp.asarray(mon._w_ch) / nfft_big).astype(frames.dtype)
+        Y = jnp.fft.fft(frames * wind[None, :], axis=1)
+        spg = Y.real * Y.real + Y.imag * Y.imag
+        top2, _ = jax.lax.top_k(spg.T, 2)  # (nfft_big, 2)
+        return 10.0 * jnp.log10(top2.T + 1e-25)
+
+    return np.asarray(jax.jit(f2, backend='cpu')(planes_np))
+
+
+def run(n_log2: int = 24, precision: str = 'high'):
+    """run the RMS gate; prints per-deliverable PASS/FAIL lines and
+    returns the list of over-budget deliverable names."""
     import jax
     import jax.numpy as jnp
 
     from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
     from iqwaveform_tpu.utils import unpack_iq
 
-    n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    precision = sys.argv[2] if len(sys.argv) > 2 else 'high'
-
     common = dict(
         bw=40e6, fs_sdr=122.88e6, channel_count=16, fft_size_per_channel=256,
         window='hamming', apd_bins=2048, apd_navg=16, min_fft_size=8191,
     )
+    i16_scale = 2.0**-11
     design_prod = design_wideband_monitor(
         122.88e6, 61.44e6, fft_backend='mxu', fft_precision=precision,
         ola_kernel='pallas', apd_kernel='pallas', chan_kernel='pallas',
+        input_scale=(i16_scale if precision == 'i16' else 1.0),
         **common,
     )
     print(f'production config: fft_precision={precision}', flush=True)
@@ -58,9 +109,18 @@ def main():
           f'{n / 1e6:.1f} Ms', flush=True)
 
     rng = np.random.default_rng(0)
-    planes_np = np.stack(
-        [rng.standard_normal(n), rng.standard_normal(n)]
-    ).astype('float32')
+    if precision == 'i16':
+        # natively integer capture: the production monitor reads the raw
+        # int16 counts; the oracle reads the same values as float32
+        counts = np.round(
+            np.stack([rng.standard_normal(n), rng.standard_normal(n)]) * 1024.0
+        ).astype('int16')
+        planes_np = counts.astype('float32') * np.float32(i16_scale)
+    else:
+        counts = None
+        planes_np = np.stack(
+            [rng.standard_normal(n), rng.standard_normal(n)]
+        ).astype('float32')
 
     # CPU oracle (XLA kernels, HIGHEST precision, jnp.fft)
     t0 = time.time()
@@ -70,10 +130,19 @@ def main():
     ref = {k: np.asarray(v) for k, v in step_cpu(planes_np).items()}
     print(f'cpu oracle: {time.time() - t0:.1f}s', flush=True)
 
+    # tie-aware envelope for the max order statistic (VERDICT r2 #5)
+    t0 = time.time()
+    top2_dB = _oracle_top2_dB(mon_oracle, planes_np)
+    print(f'cpu top-2 envelope: {time.time() - t0:.1f}s', flush=True)
+
     # TPU production config
     t0 = time.time()
-    step_tpu = jax.jit(lambda p: mon_prod.step(unpack_iq(p)))
-    out = step_tpu(jnp.asarray(planes_np))
+    if precision == 'i16':
+        step_tpu = jax.jit(mon_prod.step_planes)
+        out = step_tpu(jnp.asarray(counts))
+    else:
+        step_tpu = jax.jit(lambda p: mon_prod.step(unpack_iq(p)))
+        out = step_tpu(jnp.asarray(planes_np))
     got = {k: np.asarray(v.astype(jnp.float32)) for k, v in out.items()}
     print(f'tpu production: {time.time() - t0:.1f}s', flush=True)
 
@@ -83,50 +152,71 @@ def main():
     for key in ['channel_power', 'channel_power_mean', 'channel_power_max']:
         err = rel_rms(got[key], ref[key])
         ok = err <= budget
-        print(f'{key:24s} rel RMS {err:.3e} {"ok" if ok else "OVER BUDGET"}',
-              flush=True)
+        print(f'RMS {key:24s} rel RMS {err:.3e} '
+              f'{"PASS" if ok else "FAIL (over budget)"}', flush=True)
         failures += [] if ok else [key]
+
     # spectra are delivered in dB; the RMS budget applies to the linear
     # power vector (dB differences on zeroed out-of-band bins compare
     # numerical noise floors ~1e-15 and are physically meaningless).
     # The in-band dB RMS is reported for interpretability.
-    #
+    key = 'psd_mean'
+    lin_got = 10 ** (got[key].astype('float64') / 10)
+    lin_ref = 10 ** (ref[key].astype('float64') / 10)
+    err = rel_rms(lin_got, lin_ref)
+    inband = ref[key] > -120.0
+    db_rms = float(np.sqrt(np.mean(
+        (got[key][inband].astype('float64')
+         - ref[key][inband].astype('float64')) ** 2
+    )))
+    ok = err <= budget
+    print(f'RMS {key:24s} linear rel RMS {err:.3e} '
+          f'(in-band {db_rms:.3f} dB RMS) '
+          f'{"PASS" if ok else "FAIL (over budget)"}', flush=True)
+    failures += [] if ok else [key]
+
     # psd_max is a max ORDER STATISTIC: when two frames are nearly tied
     # at a bin's maximum, any reordering of float32 ops flips which one
-    # is reported, changing the result by the top-2 gap. Its deviation
-    # is ~2e-5 at BOTH fft_precision='high' and 'highest' (where every
-    # averaged deliverable is <=2.4e-6 and APD counts are bit-exact),
-    # which pins it as order-statistic noise, not kernel error — so it
-    # is reported, not gated.
-    for key in ['psd_mean', 'psd_max']:
-        lin_got = 10 ** (got[key].astype('float64') / 10)
-        lin_ref = 10 ** (ref[key].astype('float64') / 10)
-        err = rel_rms(lin_got, lin_ref)
-        inband = ref[key] > -120.0
-        db_rms = float(np.sqrt(np.mean(
-            (got[key][inband].astype('float64')
-             - ref[key][inband].astype('float64')) ** 2
-        )))
-        gated = key == 'psd_mean'
-        ok = err <= budget or not gated
-        label = 'ok' if err <= budget else (
-            'reported (order statistic)' if not gated else 'OVER BUDGET'
-        )
-        print(f'{key:24s} linear rel RMS {err:.3e} '
-              f'(in-band {db_rms:.3f} dB RMS) {label}', flush=True)
-        failures += [] if ok else [key]
-    # APD: counts with identical edges; report the worst bin disagreement
-    # relative to the total (histogram counts shift when a sample sits
-    # within float error of an edge)
-    apd_delta = np.abs(got['apd_counts'] - ref['apd_counts']).max()
-    apd_rel = apd_delta / ref['apd_counts'].sum()
-    print(f'apd_counts               max bin delta {apd_delta:.0f} '
-          f'({apd_rel:.2e} of total)', flush=True)
+    # is reported. The binary gate measures each bin's distance OUTSIDE
+    # the oracle's [top-2, top-1] envelope: ties are error-free, real
+    # kernel error is not.
+    key = 'psd_max'
+    lin_got = 10 ** (got[key].astype('float64') / 10)
+    lin_t1 = 10 ** (top2_dB[0].astype('float64') / 10)
+    lin_t2 = 10 ** (top2_dB[1].astype('float64') / 10)
+    dev = np.maximum(0.0, np.maximum(lin_got - lin_t1, lin_t2 - lin_got))
+    err_env = float(
+        np.sqrt(np.mean(dev**2)) / max(np.sqrt(np.mean(lin_t1**2)), 1e-30)
+    )
+    err_plain = rel_rms(lin_got, 10 ** (ref[key].astype('float64') / 10))
+    ok = err_env <= budget
+    print(f'RMS {key:24s} envelope rel RMS {err_env:.3e} '
+          f'(plain {err_plain:.3e}) '
+          f'{"PASS" if ok else "FAIL (over budget)"}', flush=True)
+    failures += [] if ok else [key]
+
+    # APD: counts with identical edges; gate the worst bin disagreement
+    # at one count (a sample within float error of an edge may move one
+    # bin; more than one count in any bin is a kernel error)
+    apd_delta = int(np.abs(got['apd_counts'] - ref['apd_counts']).max())
+    ok = apd_delta <= 1
+    print(f'RMS apd_counts               max bin delta {apd_delta:d} '
+          f'{"PASS" if ok else "FAIL"}', flush=True)
+    failures += [] if ok else ['apd_counts']
 
     if failures:
-        print('OVER BUDGET:', failures)
+        print('RMS OVER BUDGET:', failures, flush=True)
+    else:
+        print('RMS: all deliverables PASS at the production tier', flush=True)
+    return failures
+
+
+def main():
+    n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    precision = sys.argv[2] if len(sys.argv) > 2 else 'high'
+    failures = run(n_log2, precision)
+    if failures:
         sys.exit(1)
-    print('all deliverables within the 1e-5 RMS budget')
 
 
 if __name__ == '__main__':

@@ -237,6 +237,29 @@ def main():
         print('chan_stats pallas (tpu)         EXCEPTION:',
               f'{type(e).__name__}: {str(e)[:100]}', flush=True)
 
+    # --- trim-aware chan_stats (analysis-bin skip crosses lanes) ---
+    trim_bins = 192  # of 256 per channel: boundaries cross factored lanes
+    skip = dsn.channel_count * (dsn.fft_size_per_channel - trim_bins)
+    cs_trim_fn = jax.jit(
+        lambda p: chan_stats_pallas(
+            jax.lax.complex(p[0], p[1]), nfft_big=nfft_big,
+            channel_count=dsn.channel_count, window=w_ch,
+            navg=dsn.apd_navg, skip_bins=skip, precision='high',
+        )['channel_power']
+    )
+    exp_cp_trim = (
+        spg_h[:, skip // 2 : nfft_big - skip // 2]
+        .reshape(-1, dsn.channel_count, trim_bins)
+        .sum(2)
+    )
+    try:
+        check('chan_stats trim pallas (tpu)', cs_trim_fn(ys_planes),
+              exp_cp_trim.astype('float32'), 1e-4 * float(exp_cp_trim.max()))
+    except Exception as e:
+        failures.append('chan_stats trim pallas')
+        print('chan_stats trim pallas (tpu)    EXCEPTION:',
+              f'{type(e).__name__}: {str(e)[:100]}', flush=True)
+
     # --- columnwise one-hot-matmul histogram kernel ---
     from iqwaveform_tpu.ops.pallas.colhist_pallas import (
         columnwise_histogram_pallas,
@@ -338,6 +361,85 @@ def main():
         print('spectrogram pallas (tpu)        EXCEPTION:',
               f'{type(e).__name__}: {str(e)[:100]}', flush=True)
 
+    # --- adaptive-slab packed histogram at 1024 bins (slab=4 path) ---
+    ch_edges_1k = np.linspace(-150.0, 50.0, 1025).astype('float32')
+    ch_ref_1k = np.asarray(
+        columnwise_histogram(jnp.asarray(ch_vals), ch_edges_1k)
+    ).astype('float32')
+    chp1k_fn = jax.jit(
+        lambda v: columnwise_histogram_packed(v, ch_edges_1k).astype(
+            jnp.float32
+        )
+    )
+    try:
+        got_ch = np.asarray(chp1k_fn(jnp.asarray(ch_vals)))
+        tot_ok = np.array_equal(got_ch.sum(axis=1), ch_ref_1k.sum(axis=1))
+        cum_d = np.abs(
+            np.cumsum(got_ch, axis=1) - np.cumsum(ch_ref_1k, axis=1)
+        ).max()
+        status = 'ok' if tot_ok and cum_d <= 2 else 'FAIL'
+        if status == 'FAIL':
+            failures.append('colhist packed slab4')
+        print(f'colhist packed slab4 1k (tpu)    totals_exact={tot_ok} '
+              f'max cum delta {cum_d:.0f} {status}', flush=True)
+    except Exception as e:
+        failures.append('colhist packed slab4')
+        print('colhist packed slab4 1k (tpu)   EXCEPTION:',
+              f'{type(e).__name__}: {str(e)[:100]}', flush=True)
+
+    # --- fused spectrogram levels+stats kernel ---
+    from iqwaveform_tpu.ops.pallas.spectrogram_pallas import (
+        spectrogram_levels_pallas,
+    )
+
+    sgl_edges = np.linspace(-150.0, 50.0, 1025).astype('float32')
+    try:
+        sg_w1k = _gw('hann', 1024, norm=True, fftshift=True).astype(
+            'complex64'
+        )
+        lv_fn = jax.jit(
+            lambda pl_: spectrogram_levels_pallas(
+                pl_[0], pl_[1], sg_w1k, 1024, sgl_edges, passes=3
+            )
+        )
+        sg_planes2 = rng.standard_normal((2, 1024 * 128)).astype('float32')
+        idxs, psum, pmax, pmin = lv_fn(jnp.asarray(sg_planes2))
+        idxs = np.asarray(idxs.astype(jnp.float32))
+        psum, pmax, pmin = (np.asarray(v) for v in (psum, pmax, pmin))
+        # oracle: the validated dB kernel output, quantized host-side
+        dB = np.asarray(
+            jax.jit(
+                lambda pl_: spectrogram_dB_pallas(
+                    pl_[0], pl_[1], sg_w1k, 1024, passes=3
+                )
+            )(jnp.asarray(sg_planes2))
+        )
+        width = sgl_edges[1] - sgl_edges[0]
+        exp_idx = np.clip(
+            np.floor((dB - sgl_edges[0]) * np.float32(1.0 / width)), 0, 1023
+        )
+        # in-kernel quantize vs host float32 quantize of the same dB:
+        # identical except possible one-level shifts at exact bin edges
+        # (FMA contraction); never more than one level, never many
+        idx_d = np.abs(idxs - exp_idx)
+        idx_ok = idx_d.max() <= 1 and (idx_d > 0).mean() < 1e-3
+        err_s = np.abs(psum - dB.sum(axis=0)).max() / np.abs(dB.sum(0)).max()
+        err_m = np.abs(pmax - dB.max(axis=0)).max()
+        err_n = np.abs(pmin - dB.min(axis=0)).max()
+        ok = idx_ok and err_s < 1e-5 and err_m < 1e-4 and err_n < 1e-4
+        if not ok:
+            failures.append('spectrogram levels pallas')
+        print(
+            f'spectrogram levels (tpu)         idx_exact={idx_ok} psum '
+            f'{err_s:.2e} pmax {err_m:.2e} pmin {err_n:.2e} '
+            f'{"ok" if ok else "FAIL"}',
+            flush=True,
+        )
+    except Exception as e:
+        failures.append('spectrogram levels pallas')
+        print('spectrogram levels (tpu)        EXCEPTION:',
+              f'{type(e).__name__}: {str(e)[:100]}', flush=True)
+
     # --- edge-compare histogram pallas kernel ---
     from iqwaveform_tpu.ops.pallas.hist_pallas import histogram_edge_counts_pallas
     from iqwaveform_tpu.ops.power import histogram_edge_counts
@@ -370,6 +472,22 @@ def main():
     print('monitor psd_mean finite:', np.isfinite(psd).all(), flush=True)
     if not np.isfinite(psd).all():
         failures.append('monitor')
+
+    # --- end-to-end RMS gate at the production tier (VERDICT r2 #5) ---
+    if '--no-rms' in sys.argv:
+        print('RMS gate skipped (--no-rms)', flush=True)
+    else:
+        import os
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import rms_error_tpu
+
+        try:
+            failures += rms_error_tpu.run(24, 'high')
+        except Exception as e:
+            failures.append('rms gate')
+            print('RMS gate                        EXCEPTION:',
+                  f'{type(e).__name__}: {str(e)[:120]}', flush=True)
 
     print(flush=True)
     if failures:

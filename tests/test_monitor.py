@@ -509,3 +509,79 @@ def test_monitor_bf16_mode():
     inb = p1 > -90
     assert inb.sum() > 50
     np.testing.assert_allclose(p1[inb], p2[inb], atol=0.15)
+
+
+def test_monitor_step_planes_matches_complex_step():
+    """step_planes on float32 planes is the same computation as
+    step(unpack_iq(planes))."""
+    from iqwaveform_tpu.utils import unpack_iq
+
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=128,
+        apd_navg=16, fft_backend='mxu', min_fft_size=8191,
+        ola_kernel='pallas', apd_kernel='pallas', chan_kernel='pallas',
+        fft_precision='high',
+    )
+    mon = WidebandMonitor(design)
+    n = mon.min_input_multiple() * 8
+    rng = np.random.default_rng(0)
+    planes = rng.standard_normal((2, n)).astype('float32')
+
+    o1 = jax.jit(lambda p: mon.step(unpack_iq(p)))(jnp.asarray(planes))
+    o2 = jax.jit(mon.step_planes)(jnp.asarray(planes))
+    for k in o1:
+        np.testing.assert_allclose(
+            np.asarray(o1[k]), np.asarray(o2[k]), rtol=1e-6, atol=1e-6
+        )
+
+    # misaligned length raises instead of silently downgrading paths
+    with pytest.raises(ValueError, match='packed'):
+        mon.step_planes(jnp.asarray(planes[:, : n - 128]))
+
+
+def test_monitor_i16_tier_matches_high():
+    """fft_precision='i16' (int16 frame storage, ADC scale folded into
+    the kernel window) matches the 'high' tier fed the same values as
+    float32 (VERDICT r2 #6: a halved-traffic tier that is lossless for
+    natively integer captures)."""
+    common = dict(
+        bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=128,
+        apd_navg=16, fft_backend='mxu', min_fft_size=8191,
+        ola_kernel='pallas', apd_kernel='pallas', chan_kernel='pallas',
+    )
+    scale = 2.0**-11
+    d_i16 = design_wideband_monitor(
+        122.88e6, 61.44e6, fft_precision='i16', input_scale=scale, **common
+    )
+    d_high = design_wideband_monitor(
+        122.88e6, 61.44e6, fft_precision='high', **common
+    )
+    m_i16 = WidebandMonitor(d_i16)
+    m_high = WidebandMonitor(d_high)
+
+    n = m_i16.min_input_multiple() * 8
+    rng = np.random.default_rng(1)
+    counts = rng.integers(-2048, 2048, size=(2, n)).astype('int16')
+
+    o_i16 = jax.jit(m_i16.step_planes)(jnp.asarray(counts))
+    o_high = jax.jit(m_high.step_planes)(
+        jnp.asarray((counts.astype('float32') * scale))
+    )
+    for k in ('channel_power', 'psd_mean', 'apd_counts'):
+        a, b = np.asarray(o_high[k]), np.asarray(o_i16[k])
+        if k == 'apd_counts':
+            assert np.abs(a - b).max() <= 1, k
+        else:
+            np.testing.assert_allclose(b, a, atol=2e-5 * np.abs(a).max(), err_msg=k)
+
+
+def test_monitor_i16_requires_pallas():
+    with pytest.raises(ValueError, match='i16'):
+        WidebandMonitor(
+            design_wideband_monitor(
+                122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6,
+                fft_precision='i16', min_fft_size=8191,
+            )
+        )
