@@ -58,3 +58,20 @@ def test_persistence_spectrum_example(tmp_path):
     out = _run_example('persistence_spectrum.py', str(tmp_path))
     assert 'persistence_spectrum done' in out
     assert (tmp_path / 'persistence_carry.npz').exists()
+
+
+def test_disk_to_chip_example(tmp_path):
+    out = _run_example(
+        'disk_to_chip.py', '--gigasamples', '0.04',
+        '--out-dir', str(tmp_path), timeout=600,
+    )
+    assert 'including ingest' in out
+    assert 'persistence peak at' in out
+
+
+def test_disk_to_chip_monitor_i16(tmp_path):
+    out = _run_example(
+        'disk_to_chip.py', '--gigasamples', '0.04', '--monitor-i16',
+        '--out-dir', str(tmp_path), timeout=600,
+    )
+    assert 'including ingest' in out
