@@ -387,7 +387,12 @@ def bench_psd():
 
 def bench_channelize64():
     """BASELINE config #4: batched 64-channel channelizer -> per-channel
-    power series -> detector stats, 4 captures x 10 Ms per step."""
+    power series -> detector stats, 4 captures x 10 Ms per step.
+
+    Routed through the fused single-pass Pallas kernel
+    (fft_backend='pallas', trim-aware since round 3): the 4 captures
+    are whole numbers of frames, so one flattened kernel call computes
+    the identical per-row frame series (frames never span rows)."""
     import jax
     import jax.numpy as jnp
 
@@ -406,18 +411,21 @@ def bench_channelize64():
         ).astype('float32')
     )
 
-    def one(v):
+    def step_body(planes):
+        v = unpack_iq(planes)
         _, _, cp = channelize_power(
-            v, 1.0 / 122.88e6, fft_per_chan,
+            v.reshape(-1), 1.0 / 122.88e6, fft_per_chan,
             analysis_bins_per_channel=int(fft_per_chan * 0.75),
-            window='hamming', channel_count=n_chan, fft_backend='mxu',
-        )  # cp: (time, channel)
+            window='hamming', channel_count=n_chan, fft_backend='pallas',
+        )  # cp: (B * time, channel)
+        cp = cp.reshape(B, -1, n_chan)
         return jnp.stack(
-            [cp.mean(axis=0), cp.max(axis=0),
-             jnp.sqrt((cp * cp).mean(axis=0))]
+            [cp.mean(axis=1), cp.max(axis=1),
+             jnp.sqrt((cp * cp).mean(axis=1))],
+            axis=1,
         )
 
-    step = jax.jit(lambda planes: jax.vmap(one)(unpack_iq(planes)))
+    step = jax.jit(step_body)
     dt = _measure(step, ri)
     return 'channelize64_stats_1chip', B * n_use / dt / 1e6, []
 

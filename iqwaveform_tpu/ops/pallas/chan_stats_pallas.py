@@ -161,9 +161,17 @@ def _channel_interval_matrices(nfft_big: int, skip_bins: int, channel_count: int
 
 def _chan_stats_kernel(
     yr, yi, war, wai, far, fai, twr, twi, fbr, fbi, gbin, gch, gbd, mp,
-    lsum, smax, chp, pbin,
-    *, T, a, b, nch, navg, passes, boundary,
+    *outs, T, a, b, nch, navg, passes, boundary, emit_psd, emit_pbin,
 ):
+    lsum = smax = pbin = None
+    i = 0
+    if emit_psd:
+        lsum, smax = outs[0], outs[1]
+        i = 2
+    chp = outs[i]
+    if emit_pbin:
+        pbin = outs[i + 1]
+
     dot = _make_dot(passes)
     # exact-leaning precision for the tiny grouping dots (counts feed an
     # exact histogram comparison)
@@ -172,16 +180,17 @@ def _chan_stats_kernel(
     YR = yr[...].reshape(T, a, b)
     YI = yi[...].reshape(T, a, b)
 
-    # detector-binned power of the raw stream (time domain): the
-    # consecutive-navg lane-group means as one MXU dot (gbin maps lane
-    # groups onto the leading b//navg lanes); pad lanes forced to +inf
-    # so a histogram of the padded layout stays well-defined
-    p = YR * YR + YI * YI
-    pb = dot6(p, gbin[...])  # (T, a, b), first b//navg lanes live
-    lane = jax.lax.broadcasted_iota(jnp.int32, (T * a, b), 1)
-    pbin[...] = jnp.where(
-        lane < b // navg, pb.reshape(T * a, b), jnp.inf
-    )
+    if emit_pbin:
+        # detector-binned power of the raw stream (time domain): the
+        # consecutive-navg lane-group means as one MXU dot (gbin maps
+        # lane groups onto the leading b//navg lanes); pad lanes forced
+        # to +inf so a histogram of the padded layout stays well-defined
+        p = YR * YR + YI * YI
+        pb = dot6(p, gbin[...])  # (T, a, b), first b//navg lanes live
+        lane = jax.lax.broadcasted_iota(jnp.int32, (T * a, b), 1)
+        pbin[...] = jnp.where(
+            lane < b // navg, pb.reshape(T * a, b), jnp.inf
+        )
 
     # windowed four-step FFT in factored (k1, k2) coordinates
     xr = YR * war[...][None] - YI * wai[...][None]
@@ -196,13 +205,14 @@ def _chan_stats_kernel(
     di = dot(cr, fbi[...]) + dot(ci, fbr[...])
     spg = dr * dr + di * di  # (T, a, b): |FFT|^2 at bin k2*a + k1
 
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        lsum[...] = jnp.zeros_like(lsum)
-        smax[...] = jnp.zeros_like(smax)  # spg >= 0
+    if emit_psd:
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            lsum[...] = jnp.zeros_like(lsum)
+            smax[...] = jnp.zeros_like(smax)  # spg >= 0
 
-    lsum[...] += jnp.sum(jnp.log(spg + _EPS), axis=0)
-    smax[...] = jnp.maximum(smax[...], jnp.max(spg, axis=0))
+        lsum[...] += jnp.sum(jnp.log(spg + _EPS), axis=0)
+        smax[...] = jnp.maximum(smax[...], jnp.max(spg, axis=0))
 
     # channel power: lane j covers contiguous bins [j*a, (j+1)*a); whole
     # lanes and boundary-lane suffixes assign through the gch dot, and
@@ -227,6 +237,8 @@ def chan_stats_pallas(
     precision='high',
     frames_per_block: int = 16,
     interpret: bool = None,
+    emit_psd: bool = True,
+    emit_pbin: bool = True,
 ):
     """single-pass channelizer statistics of a resampled stream.
 
@@ -237,13 +249,18 @@ def chan_stats_pallas(
         fourier.py:1399-1404): the outer skip_bins/2 natural bins on each
         side join no channel; channel c owns analysis_bins =
         (nfft_big - skip_bins) / channel_count contiguous kept bins.
+    emit_psd / emit_pbin: drop the persistence accumulators / the
+        detector-binned power output (and its HBM write, the largest
+        output) for channelize-only callers.
 
     Returns dict:
         psd_log_sum: (nfft_big,) sum over frames of ln(spg + 1e-25),
-            natural bin order (full band, no trim)
+            natural bin order (full band, no trim) [emit_psd]
         psd_max: (nfft_big,) max over frames of spg, natural bin order
+            [emit_psd]
         channel_power: (frames, channel_count) raw per-channel power
         p_binned: (S // navg,) detector-binned |y|^2 (padding removed)
+            [emit_pbin]
     """
     if interpret is None:
         interpret = not _on_tpu_like()
@@ -262,7 +279,7 @@ def chan_stats_pallas(
         yr, yi, M=M, a=a, b=b, channel_count=channel_count, navg=navg,
         consts=consts, precision=precision, boundary=boundary,
         frames_per_block=frames_per_block, interpret=interpret,
-        col_blocks=(0, 0),
+        col_blocks=(0, 0), emit_psd=emit_psd, emit_pbin=emit_pbin,
     )
 
 
@@ -305,6 +322,7 @@ def chan_stats_packed_pallas(
 def _chan_call(
     yr, yi, *, M, a, b, channel_count, navg, consts, precision,
     frames_per_block, interpret, col_blocks, boundary=False,
+    emit_psd=True, emit_pbin=True,
 ):
     # the per-frame channel-power output block has T sublane rows, so T
     # must stay a multiple of 8 (and divide the frame count)
@@ -324,43 +342,47 @@ def _chan_call(
     def const_spec(c):
         return pl.BlockSpec(c.shape, lambda m: (0, 0))
 
-    lsum, smax, chp, pbin = pl.pallas_call(
+    out_specs, out_shape = [], []
+    if emit_psd:
+        out_specs += [acc_spec, acc_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((a, b), jnp.float32),
+            jax.ShapeDtypeStruct((a, b), jnp.float32),
+        ]
+    out_specs.append(pl.BlockSpec((T, b), lambda m: (m, 0)))
+    out_shape.append(jax.ShapeDtypeStruct((M, b), jnp.float32))
+    if emit_pbin:
+        out_specs.append(pl.BlockSpec((T * a, b), lambda m: (m, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((M * a, b), jnp.float32))
+
+    outs = pl.pallas_call(
         functools.partial(
             _chan_stats_kernel,
             T=T, a=a, b=b, nch=channel_count, navg=navg, boundary=boundary,
+            emit_psd=emit_psd, emit_pbin=emit_pbin,
             passes={'highest': 6, 'high': 3, 'default': 1, 'bf16': 1}.get(
                 precision if isinstance(precision, str) else 'highest', 3
             ),
         ),
         grid=(M // T,),
         in_specs=[in_spec_r, in_spec_i] + [const_spec(c) for c in consts],
-        out_specs=[
-            acc_spec,
-            acc_spec,
-            pl.BlockSpec((T, b), lambda m: (m, 0)),
-            pl.BlockSpec((T * a, b), lambda m: (m, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((a, b), jnp.float32),
-            jax.ShapeDtypeStruct((a, b), jnp.float32),
-            jax.ShapeDtypeStruct((M, b), jnp.float32),
-            jax.ShapeDtypeStruct((M * a, b), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',),
         ),
         interpret=interpret,
     )(yr, yi, *[jnp.asarray(c) for c in consts])
 
-    # factored (k1, k2) -> natural k = k2*a + k1 is a transpose of the
-    # tiny accumulator blocks
-    psd_log_sum = lsum.T.reshape(-1)
-    psd_max = smax.T.reshape(-1)
-    channel_power = chp[:, :channel_count]
-    p_binned = pbin[:, : b // navg].reshape(-1)
-    return {
-        'psd_log_sum': psd_log_sum,
-        'psd_max': psd_max,
-        'channel_power': channel_power,
-        'p_binned': p_binned,
-    }
+    result = {}
+    i = 0
+    if emit_psd:
+        # factored (k1, k2) -> natural k = k2*a + k1 is a transpose of
+        # the tiny accumulator blocks
+        result['psd_log_sum'] = outs[0].T.reshape(-1)
+        result['psd_max'] = outs[1].T.reshape(-1)
+        i = 2
+    result['channel_power'] = outs[i][:, :channel_count]
+    if emit_pbin:
+        result['p_binned'] = outs[i + 1][:, : b // navg].reshape(-1)
+    return result

@@ -333,6 +333,17 @@ def channelize_power(
     window_is_spec = isinstance(window, str) or (
         isinstance(window, tuple) and window and isinstance(window[0], str)
     )
+    if fft_backend == 'pallas':
+        return _channelize_power_pallas(
+            iq,
+            Ts,
+            fft_size_per_channel,
+            analysis_bins_per_channel=analysis_bins_per_channel,
+            window=window,
+            channel_count=channel_count,
+            fft_overlap_per_channel=fft_overlap_per_channel,
+            window_is_spec=window_is_spec,
+        )
     if (
         fft_backend == 'mxu'
         and channel_count > 1
@@ -400,6 +411,75 @@ def _channel_membership_map(
     m = np.zeros((a, b, channel_count), np.float32)
     m[k1g[kept], k2g[kept], c[kept]] = 1.0
     return m
+
+
+def _channelize_power_pallas(
+    iq,
+    Ts: float,
+    fft_size_per_channel: int,
+    *,
+    analysis_bins_per_channel: int,
+    window,
+    channel_count: int,
+    fft_overlap_per_channel: int,
+    window_is_spec: bool,
+):
+    """channelize_power through the fused single-pass Pallas kernel
+    (ops.pallas.chan_stats_pallas with the persistence/detector outputs
+    disabled): the whole frame->window->factored FFT->|.|^2->channel
+    sum chain runs VMEM-resident, including analysis-bin trims via the
+    boundary-correction dots. Same returns as channelize_power."""
+    import jax.numpy as jnp
+
+    from .pallas.chan_stats_pallas import chan_stats_pallas, chan_stats_supported
+    from .window_design import get_window
+
+    xp = array_namespace(iq)
+    nperseg = fft_size_per_channel * channel_count
+    skip_bins = channel_count * (fft_size_per_channel - analysis_bins_per_channel)
+    M = iq.shape[-1] // nperseg if iq.ndim else 0
+    ok = (
+        xp is jnp
+        and iq.ndim == 1
+        and window_is_spec
+        and fft_overlap_per_channel == 0
+        and skip_bins % 2 == 0
+        and M % 8 == 0
+        and M > 0
+        and chan_stats_supported(nperseg, channel_count, skip_bins, 1)
+    )
+    if not ok:
+        raise ValueError(
+            "fft_backend='pallas' requires a 1-D device (jax) waveform "
+            'with a window spec, no overlap, a frame count that is a '
+            'multiple of 8, and a channel layout chan_stats_supported '
+            f'accepts (got nperseg={nperseg}, skip_bins={skip_bins}, '
+            f'frames={M})'
+        )
+
+    w = get_window(
+        window, nperseg, xp=np, dtype='complex64', norm=True, fftshift=True
+    )
+    out = chan_stats_pallas(
+        iq[: M * nperseg],
+        nfft_big=nperseg,
+        channel_count=channel_count,
+        window=w / nperseg,
+        navg=1,
+        skip_bins=skip_bins,
+        precision='high',
+        emit_psd=False,
+        emit_pbin=False,
+    )
+    channel_power = out['channel_power']
+
+    freqs, times = _get_stft_axes(
+        1.0 / Ts, nfft=nperseg, time_size=M, overlap_frac=0.0, xp=np
+    )
+    if skip_bins > 0:
+        freqs = freqs[skip_bins // 2 : -(skip_bins // 2)]
+    freqs = to_blocks(freqs, analysis_bins_per_channel)
+    return freqs[0], times, channel_power
 
 
 def _channelize_power_factored(

@@ -341,3 +341,38 @@ def test_psd_fast_path_rejections():
             jnp.asarray(x), fs=fs, window='hann', resolution=fs / 512,
             statistics=['rms'], quantile_method='histogram',
         )
+
+
+@pytest.mark.parametrize('bins_per_ch', [256, 192])
+def test_channelize_power_pallas_backend(bins_per_ch):
+    """fft_backend='pallas' (fused single-pass kernel, interpret on CPU)
+    matches the XLA stft path, trims included (bench config #4 path)."""
+    fs = 1e6
+    nch, fpc = 8, 256
+    nperseg = nch * fpc
+    n = nperseg * 8
+    x = jnp.asarray(make_tone_noise(n, fs=fs, f_tone=fs / 8, snr_db=40))
+
+    f1, t1, p1 = fourier.channelize_power(
+        x, 1 / fs, fpc, analysis_bins_per_channel=bins_per_ch,
+        window='hann', channel_count=nch,
+    )
+    f2, t2, p2 = fourier.channelize_power(
+        x, 1 / fs, fpc, analysis_bins_per_channel=bins_per_ch,
+        window='hann', channel_count=nch, fft_backend='pallas',
+    )
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p2), np.asarray(p1), rtol=1e-4,
+        atol=1e-6 * float(np.asarray(p1).max()),
+    )
+
+
+def test_channelize_power_pallas_rejects_unsupported():
+    x = jnp.asarray(make_tone_noise(2048 * 3))
+    with pytest.raises(ValueError, match='pallas'):
+        fourier.channelize_power(
+            x, 1e-6, 256, analysis_bins_per_channel=256, window='hann',
+            channel_count=8, fft_backend='pallas',
+        )  # 3 frames: not a multiple of 8
