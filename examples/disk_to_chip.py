@@ -147,39 +147,42 @@ def run_monitor_i16(path: str, n_chunks: int) -> float:
     quantum = mon.min_input_multiple()
     chunk = (CHUNK // quantum) * quantum
 
-    # per-chunk step_planes with host-side merging: each 16.8 Ms chunk
-    # is zero-extended at its boundary (the ~8k-sample OLA halo — a
-    # 5e-4 fraction; use accumulate_step for boundary-exact streaming)
+    # per-chunk step_planes with the running merge INSIDE the jit
+    # program (axon rule: no eager ops; fence by reading jit-produced
+    # f32). Each 16.8 Ms chunk is zero-extended at its boundary (the
+    # ~8k-sample OLA halo — a 5e-4 fraction; use accumulate_step for
+    # boundary-exact streaming).
     @jax.jit
-    def step(raw):
+    def step(acc, raw):
         # raw (chunk, 2) int16 straight from disk: deinterleave on the
         # device (a transpose fused into the kernel feed); H2D moves
         # half the bytes of the float32 plane path
         out = mon.step_planes(raw.T)
+        psd_sum, psd_max, apd = acc
         return (
-            out['psd_mean'], out['psd_max'],
-            out['apd_counts'].astype(jnp.float32),
+            psd_sum + out['psd_mean'],
+            jnp.maximum(psd_max, out['psd_max']),
+            apd + out['apd_counts'].astype(jnp.float32),
         )
 
     raw_map = np.memmap(path, dtype='<i2', mode='r').reshape(-1, 2)
 
-    psd_sum = psd_max = apd = None
+    nfft_big = design.fft_size_per_channel * design.channel_count
+    acc = (
+        jnp.zeros((nfft_big,), jnp.float32),
+        jnp.full((nfft_big,), -jnp.inf, jnp.float32),
+        jnp.zeros((design.apd_bins + 1,), jnp.float32),
+    )
     t0 = time.perf_counter()
     done = 0
     for k in range(min(n_chunks, raw_map.shape[0] // chunk)):
         raw = np.ascontiguousarray(raw_map[k * chunk : (k + 1) * chunk])
-        pm, px, counts = step(jnp.asarray(raw))
-        if psd_sum is None:
-            psd_sum, psd_max, apd = pm, px, counts
-        else:
-            psd_sum = psd_sum + pm
-            psd_max = jnp.maximum(psd_max, px)
-            apd = apd + counts
+        acc = step(acc, jnp.asarray(raw))
         done += 1
-    psd_mean = np.asarray(psd_sum) / max(done, 1)  # fence
+    psd_mean = np.asarray(acc[0]) / max(done, 1)  # f32 fence
     dt = time.perf_counter() - t0
     print(f'monitor psd peak bin {int(psd_mean.argmax())}, '
-          f'APD total {int(np.asarray(apd).sum())}', flush=True)
+          f'APD total {int(np.asarray(acc[2]).sum())}', flush=True)
     return done * chunk / dt / 1e6
 
 

@@ -216,18 +216,6 @@ class WidebandMonitor:
             d.nfft, d.nfft_out, pb_start, pb_end
         )
 
-        # raw-sample scaling ('i16' integer captures / calibrated ADC
-        # counts) only has a consistent injection point in the pallas OLA
-        # kernels' folded analysis window
-        if (d.fft_precision == 'i16' or d.input_scale != 1.0) and (
-            d.ola_kernel != 'pallas' or d.fft_backend != 'mxu'
-        ):
-            raise ValueError(
-                "fft_precision='i16' / input_scale != 1 require "
-                "fft_backend='mxu' with ola_kernel='pallas' (the scale "
-                'folds into the fused kernel window)'
-            )
-
         # APD power-bin edges from dB range
         edges_dB = np.linspace(d.apd_range_dB[0], d.apd_range_dB[1], d.apd_bins)
         self.apd_edges_dB = edges_dB
@@ -427,6 +415,22 @@ class WidebandMonitor:
                         w_shift_out=np.asarray(self._w_shift_out),
                         precision=prec,
                     )
+
+        # raw-sample scaling ('i16' integer captures / calibrated ADC
+        # counts) only has a consistent injection point in the pallas
+        # OLA kernels' folded analysis window — require that one of
+        # those kernels actually ARMED, not just that the flags were
+        # set (e.g. nfft_out == nfft never arms the fused path, and the
+        # scale would silently never apply)
+        if (d.fft_precision == 'i16' or d.input_scale != 1.0) and (
+            self._fused_ola_raw is None and self._packed_ola is None
+        ):
+            raise ValueError(
+                "fft_precision='i16' / input_scale != 1 require a "
+                "design where the fused pallas OLA path arms "
+                "(fft_backend='mxu', ola_kernel='pallas', and a "
+                'resampling nfft -> nfft_out the fused kernel supports)'
+            )
 
     def _hist(self, p):
         """APD histogram counts per design.apd_kernel: sort+searchsorted
@@ -685,8 +689,10 @@ class WidebandMonitor:
         straight from a SigMF ci16 payload (io.read_iq_planes) and set
         design.input_scale to the ADC scale; the planes cross
         host->device at half the float32 transfer size and the kernels
-        dequantize in VMEM. float32 planes are accepted at every tier
-        (identical results to step(unpack_iq(planes)))."""
+        dequantize in VMEM. At the float tiers, float32 planes give
+        identical results to step(unpack_iq(planes)); at 'i16', float
+        planes are rounded to the nearest integer count before storage
+        (pass raw counts, not pre-scaled values)."""
         if planes.ndim == 3:
             return jax.vmap(lambda p: self.step_planes(p))(planes)
         if not self._packed_applies(planes.shape[1]):

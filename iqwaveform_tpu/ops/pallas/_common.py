@@ -19,7 +19,9 @@ LANES = 128
 # Mosaic subset), but CI enables this via tests/conftest.py so a kernel
 # regression cannot hide behind a silently-passing fallback (VERDICT r2
 # weak #6).
-_STRICT_KERNELS = bool(int(os.environ.get('IQWAVEFORM_TPU_STRICT_KERNELS', '0') or 0))
+_STRICT_KERNELS = os.environ.get(
+    'IQWAVEFORM_TPU_STRICT_KERNELS', ''
+).strip().lower() in ('1', 'true', 'yes', 'on')
 
 
 def set_strict_kernels(enable: bool) -> None:

@@ -254,6 +254,15 @@ def _storage_dtype(precision):
     return jnp.float32
 
 
+def _to_storage(x, sdt):
+    """convert planes to the storage dtype; float -> int16 rounds to
+    nearest (astype alone truncates toward zero, which would corrupt
+    non-integer-valued float input at the 'i16' tier)."""
+    if sdt == jnp.int16 and jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.round(x).astype(sdt)
+    return x.astype(sdt)
+
+
 def fused_ola_pallas(
     frames,
     *,
@@ -298,8 +307,8 @@ def fused_ola_pallas(
     while M % T:
         T //= 2
     sdt = _storage_dtype(precision)
-    fr = frames.real.astype(sdt).reshape(M * a, b)
-    fi = frames.imag.astype(sdt).reshape(M * a, b)
+    fr = _to_storage(frames.real, sdt).reshape(M * a, b)
+    fi = _to_storage(frames.imag, sdt).reshape(M * a, b)
 
     frame_spec = pl.BlockSpec((T * a, b), lambda m: (m, 0))
     out_spec = pl.BlockSpec((T * a, 2 * b2p), lambda m: (m, 0))
@@ -391,8 +400,8 @@ def fused_ola_packed(
     while M % T:
         T //= 2
     sdt = _storage_dtype(precision)
-    fr = fr.astype(sdt).reshape(M * a, b)
-    fi = fi.astype(sdt).reshape(M * a, b)
+    fr = _to_storage(fr, sdt).reshape(M * a, b)
+    fi = _to_storage(fi, sdt).reshape(M * a, b)
 
     frame_spec = pl.BlockSpec((T * a, b), lambda m: (m, 0))
     out_spec = pl.BlockSpec((T * a, 2 * _LANES), lambda m: (m, 0))
@@ -475,8 +484,8 @@ def fused_ola_strided(
 
     rows_needed = (M + T) * H
     sdt = _storage_dtype(precision)
-    xr = pr.astype(sdt).reshape(-1, b)
-    xi = pi.astype(sdt).reshape(-1, b)
+    xr = _to_storage(pr, sdt).reshape(-1, b)
+    xi = _to_storage(pi, sdt).reshape(-1, b)
     if xr.shape[0] < rows_needed:
         pad = rows_needed - xr.shape[0]
         xr = jnp.concatenate([xr, jnp.zeros((pad, b), xr.dtype)])

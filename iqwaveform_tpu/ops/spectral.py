@@ -265,12 +265,16 @@ def _psd_factored_fast(
             fft_backend=backend,
         )
         spg_dB = _streaming._spectrogram_dB_chunk(x_trunc, design)
-        rows = []
+        # one batched quantile call -> one sort, shared by all quantiles
+        if quantiles:
+            q_rows = jnp.quantile(
+                spg_dB, jnp.asarray(quantiles, dtype='float32'), axis=0
+            )
+        rows, qi = [], 0
         for s, is_q in zip(statistics, isquantile):
             if is_q:
-                rows.append(
-                    jnp.quantile(spg_dB, jnp.float32(float(s)), axis=0)
-                )
+                rows.append(q_rows[qi])
+                qi += 1
             else:
                 ufunc = power_analysis.stat_ufunc_from_shorthand(s, xp=jnp)
                 rows.append(ufunc(spg_dB, axis=0))
@@ -476,6 +480,9 @@ def _channelize_power_pallas(
     freqs, times = _get_stft_axes(
         1.0 / Ts, nfft=nperseg, time_size=M, overlap_frac=0.0, xp=np
     )
+    if channel_count == 1:
+        # match the stft path's 2-tuple return for single-channel use
+        return times, channel_power[:, 0]
     if skip_bins > 0:
         freqs = freqs[skip_bins // 2 : -(skip_bins // 2)]
     freqs = to_blocks(freqs, analysis_bins_per_channel)

@@ -480,9 +480,10 @@ def _psd_stats_body(x_local, *, w, nperseg, noverlap, statistics, edges_dB, axis
         elif stat == 'min':
             outs.append(jax.lax.pmin(spg_dB.min(axis=0), axis_name))
         elif stat == 'rms':
-            outs.append(
-                jnp.sqrt(jax.lax.pmean((spg_dB * spg_dB).mean(axis=0), axis_name))
-            )
+            # reference detector semantics: 'rms' of a POWER quantity is
+            # its mean (power_analysis.py:73-101; ops/power.py
+            # stat_ufunc_from_shorthand maps 'rms' -> mean)
+            outs.append(jax.lax.pmean(spg_dB.mean(axis=0), axis_name))
         else:
             raise ValueError(f'unsupported sharded statistic {stat!r}')
     if outs:

@@ -262,10 +262,11 @@ def _fused_levels_fold(carry, chunk, design):
     sum/max/min accumulated in VMEM, and only the level indices feed the
     packed one-hot-matmul histogram. Returns None when the design/shape
     wants the unfused path (stats-only folds, nfft < 1024, non-multiple
-    chunk sizes, >4096 bins)."""
+    chunk sizes, or bin counts beyond the packed kernel's on-chip
+    validation cap — columnwise_histogram_fast's same 1024 limit)."""
     if design['fft_backend'] != 'pallas' or design['edges_dB'] is None:
         return None
-    if design['edges_dB'].shape[0] - 1 > 4096:
+    if design['edges_dB'].shape[0] - 1 > 1024:
         return None
     from ..ops.pallas.spectrogram_pallas import (
         spectrogram_levels_pallas,
