@@ -263,13 +263,11 @@ def bench_streaming():
     import jax.numpy as jnp
 
     from iqwaveform_tpu.parallel.streaming import (
-        apd_fold,
         design_persistence,
+        persistence_apd_fold,
         persistence_finalize,
-        persistence_fold,
         persistence_init,
     )
-    from iqwaveform_tpu.utils import unpack_iq
 
     nfft = 1024
     chunk = 2**24  # 16.78 Ms per fold
@@ -287,13 +285,15 @@ def bench_streaming():
     )
 
     # the fold composes the library's streaming primitives (the bench
-    # measures the public parallel.streaming path, not a bespoke loop)
+    # measures the public parallel.streaming path, not a bespoke loop);
+    # chunks stay (2, n) float planes end to end — the combined fold
+    # reads each chunk exactly once (persistence + detector-binned APD
+    # from one kernel pass, round 3)
     def fold(carry, planes):
-        v = unpack_iq(planes)
         pcarry, apd = carry
-        return (
-            persistence_fold(pcarry, v, design),
-            apd_fold(apd, v, edges=apd_edges, navg=apd_navg, kernel='pallas'),
+        return persistence_apd_fold(
+            pcarry, apd, planes, design,
+            apd_edges=apd_edges, apd_navg=apd_navg, apd_kernel='pallas',
         )
 
     # scan a batch of folds per dispatch: a single fold per jit call is

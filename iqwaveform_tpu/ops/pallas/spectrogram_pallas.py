@@ -259,9 +259,9 @@ def spectrogram_levels_supported(nfft: int, n_samples: int) -> bool:
 
 def _spg_levels_kernel(
     xr_ref, xi_ref, wr_ref, wi_ref, bfr_ref, bfi_ref,
-    twr_ref, twi_ref, fbr_ref, fbi_ref,
-    idx_ref, psum_ref, pmax_ref, pmin_ref,
-    *, a, passes, interpret, q_lo, q_scale, n_bins,
+    twr_ref, twi_ref, fbr_ref, fbi_ref, gbin_ref,
+    idx_ref, psum_ref, pmax_ref, pmin_ref, *maybe_pbin,
+    a, passes, interpret, q_lo, q_scale, n_bins, apd_navg,
 ):
     """_spg_kernel plus fused histogram quantization and per-bin
     sum/max/min accumulation, so the persistence fold never writes the
@@ -270,6 +270,10 @@ def _spg_levels_kernel(
     Outputs: idx (block layout as the dB output — rows f*a + k1, lanes
     k2 — holding the clipped uniform-bin level of each dB value) and
     (a, 128) accumulators psum/pmax/pmin per factored (k1, k2) bin.
+    With apd_navg > 0, additionally the detector-binned |x|^2 of the
+    raw stream (the monitor CCDF workflow's binning) as one grouping
+    dot per block — the streaming fold's APD stage then never re-reads
+    the chunk (live lanes [0, 128/navg), padding +inf).
     """
     make_dot_lhsconst, make_dot_rhsconst = _dot_makers(passes)
 
@@ -286,6 +290,17 @@ def _spg_levels_kernel(
 
     ar = xr_ref[...]  # (1024, 128): rows f*a + i1, lanes i2
     ai = xi_ref[...]
+
+    if apd_navg:
+        # detector-binned raw power via the (128, 128) grouping-matrix
+        # dot (6-pass, matching the XLA binned_mean_matmul numerics)
+        p = ar * ar + ai * ai
+        dot6 = _make_dot(6)
+        pb = dot6(p, gbin_ref[...])
+        lane = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        maybe_pbin[0][...] = jnp.where(
+            lane < _LANES // apd_navg, pb, jnp.inf
+        )
 
     wfr = rep(wr_ref[...], _ROWS // a)
     wfi = rep(wi_ref[...], _ROWS // a)
@@ -333,6 +348,7 @@ def spectrogram_levels_pallas(
     edges_dB: np.ndarray,
     *,
     passes: int = 6,
+    apd_navg: int = 0,
     interpret: bool = None,
 ):
     """fused dB-spectrogram histogram levels + per-bin statistics.
@@ -345,13 +361,16 @@ def spectrogram_levels_pallas(
     columnwise_histogram_packed(levels=...).
 
     Args: as spectrogram_dB_pallas, plus edges_dB: uniform (n_bins+1,)
-    histogram edges (host numpy).
+    histogram edges (host numpy); apd_navg > 0 (dividing 128)
+    additionally emits the detector-binned |x|^2 of the raw stream so
+    a combined persistence+APD fold reads the chunk exactly once.
 
     Returns:
-        (idx, psum, pmax, pmin): idx (n // nfft, nfft) int32 levels;
-        psum/pmax/pmin (nfft,) float32 per-bin dB statistics. All in
-        FACTORED bin order (flat position k1*128 + k2 holds natural bin
-        k2*a + k1).
+        (idx, psum, pmax, pmin[, p_binned]): idx (n // nfft, nfft)
+        int32 levels; psum/pmax/pmin (nfft,) float32 per-bin dB
+        statistics, all in FACTORED bin order (flat position k1*128 +
+        k2 holds natural bin k2*a + k1); p_binned (n // apd_navg,)
+        float32 detector-binned power in time order.
     """
     if interpret is None:
         interpret = not _on_tpu_like()
@@ -362,6 +381,8 @@ def spectrogram_levels_pallas(
             f'a a power-of-two multiple of 8 up to 128, '
             f'n % {_ROWS * _LANES} == 0)'
         )
+    if apd_navg and (apd_navg < 1 or _LANES % apd_navg):
+        raise ValueError('apd_navg must divide 128')
     a = nfft // _LANES
 
     edges = np.asarray(edges_dB, dtype='float64')
@@ -374,6 +395,13 @@ def spectrogram_levels_pallas(
 
     w_key = np.ascontiguousarray((w / nfft).astype('complex64')).tobytes()
     consts = _spg_constants(nfft, w_key)
+    if apd_navg:
+        from .chan_stats_pallas import _group_matrix
+
+        gbin = _group_matrix(_LANES, apd_navg, 1.0 / apd_navg)
+    else:
+        gbin = np.zeros((_LANES, _LANES), 'float32')
+    consts = consts + (gbin,)
 
     n_steps = n // (_ROWS * _LANES)
 
@@ -381,10 +409,28 @@ def spectrogram_levels_pallas(
         return pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim)
 
     acc_spec = pl.BlockSpec((a, _LANES), lambda i: (0, 0))
-    idx, psum, pmax, pmin = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
+        acc_spec,
+        acc_spec,
+        acc_spec,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32),
+        jax.ShapeDtypeStruct((a, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((a, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((a, _LANES), jnp.float32),
+    ]
+    if apd_navg:
+        out_specs.append(pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.float32)
+        )
+
+    outs = pl.pallas_call(
         functools.partial(
             _spg_levels_kernel, a=a, passes=passes, interpret=interpret,
-            q_lo=q_lo, q_scale=q_scale, n_bins=n_bins,
+            q_lo=q_lo, q_scale=q_scale, n_bins=n_bins, apd_navg=apd_navg,
         ),
         grid=(n_steps,),
         in_specs=[
@@ -392,18 +438,8 @@ def spectrogram_levels_pallas(
             pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
             *[vec_spec(c) for c in consts],
         ],
-        out_specs=[
-            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
-            acc_spec,
-            acc_spec,
-            acc_spec,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((a, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((a, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((a, _LANES), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',),
         ),
@@ -414,9 +450,15 @@ def spectrogram_levels_pallas(
         *[jnp.asarray(c) for c in consts],
     )
 
-    return (
+    idx, psum, pmax, pmin = outs[:4]
+    result = (
         idx.reshape(n // nfft, nfft),
         psum.reshape(-1),
         pmax.reshape(-1),
         pmin.reshape(-1),
     )
+    if apd_navg:
+        result = result + (
+            outs[4][:, : _LANES // apd_navg].reshape(-1),
+        )
+    return result

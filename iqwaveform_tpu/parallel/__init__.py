@@ -16,6 +16,7 @@ from .streaming import (
     PersistenceCarry,
     apd_fold,
     design_persistence,
+    persistence_apd_fold,
     persistence_finalize,
     persistence_fold,
     persistence_init,
@@ -27,6 +28,7 @@ __all__ = [
     'PersistenceCarry',
     'apd_fold',
     'design_persistence',
+    'persistence_apd_fold',
     'persistence_finalize',
     'persistence_fold',
     'persistence_init',

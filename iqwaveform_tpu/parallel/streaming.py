@@ -27,6 +27,7 @@ __all__ = [
     'apd_fold',
     'design_persistence',
     'load_carry',
+    'persistence_apd_fold',
     'persistence_finalize',
     'persistence_fold',
     'persistence_init',
@@ -196,21 +197,38 @@ def persistence_init(design: dict) -> PersistenceCarry:
     )
 
 
+def _chunk_planes(chunk):
+    """(xr, xi) float planes of a chunk given either as a complex array
+    or as a (2, n) float plane stack (planes skip the complex
+    materialization + deinterleave copies entirely)."""
+    if chunk.ndim == 2 and chunk.shape[0] == 2 and not jnp.iscomplexobj(chunk):
+        return chunk[0], chunk[1]
+    flat = chunk.reshape(-1)
+    return flat.real, flat.imag
+
+
+def _chunk_complex(chunk):
+    """complex view of a chunk given as complex or (2, n) planes."""
+    if chunk.ndim == 2 and chunk.shape[0] == 2 and not jnp.iscomplexobj(chunk):
+        return jax.lax.complex(chunk[0], chunk[1])
+    return chunk
+
+
 def _spectrogram_dB_chunk(chunk, design):
     """chunk -> (frames, nfft) dB spectrogram in the design's bin order."""
     nfft = design['nfft']
     if design['fft_backend'] == 'pallas':
         from ..ops.pallas.spectrogram_pallas import spectrogram_dB_pallas
 
-        flat = chunk.reshape(-1)  # same contract as the framed backends
+        xr, xi = _chunk_planes(chunk)
         return spectrogram_dB_pallas(
-            flat.real,
-            flat.imag,
+            xr,
+            xi,
             design['window'],
             nfft,
             passes=design['fft_passes'],
         )
-    frames = chunk.reshape(-1, nfft)
+    frames = _chunk_complex(chunk).reshape(-1, nfft)
     wind = (design['window'] / nfft).astype(frames.dtype)
     frames = frames * wind[None, :]
     if design['fft_backend'] == 'mxu':
@@ -226,9 +244,11 @@ def _spectrogram_dB_chunk(chunk, design):
 
 def persistence_fold(carry: PersistenceCarry, chunk, design: dict):
     """accumulate one chunk of non-overlapping nfft frames into the
-    persistence carry (traceable; ``design`` is static). Bin order of
-    the carry is the design's internal order — always read results
-    through persistence_finalize."""
+    persistence carry (traceable; ``design`` is static). ``chunk`` is a
+    complex array or a (2, n) float plane stack (planes avoid the
+    complex materialization on the pallas backend). Bin order of the
+    carry is the design's internal order — always read results through
+    persistence_finalize."""
     fused = _fused_levels_fold(carry, chunk, design)
     if fused is not None:
         return fused
@@ -255,7 +275,7 @@ def persistence_fold(carry: PersistenceCarry, chunk, design: dict):
     )
 
 
-def _fused_levels_fold(carry, chunk, design):
+def _fused_levels_fold(carry, chunk, design, apd_navg: int = 0):
     """pallas-backend fold through the fused spectrogram->levels+stats
     kernel (VERDICT r2 #2): the dB frames never round-trip through HBM —
     the kernel emits quantized histogram levels plus the per-bin
@@ -263,7 +283,11 @@ def _fused_levels_fold(carry, chunk, design):
     packed one-hot-matmul histogram. Returns None when the design/shape
     wants the unfused path (stats-only folds, nfft < 1024, non-multiple
     chunk sizes, or bin counts beyond the packed kernel's on-chip
-    validation cap — columnwise_histogram_fast's same 1024 limit)."""
+    validation cap — columnwise_histogram_fast's same 1024 limit).
+
+    With apd_navg > 0 the kernel also emits the detector-binned raw
+    power (the chunk is then read exactly once for the whole
+    persistence+APD fold) and the return is (carry, p_binned)."""
     if design['fft_backend'] != 'pallas' or design['edges_dB'] is None:
         return None
     if design['edges_dB'].shape[0] - 1 > 1024:
@@ -273,28 +297,79 @@ def _fused_levels_fold(carry, chunk, design):
         spectrogram_levels_supported,
     )
 
-    flat = chunk.reshape(-1)
-    if not spectrogram_levels_supported(design['nfft'], flat.shape[0]):
+    xr, xi = _chunk_planes(chunk)
+    if not spectrogram_levels_supported(design['nfft'], xr.shape[0]):
         return None
 
     from ..ops.pallas.colhist_pallas import columnwise_histogram_packed
 
-    idx, psum, pmax, pmin = spectrogram_levels_pallas(
-        flat.real,
-        flat.imag,
+    outs = spectrogram_levels_pallas(
+        xr,
+        xi,
         design['window'],
         design['nfft'],
         design['edges_dB'],
         passes=design['fft_passes'],
+        apd_navg=apd_navg,
     )
+    idx, psum, pmax, pmin = outs[:4]
     B = design['edges_dB'].shape[0] - 1
     counts = columnwise_histogram_packed(None, None, levels=(idx, B))
-    return PersistenceCarry(
+    new_carry = PersistenceCarry(
         hist=carry.hist + counts,
         psum=carry.psum + psum,
         pmax=jnp.maximum(carry.pmax, pmax),
         pmin=jnp.minimum(carry.pmin, pmin),
         count=carry.count + idx.shape[0],
+    )
+    if apd_navg:
+        return new_carry, outs[4]
+    return new_carry
+
+
+def persistence_apd_fold(
+    pcarry: PersistenceCarry,
+    apd_counts,
+    chunk,
+    design: dict,
+    *,
+    apd_edges,
+    apd_navg: int = 1,
+    apd_kernel: str = 'auto',
+):
+    """persistence_fold + detector-binned apd_fold of one chunk in a
+    SINGLE pass over the samples when the fused pallas path applies
+    (the levels kernel emits the binned power alongside the histogram
+    levels); otherwise composes the two folds. ``chunk`` may be complex
+    or (2, n) float planes.
+
+    Returns (new_pcarry, new_apd_counts).
+    """
+    from ..utils.dispatch import is_jax_array
+
+    fused_ok = (
+        apd_navg >= 1
+        and 128 % apd_navg == 0
+        and apd_kernel in ('auto', 'pallas')
+        and not is_jax_array(apd_edges)
+    )
+    if fused_ok:
+        fused = _fused_levels_fold(pcarry, chunk, design, apd_navg=apd_navg)
+        if fused is not None:
+            new_carry, p_binned = fused
+            from ..ops.pallas.hist_pallas import histogram_edge_counts_pallas
+
+            c = histogram_edge_counts_pallas(
+                p_binned, np.asarray(apd_edges, dtype='float32')
+            )
+            return new_carry, apd_counts + c.astype(apd_counts.dtype)
+
+    return (
+        persistence_fold(pcarry, chunk, design),
+        apd_fold(
+            apd_counts, chunk, edges=apd_edges, navg=apd_navg,
+            kernel=apd_kernel,
+        ),
     )
 
 
@@ -473,7 +548,8 @@ def apd_fold(counts, chunk, *, edges, navg: int = 1, kernel: str = 'auto'):
     """
     from ..utils.dispatch import is_jax_array
 
-    p = chunk.real * chunk.real + chunk.imag * chunk.imag
+    xr, xi = _chunk_planes(chunk)
+    p = xr * xr + xi * xi
     if navg > 1:
         from ..ops.power import binned_mean_matmul
 

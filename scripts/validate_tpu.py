@@ -421,8 +421,20 @@ def main():
         # in-kernel quantize vs host float32 quantize of the same dB:
         # identical except possible one-level shifts at exact bin edges
         # (FMA contraction); never more than one level, never many
+        # combined-fold variant: detector-binned raw power emitted too
+        lv_apd_fn = jax.jit(
+            lambda pl_: spectrogram_levels_pallas(
+                pl_[0], pl_[1], sg_w1k, 1024, sgl_edges, passes=3,
+                apd_navg=16,
+            )[4]
+        )
+        pb = np.asarray(lv_apd_fn(jnp.asarray(sg_planes2)))
+        p_ref = (sg_planes2[0] ** 2 + sg_planes2[1] ** 2).reshape(-1, 16)
+        pb_err = np.abs(pb - p_ref.mean(axis=1)).max()
+
         idx_d = np.abs(idxs - exp_idx)
         idx_ok = idx_d.max() <= 1 and (idx_d > 0).mean() < 1e-3
+        idx_ok = idx_ok and pb_err < 1e-6
         err_s = np.abs(psum - dB.sum(axis=0)).max() / np.abs(dB.sum(0)).max()
         err_m = np.abs(pmax - dB.max(axis=0)).max()
         err_n = np.abs(pmin - dB.min(axis=0)).max()
@@ -430,9 +442,9 @@ def main():
         if not ok:
             failures.append('spectrogram levels pallas')
         print(
-            f'spectrogram levels (tpu)         idx_exact={idx_ok} psum '
+            f'spectrogram levels (tpu)         idx_ok={idx_ok} psum '
             f'{err_s:.2e} pmax {err_m:.2e} pmin {err_n:.2e} '
-            f'{"ok" if ok else "FAIL"}',
+            f'pbin {pb_err:.2e} {"ok" if ok else "FAIL"}',
             flush=True,
         )
     except Exception as e:

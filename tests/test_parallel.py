@@ -660,3 +660,72 @@ def test_sharded_monitor_collective_budget():
     assert count('all-to-all') == 0
     assert count('collective-permute') <= 2  # halo in + OLA tail out
     assert count('all-reduce') <= 4  # psum/pmean/pmax statistic merges
+
+
+def test_persistence_apd_fold_combined_matches_separate():
+    """the single-pass combined fold (fused kernel emits detector-binned
+    power alongside the levels) matches persistence_fold + apd_fold run
+    separately, for both complex and (2, n) plane chunks."""
+    from iqwaveform_tpu.parallel import streaming as S
+
+    fs = 1e6
+    nfft = 1024
+    n = 1024 * 128
+    navg = 16
+    x = make_tone_noise(n, fs=fs)
+    planes = jnp.asarray(np.stack([x.real, x.imag]).astype('float32'))
+    apd_edges = (10 ** (np.linspace(-120.0, 30.0, 129) / 10.0)).astype(
+        'float32'
+    )
+    design = S.design_persistence(
+        nfft=nfft, window='hann', hist_bins=512, fft_backend='pallas'
+    )
+
+    init = S.persistence_init(design)
+    apd0 = jnp.zeros((apd_edges.shape[0] + 1,), jnp.int32)
+
+    # oracle: the separate folds on the complex chunk
+    c_ref = S.persistence_fold(init, jnp.asarray(x), design)
+    a_ref = S.apd_fold(apd0, jnp.asarray(x), edges=apd_edges, navg=navg)
+
+    for chunk in (jnp.asarray(x), planes):
+        c_got, a_got = S.persistence_apd_fold(
+            init, apd0, chunk, design, apd_edges=apd_edges, apd_navg=navg
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_got.psum), np.asarray(c_ref.psum), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(c_got.hist), np.asarray(c_ref.hist)
+        )
+        # detector-binned counts: the in-kernel grouping dot reproduces
+        # the XLA binned-mean matmul numerics (6-pass)
+        np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
+
+    # planes input to the plain persistence_fold matches complex input
+    c_pl = S.persistence_fold(init, planes, design)
+    np.testing.assert_array_equal(
+        np.asarray(c_pl.hist), np.asarray(c_ref.hist)
+    )
+
+
+def test_persistence_apd_fold_fallback_path():
+    """unsupported shapes (nfft < 1024) compose the separate folds."""
+    from iqwaveform_tpu.parallel import streaming as S
+
+    nfft = 256
+    n = nfft * 64
+    x = jnp.asarray(make_tone_noise(n))
+    apd_edges = np.linspace(0.0, 4.0, 65).astype('float32')
+    design = S.design_persistence(
+        nfft=nfft, window='hann', hist_bins=128, fft_backend='mxu'
+    )
+    init = S.persistence_init(design)
+    apd0 = jnp.zeros((apd_edges.shape[0] + 1,), jnp.int32)
+    c_got, a_got = S.persistence_apd_fold(
+        init, apd0, x, design, apd_edges=apd_edges, apd_navg=16
+    )
+    c_ref = S.persistence_fold(init, x, design)
+    a_ref = S.apd_fold(apd0, x, edges=apd_edges, navg=16)
+    np.testing.assert_array_equal(np.asarray(c_got.hist), np.asarray(c_ref.hist))
+    np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
