@@ -183,7 +183,6 @@ def bench_spectrogram():
         persistence_fold,
         persistence_init,
     )
-    from iqwaveform_tpu.utils import unpack_iq
 
     n = 2**24
     nperseg = 1024
@@ -200,7 +199,9 @@ def bench_spectrogram():
 
     @jax.jit
     def step(planes):
-        c = persistence_fold(persistence_init(design), unpack_iq(planes), design)
+        # planes feed the fold directly (round 3: the stats-only fused
+        # kernel's accumulators are the only HBM writes)
+        c = persistence_fold(persistence_init(design), planes, design)
         out = jnp.stack([c.psum / c.count, c.pmax, c.pmin])
         # factored -> monotonic bin order (timed: it is part of the
         # deliverable, though only a (3, nfft) gather)

@@ -260,8 +260,8 @@ def spectrogram_levels_supported(nfft: int, n_samples: int) -> bool:
 def _spg_levels_kernel(
     xr_ref, xi_ref, wr_ref, wi_ref, bfr_ref, bfi_ref,
     twr_ref, twi_ref, fbr_ref, fbi_ref, gbin_ref,
-    idx_ref, psum_ref, pmax_ref, pmin_ref, *maybe_pbin,
-    a, passes, interpret, q_lo, q_scale, n_bins, apd_navg,
+    *outs,
+    a, passes, interpret, q_lo, q_scale, n_bins, apd_navg, emit_levels,
 ):
     """_spg_kernel plus fused histogram quantization and per-bin
     sum/max/min accumulation, so the persistence fold never writes the
@@ -273,8 +273,19 @@ def _spg_levels_kernel(
     With apd_navg > 0, additionally the detector-binned |x|^2 of the
     raw stream (the monitor CCDF workflow's binning) as one grouping
     dot per block — the streaming fold's APD stage then never re-reads
-    the chunk (live lanes [0, 128/navg), padding +inf).
+    the chunk (live lanes [0, 128/navg), padding +inf). With
+    emit_levels=False the idx output is dropped entirely (stats-only
+    persistence folds: HBM traffic collapses to the input reads plus
+    the tiny accumulators).
     """
+    i = 0
+    idx_ref = None
+    if emit_levels:
+        idx_ref = outs[0]
+        i = 1
+    psum_ref, pmax_ref, pmin_ref = outs[i : i + 3]
+    maybe_pbin = outs[i + 3 :]
+
     make_dot_lhsconst, make_dot_rhsconst = _dot_makers(passes)
 
     def rep(x, n):
@@ -327,11 +338,12 @@ def _spg_levels_kernel(
         p = dr * dr + di * di
         dB = _LN10_INV_10 * jnp.log(p + 1e-25)
 
-        # histogram level (identical quantization to colhist_pallas.
-        # _quantize_uniform so counts match the unfused path)
-        idx_ref[rows, :] = jnp.clip(
-            jnp.floor((dB - q_lo) * q_scale), 0, n_bins - 1
-        ).astype(jnp.int32)
+        if emit_levels:
+            # histogram level (identical quantization to colhist_pallas.
+            # _quantize_uniform so counts match the unfused path)
+            idx_ref[rows, :] = jnp.clip(
+                jnp.floor((dB - q_lo) * q_scale), 0, n_bins - 1
+            ).astype(jnp.int32)
 
         # per-(k1, k2) stats over this slab's 128/a frames
         red = dB.reshape(_LANES // a, a, _LANES)
@@ -361,16 +373,19 @@ def spectrogram_levels_pallas(
     columnwise_histogram_packed(levels=...).
 
     Args: as spectrogram_dB_pallas, plus edges_dB: uniform (n_bins+1,)
-    histogram edges (host numpy); apd_navg > 0 (dividing 128)
-    additionally emits the detector-binned |x|^2 of the raw stream so
-    a combined persistence+APD fold reads the chunk exactly once.
+    histogram edges (host numpy), or None for a stats-only variant
+    that emits no level indices at all (per-bin accumulators are then
+    the ONLY HBM writes); apd_navg > 0 (dividing 128) additionally
+    emits the detector-binned |x|^2 of the raw stream so a combined
+    persistence+APD fold reads the chunk exactly once.
 
     Returns:
-        (idx, psum, pmax, pmin[, p_binned]): idx (n // nfft, nfft)
-        int32 levels; psum/pmax/pmin (nfft,) float32 per-bin dB
-        statistics, all in FACTORED bin order (flat position k1*128 +
-        k2 holds natural bin k2*a + k1); p_binned (n // apd_navg,)
-        float32 detector-binned power in time order.
+        ([idx,] psum, pmax, pmin[, p_binned]): idx (n // nfft, nfft)
+        int32 levels (present when edges_dB is not None);
+        psum/pmax/pmin (nfft,) float32 per-bin dB statistics, all in
+        FACTORED bin order (flat position k1*128 + k2 holds natural bin
+        k2*a + k1); p_binned (n // apd_navg,) float32 detector-binned
+        power in time order.
     """
     if interpret is None:
         interpret = not _on_tpu_like()
@@ -385,13 +400,17 @@ def spectrogram_levels_pallas(
         raise ValueError('apd_navg must divide 128')
     a = nfft // _LANES
 
-    edges = np.asarray(edges_dB, dtype='float64')
-    widths = np.diff(edges)
-    if not np.allclose(widths, widths[0], rtol=1e-6):
-        raise ValueError('this kernel requires uniformly spaced edges')
-    n_bins = edges.shape[0] - 1
-    q_lo = float(np.float32(edges[0]))
-    q_scale = float(np.float32(1.0 / widths[0]))
+    emit_levels = edges_dB is not None
+    if emit_levels:
+        edges = np.asarray(edges_dB, dtype='float64')
+        widths = np.diff(edges)
+        if not np.allclose(widths, widths[0], rtol=1e-6):
+            raise ValueError('this kernel requires uniformly spaced edges')
+        n_bins = edges.shape[0] - 1
+        q_lo = float(np.float32(edges[0]))
+        q_scale = float(np.float32(1.0 / widths[0]))
+    else:
+        n_bins, q_lo, q_scale = 1, 0.0, 1.0
 
     w_key = np.ascontiguousarray((w / nfft).astype('complex64')).tobytes()
     consts = _spg_constants(nfft, w_key)
@@ -409,18 +428,14 @@ def spectrogram_levels_pallas(
         return pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim)
 
     acc_spec = pl.BlockSpec((a, _LANES), lambda i: (0, 0))
-    out_specs = [
-        pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
-        acc_spec,
-        acc_spec,
-        acc_spec,
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32),
-        jax.ShapeDtypeStruct((a, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((a, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((a, _LANES), jnp.float32),
-    ]
+    out_specs, out_shape = [], []
+    if emit_levels:
+        out_specs.append(pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.int32)
+        )
+    out_specs += [acc_spec, acc_spec, acc_spec]
+    out_shape += [jax.ShapeDtypeStruct((a, _LANES), jnp.float32)] * 3
     if apd_navg:
         out_specs.append(pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)))
         out_shape.append(
@@ -431,6 +446,7 @@ def spectrogram_levels_pallas(
         functools.partial(
             _spg_levels_kernel, a=a, passes=passes, interpret=interpret,
             q_lo=q_lo, q_scale=q_scale, n_bins=n_bins, apd_navg=apd_navg,
+            emit_levels=emit_levels,
         ),
         grid=(n_steps,),
         in_specs=[
@@ -450,15 +466,17 @@ def spectrogram_levels_pallas(
         *[jnp.asarray(c) for c in consts],
     )
 
-    idx, psum, pmax, pmin = outs[:4]
-    result = (
-        idx.reshape(n // nfft, nfft),
-        psum.reshape(-1),
-        pmax.reshape(-1),
-        pmin.reshape(-1),
+    i = 0
+    result = ()
+    if emit_levels:
+        result = (outs[0].reshape(n // nfft, nfft),)
+        i = 1
+    psum, pmax, pmin = outs[i : i + 3]
+    result = result + (
+        psum.reshape(-1), pmax.reshape(-1), pmin.reshape(-1)
     )
     if apd_navg:
         result = result + (
-            outs[4][:, : _LANES // apd_navg].reshape(-1),
+            outs[i + 3][:, : _LANES // apd_navg].reshape(-1),
         )
     return result

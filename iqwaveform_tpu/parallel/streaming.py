@@ -287,10 +287,14 @@ def _fused_levels_fold(carry, chunk, design, apd_navg: int = 0):
 
     With apd_navg > 0 the kernel also emits the detector-binned raw
     power (the chunk is then read exactly once for the whole
-    persistence+APD fold) and the return is (carry, p_binned)."""
-    if design['fft_backend'] != 'pallas' or design['edges_dB'] is None:
+    persistence+APD fold) and the return is (carry, p_binned).
+
+    Stats-only designs (hist_bins=0) use the no-levels kernel variant:
+    the accumulators are the only HBM writes."""
+    if design['fft_backend'] != 'pallas':
         return None
-    if design['edges_dB'].shape[0] - 1 > 1024:
+    stats_only = design['edges_dB'] is None
+    if not stats_only and design['edges_dB'].shape[0] - 1 > 1024:
         return None
     from ..ops.pallas.spectrogram_pallas import (
         spectrogram_levels_pallas,
@@ -301,8 +305,6 @@ def _fused_levels_fold(carry, chunk, design, apd_navg: int = 0):
     if not spectrogram_levels_supported(design['nfft'], xr.shape[0]):
         return None
 
-    from ..ops.pallas.colhist_pallas import columnwise_histogram_packed
-
     outs = spectrogram_levels_pallas(
         xr,
         xi,
@@ -312,18 +314,27 @@ def _fused_levels_fold(carry, chunk, design, apd_navg: int = 0):
         passes=design['fft_passes'],
         apd_navg=apd_navg,
     )
-    idx, psum, pmax, pmin = outs[:4]
-    B = design['edges_dB'].shape[0] - 1
-    counts = columnwise_histogram_packed(None, None, levels=(idx, B))
+    n_frames = xr.shape[0] // design['nfft']
+    if stats_only:
+        counts = None
+        psum, pmax, pmin = outs[:3]
+        pbin_i = 3
+    else:
+        from ..ops.pallas.colhist_pallas import columnwise_histogram_packed
+
+        idx, psum, pmax, pmin = outs[:4]
+        pbin_i = 4
+        B = design['edges_dB'].shape[0] - 1
+        counts = columnwise_histogram_packed(None, None, levels=(idx, B))
     new_carry = PersistenceCarry(
-        hist=carry.hist + counts,
+        hist=None if counts is None else carry.hist + counts,
         psum=carry.psum + psum,
         pmax=jnp.maximum(carry.pmax, pmax),
         pmin=jnp.minimum(carry.pmin, pmin),
-        count=carry.count + idx.shape[0],
+        count=carry.count + n_frames,
     )
     if apd_navg:
-        return new_carry, outs[4]
+        return new_carry, outs[pbin_i]
     return new_carry
 
 

@@ -729,3 +729,37 @@ def test_persistence_apd_fold_fallback_path():
     a_ref = S.apd_fold(apd0, x, edges=apd_edges, navg=16)
     np.testing.assert_array_equal(np.asarray(c_got.hist), np.asarray(c_ref.hist))
     np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
+
+
+def test_persistence_stats_only_fused_kernel():
+    """hist_bins=0 + pallas at nfft>=1024 engages the no-levels kernel
+    variant; stats match the mxu factored path."""
+    from iqwaveform_tpu.parallel import streaming as S
+
+    nfft = 1024
+    n = 1024 * 128
+    x = make_tone_noise(n)
+    planes = jnp.asarray(np.stack([x.real, x.imag]).astype('float32'))
+
+    d_pal = S.design_persistence(
+        nfft=nfft, window='hann', hist_bins=0, fft_backend='pallas'
+    )
+    assert S._fused_levels_fold(
+        S.persistence_init(d_pal), planes, d_pal
+    ) is not None
+
+    c_pal = S.persistence_fold(S.persistence_init(d_pal), planes, d_pal)
+    d_mxu = S.design_persistence(
+        nfft=nfft, window='hann', hist_bins=0, fft_backend='mxu'
+    )
+    c_mxu = S.persistence_fold(
+        S.persistence_init(d_mxu), jnp.asarray(x), d_mxu
+    )
+    assert c_pal.hist is None
+    np.testing.assert_allclose(
+        np.asarray(c_pal.psum), np.asarray(c_mxu.psum), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_pal.pmax), np.asarray(c_mxu.pmax), atol=1e-3
+    )
+    assert int(np.asarray(c_pal.count)) == n // nfft
