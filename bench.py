@@ -297,10 +297,13 @@ def bench_streaming():
             apd_edges=apd_edges, apd_navg=apd_navg, apd_kernel='pallas',
         )
 
-    # scan a batch of folds per dispatch: a single fold per jit call is
-    # tunnel-round-trip bound (~230 ms/dispatch vs ~15 ms of compute); a
-    # production pipeline keeps many chunks in flight (CapturePrefetcher)
-    folds_per_dispatch = 15
+    # scan a batch of folds per dispatch: each dispatch costs ~10 ms of
+    # tunnel round-trip + sync on top of the folds themselves (measured
+    # round 3 by reconciling scan wall-clock against difference-timed
+    # standalone folds), so 30 folds/dispatch leaves ~6% on the table
+    # vs ~12% at 15; a production pipeline without the tunnel would
+    # dispatch folds individually (CapturePrefetcher keeps them fed)
+    folds_per_dispatch = 30
 
     def run_folds(carry, stack):
         return jax.lax.scan(
