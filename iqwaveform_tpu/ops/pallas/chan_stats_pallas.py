@@ -161,7 +161,7 @@ def _channel_interval_matrices(nfft_big: int, skip_bins: int, channel_count: int
 
 def _chan_stats_kernel(
     yr, yi, war, wai, far, fai, twr, twi, fbr, fbi, gbin, gch, gbd, mp,
-    *outs, T, a, b, nch, navg, passes, boundary, emit_psd, emit_pbin,
+    *outs, T, a, b, navg, passes, boundary, emit_psd, emit_pbin,
 ):
     lsum = smax = pbin = None
     i = 0
@@ -264,13 +264,9 @@ def chan_stats_pallas(
     """
     if interpret is None:
         interpret = not _on_tpu_like()
-    w = np.asarray(window, dtype='complex64')
-    a, b, consts = _chan_constants(nfft_big, w.tobytes())
-    gbin = _group_matrix(b, navg, 1.0 / navg)
-    gch, gbd, mp, boundary = _channel_interval_matrices(
-        nfft_big, skip_bins, channel_count
+    a, b, consts, boundary = _chan_prepare(
+        nfft_big, window, navg, skip_bins, channel_count
     )
-    consts = consts + (gbin, gch, gbd, mp)
 
     M = y.shape[0] // nfft_big
     yr = y.real.reshape(M * a, b)
@@ -302,13 +298,9 @@ def chan_stats_packed_pallas(
     complex stream never materializes."""
     if interpret is None:
         interpret = not _on_tpu_like()
-    w = np.asarray(window, dtype='complex64')
-    a, b, consts = _chan_constants(nfft_big, w.tobytes())
-    gbin = _group_matrix(b, navg, 1.0 / navg)
-    gch, gbd, mp, boundary = _channel_interval_matrices(
-        nfft_big, skip_bins, channel_count
+    a, b, consts, boundary = _chan_prepare(
+        nfft_big, window, navg, skip_bins, channel_count
     )
-    consts = consts + (gbin, gch, gbd, mp)
 
     M = y_packed.shape[0] * _LANES // nfft_big
     return _chan_call(
@@ -317,6 +309,18 @@ def chan_stats_packed_pallas(
         frames_per_block=frames_per_block, interpret=interpret,
         col_blocks=(0, 1),
     )
+
+
+def _chan_prepare(nfft_big, window, navg, skip_bins, channel_count):
+    """shared host-side constant assembly for both kernel entry points:
+    DFT/window planes + detector grouping + channel-interval matrices."""
+    w = np.asarray(window, dtype='complex64')
+    a, b, consts = _chan_constants(nfft_big, w.tobytes())
+    gbin = _group_matrix(b, navg, 1.0 / navg)
+    gch, gbd, mp, boundary = _channel_interval_matrices(
+        nfft_big, skip_bins, channel_count
+    )
+    return a, b, consts + (gbin, gch, gbd, mp), boundary
 
 
 def _chan_call(
@@ -358,7 +362,7 @@ def _chan_call(
     outs = pl.pallas_call(
         functools.partial(
             _chan_stats_kernel,
-            T=T, a=a, b=b, nch=channel_count, navg=navg, boundary=boundary,
+            T=T, a=a, b=b, navg=navg, boundary=boundary,
             emit_psd=emit_psd, emit_pbin=emit_pbin,
             passes={'highest': 6, 'high': 3, 'default': 1, 'bf16': 1}.get(
                 precision if isinstance(precision, str) else 'highest', 3

@@ -258,8 +258,8 @@ def _pick_slab(B: int):
 
 
 def columnwise_histogram_packed(
-    vals,
-    edges,
+    vals=None,
+    edges=None,
     *,
     time_block: int = 128,
     factor_dtype=jnp.bfloat16,

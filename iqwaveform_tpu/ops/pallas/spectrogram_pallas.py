@@ -135,10 +135,13 @@ def _dot_makers(passes):
     return make_dot_lhsconst, make_dot_rhsconst
 
 
-def _spg_kernel(
+def _block_dB_slabs(
     xr_ref, xi_ref, wr_ref, wi_ref, bfr_ref, bfi_ref,
-    twr_ref, twi_ref, fbr_ref, fbi_ref, out_ref, *, a, passes, interpret
+    twr_ref, twi_ref, fbr_ref, fbi_ref, *, a, passes, interpret,
 ):
+    """yield (rows, dB) per 128-row slab of the block: the shared
+    window multiply -> packed four-step DFT -> |.|^2 -> dB chain of the
+    spectrogram kernels."""
     make_dot_lhsconst, make_dot_rhsconst = _dot_makers(passes)
 
     def rep(x, n):
@@ -177,7 +180,19 @@ def _spg_kernel(
         dr = dot_fbr(tr) - dot_fbi(ti)
         di = dot_fbr(ti) + dot_fbi(tr)
         p = dr * dr + di * di
-        out_ref[rows, :] = _LN10_INV_10 * jnp.log(p + 1e-25)
+        yield rows, _LN10_INV_10 * jnp.log(p + 1e-25)
+
+
+def _spg_kernel(
+    xr_ref, xi_ref, wr_ref, wi_ref, bfr_ref, bfi_ref,
+    twr_ref, twi_ref, fbr_ref, fbi_ref, out_ref, *, a, passes, interpret
+):
+    for rows, dB in _block_dB_slabs(
+        xr_ref, xi_ref, wr_ref, wi_ref, bfr_ref, bfi_ref,
+        twr_ref, twi_ref, fbr_ref, fbi_ref,
+        a=a, passes=passes, interpret=interpret,
+    ):
+        out_ref[rows, :] = dB
 
 
 def spectrogram_dB_pallas(
@@ -286,25 +301,17 @@ def _spg_levels_kernel(
     psum_ref, pmax_ref, pmin_ref = outs[i : i + 3]
     maybe_pbin = outs[i + 3 :]
 
-    make_dot_lhsconst, make_dot_rhsconst = _dot_makers(passes)
-
-    def rep(x, n):
-        if interpret:
-            return jnp.concatenate([x] * n, axis=0)
-        return pltpu.repeat(x, n, axis=0)
-
     @pl.when(pl.program_id(0) == 0)
     def _():
         psum_ref[...] = jnp.zeros_like(psum_ref)
         pmax_ref[...] = jnp.full_like(pmax_ref, -jnp.inf)
         pmin_ref[...] = jnp.full_like(pmin_ref, jnp.inf)
 
-    ar = xr_ref[...]  # (1024, 128): rows f*a + i1, lanes i2
-    ai = xi_ref[...]
-
     if apd_navg:
         # detector-binned raw power via the (128, 128) grouping-matrix
         # dot (6-pass, matching the XLA binned_mean_matmul numerics)
+        ar = xr_ref[...]
+        ai = xi_ref[...]
         p = ar * ar + ai * ai
         dot6 = _make_dot(6)
         pb = dot6(p, gbin_ref[...])
@@ -313,31 +320,11 @@ def _spg_levels_kernel(
             lane < _LANES // apd_navg, pb, jnp.inf
         )
 
-    wfr = rep(wr_ref[...], _ROWS // a)
-    wfi = rep(wi_ref[...], _ROWS // a)
-    cr = ar * wfr - ai * wfi
-    ci = ar * wfi + ai * wfr
-
-    twr = rep(twr_ref[...], _LANES // a)
-    twi = rep(twi_ref[...], _LANES // a)
-
-    dot_bfr = make_dot_lhsconst(bfr_ref[...])
-    dot_bfi = make_dot_lhsconst(bfi_ref[...])
-    dot_fbr = make_dot_rhsconst(fbr_ref[...])
-    dot_fbi = make_dot_rhsconst(fbi_ref[...])
-
-    for s in range(_ROWS // _LANES):
-        rows = slice(s * _LANES, (s + 1) * _LANES)
-        sr, si = cr[rows, :], ci[rows, :]
-        br = dot_bfr(sr) - dot_bfi(si)
-        bi = dot_bfr(si) + dot_bfi(sr)
-        tr = br * twr - bi * twi
-        ti = br * twi + bi * twr
-        dr = dot_fbr(tr) - dot_fbi(ti)
-        di = dot_fbr(ti) + dot_fbi(tr)
-        p = dr * dr + di * di
-        dB = _LN10_INV_10 * jnp.log(p + 1e-25)
-
+    for rows, dB in _block_dB_slabs(
+        xr_ref, xi_ref, wr_ref, wi_ref, bfr_ref, bfi_ref,
+        twr_ref, twi_ref, fbr_ref, fbi_ref,
+        a=a, passes=passes, interpret=interpret,
+    ):
         if emit_levels:
             # histogram level (identical quantization to colhist_pallas.
             # _quantize_uniform so counts match the unfused path)

@@ -192,7 +192,7 @@ def _psd_factored_fast(
     if (
         xp is not jnp
         or domain != Domain.TIME
-        or getattr(x, 'ndim', 1) != 1
+        or x.ndim != 1
         or axis != 0
         or noverlap
         or fractional_window != 1

@@ -325,7 +325,7 @@ def _fused_levels_fold(carry, chunk, design, apd_navg: int = 0):
         idx, psum, pmax, pmin = outs[:4]
         pbin_i = 4
         B = design['edges_dB'].shape[0] - 1
-        counts = columnwise_histogram_packed(None, None, levels=(idx, B))
+        counts = columnwise_histogram_packed(levels=(idx, B))
     new_carry = PersistenceCarry(
         hist=None if counts is None else carry.hist + counts,
         psum=carry.psum + psum,

@@ -48,7 +48,7 @@ def _oracle_top2_dB(mon, planes_np):
     d = mon.design
     nfft_big = mon._nfft_big
 
-    def f2(p):
+    def f(p):
         x = unpack_iq(p)
         y = _sharded_ola_body(
             x,
@@ -74,7 +74,7 @@ def _oracle_top2_dB(mon, planes_np):
         top2, _ = jax.lax.top_k(spg.T, 2)  # (nfft_big, 2)
         return 10.0 * jnp.log10(top2.T + 1e-25)
 
-    return np.asarray(jax.jit(f2, backend='cpu')(planes_np))
+    return np.asarray(jax.jit(f, backend='cpu')(planes_np))
 
 
 def run(n_log2: int = 24, precision: str = 'high'):
