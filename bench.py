@@ -473,9 +473,9 @@ def run_matrix():
     # reach ~8 min when recent clients died holding chip grants, and
     # remote compiles take 2-4 min per config
     budgets = {
-        'monitor8192p': 900, 'monitor8192': 800, 'spectrogram': 800,
-        'monitorRx4': 900, 'streaming1gs': 1100, 'channelize64': 1000,
-        'monitor8192bf16': 900, 'monitor8192i16': 900, 'psd': 900,
+        'monitor8192p': 1800, 'monitor8192': 1500, 'spectrogram': 1200,
+        'monitorRx4': 1500, 'streaming1gs': 1600, 'channelize64': 1500,
+        'monitor8192bf16': 1500, 'monitor8192i16': 1500, 'psd': 1500,
     }
     lines = []
     for name, budget in budgets.items():
@@ -518,10 +518,10 @@ def main():
     # budgets include tunnel client-init, which degrades to ~5 min when
     # recent clients died holding chip grants
     attempts = [
-        ('monitor8192p', 900),
-        ('monitor8192', 600),
-        ('monitor2048', 480),
-        ('spectrogram', 420),
+        ('monitor8192p', 1800),
+        ('monitor8192', 900),
+        ('monitor2048', 700),
+        ('spectrogram', 600),
     ]
 
     for name, budget in attempts:
