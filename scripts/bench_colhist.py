@@ -1,0 +1,89 @@
+"""On-chip microbench: packed columnwise histogram factor-dtype variants.
+
+Compares int32 vs bfloat16 factor construction (the kernel's VPU
+critical path — repeat + compare + cast of the one-hot factors) at the
+streaming fold's production shape (16384 frames x 1024 freqs) x 1024
+bins, plus the 256-bin monitor shape. Counts are oracle-checked against
+the XLA sort path before timing.
+
+Run: python scripts/bench_colhist.py   (claims the TPU chip)
+"""
+
+import time
+
+import numpy as np
+
+
+def measure(step, *args):
+    def run_and_fence(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = step(*args)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    t_compile = run_and_fence(1)
+    run_and_fence(2)
+    dts = []
+    for _ in range(3):
+        t_lo = run_and_fence(2)
+        t_hi = run_and_fence(12)
+        dts.append((t_hi - t_lo) / 10)
+    dts.sort()
+    return dts[1], t_compile
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.ops.pallas.colhist_pallas import (
+        columnwise_histogram_packed,
+    )
+    from iqwaveform_tpu.parallel.sharded import columnwise_histogram
+
+    rng = np.random.default_rng(0)
+
+    for (T, F, B) in [(16384, 1024, 1024), (16384, 1024, 256)]:
+        edges = np.linspace(-120.0, 0.0, B + 1)
+        vals_np = (
+            rng.normal(-60, 18, size=(T, F)).astype('float32').clip(-119, -1)
+        )
+        vals = jnp.asarray(vals_np)
+
+        oracle = None
+        for compare_dtype in (jnp.int32, jnp.bfloat16):
+            name = f'{T}x{F} B={B} compare={jnp.dtype(compare_dtype).name}'
+
+            @jax.jit
+            def step(v, _cd=compare_dtype):
+                c = columnwise_histogram_packed(
+                    v, edges, compare_dtype=_cd
+                )
+                return c.astype(jnp.float32)
+
+            counts = np.asarray(step(vals))
+            if oracle is None:
+                o = jax.jit(
+                    lambda v: columnwise_histogram(v, edges).astype(
+                        jnp.float32
+                    )
+                )
+                oracle = np.asarray(o(vals))
+            total_err = abs(counts.sum() - oracle.sum())
+            cum_err = np.abs(
+                np.cumsum(counts, 1) - np.cumsum(oracle, 1)
+            ).max()
+            dt, t_c = measure(step, vals)
+            rate = T * F / dt / 1e9
+            print(
+                f'{name}: {dt * 1e3:7.2f} ms  {rate:6.2f} Gcell/s  '
+                f'compile {t_c:5.1f} s  total_err={total_err:.0f} '
+                f'cum_err<= {cum_err:.0f}',
+                flush=True,
+            )
+
+
+if __name__ == '__main__':
+    main()
