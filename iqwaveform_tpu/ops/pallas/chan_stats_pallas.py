@@ -192,17 +192,36 @@ def _chan_stats_kernel(
             lane < b // navg, pb.reshape(T * a, b), jnp.inf
         )
 
-    # windowed four-step FFT in factored (k1, k2) coordinates
+    # windowed four-step FFT in factored (k1, k2) coordinates; the two
+    # complex matmul stages use Gauss's 3-multiplication form at the
+    # 1-/3-pass tiers (25% fewer MXU passes; same rationale and error
+    # analysis as fused_ola_pallas._fused_chain)
+    gauss = passes != 6
+
+    def bc(m):
+        return jnp.broadcast_to(m[None], (T,) + m.shape)
+
     xr = YR * war[...][None] - YI * wai[...][None]
     xi = YR * wai[...][None] + YI * war[...][None]
-    FAR = jnp.broadcast_to(far[...][None], (T, a, a))
-    FAI = jnp.broadcast_to(fai[...][None], (T, a, a))
-    br = dot(FAR, xr) - dot(FAI, xi)
-    bi = dot(FAR, xi) + dot(FAI, xr)
+    if gauss:
+        m1 = dot(bc(far[...]), xr + xi)
+        m2 = dot(bc(far[...] + fai[...]), xi)
+        m3 = dot(bc(fai[...] - far[...]), xr)
+        br, bi = m1 - m2, m1 + m3
+    else:
+        FAR, FAI = bc(far[...]), bc(fai[...])
+        br = dot(FAR, xr) - dot(FAI, xi)
+        bi = dot(FAR, xi) + dot(FAI, xr)
     cr = br * twr[...][None] - bi * twi[...][None]
     ci = br * twi[...][None] + bi * twr[...][None]
-    dr = dot(cr, fbr[...]) - dot(ci, fbi[...])
-    di = dot(cr, fbi[...]) + dot(ci, fbr[...])
+    if gauss:
+        m1 = dot(cr + ci, fbr[...])
+        m2 = dot(cr, fbi[...] - fbr[...])
+        m3 = dot(ci, fbr[...] + fbi[...])
+        dr, di = m1 - m3, m1 + m2
+    else:
+        dr = dot(cr, fbr[...]) - dot(ci, fbi[...])
+        di = dot(cr, fbi[...]) + dot(ci, fbr[...])
     spg = dr * dr + di * di  # (T, a, b): |FFT|^2 at bin k2*a + k1
 
     if emit_psd:
