@@ -250,9 +250,9 @@ def bench_streaming():
     1 GS capture at fixed device memory (donated carry).
 
     Honesty notes. (1) Every fold consumes a DIFFERENT device-resident
-    chunk (the scan walks a 15-chunk stack): feeding one chunk to all
+    chunk (the scan walks a 30-chunk stack): feeding one chunk to all
     folds lets XLA hoist the entire fold out of the scan as
-    loop-invariant code, which silently benchmarked 1 fold as 15
+    loop-invariant code, which silently benchmarked 1 fold as N
     (684 "MS/s" in an earlier round — wrong; see docs/BENCH_notes).
     (2) The APD is the detector-binned APD of the reference CCDF
     workflow (figures.py:827-836) and the flagship monitor: power is
@@ -312,8 +312,9 @@ def bench_streaming():
 
     step = jax.jit(run_folds, donate_argnums=0)
 
-    # 15 distinct chunks, generated on device (H2D of 2 GB through the
-    # tunnel would dominate; production overlap is the prefetcher's job)
+    # 30 distinct chunks (~4 GB of HBM), generated on device (H2D of
+    # that much data through the tunnel would dominate; production
+    # overlap is the prefetcher's job)
     key = jax.random.PRNGKey(0)
     stack = jax.jit(
         lambda k: jax.random.normal(

@@ -281,9 +281,9 @@ def _fused_levels_fold(carry, chunk, design, apd_navg: int = 0):
     the kernel emits quantized histogram levels plus the per-bin
     sum/max/min accumulated in VMEM, and only the level indices feed the
     packed one-hot-matmul histogram. Returns None when the design/shape
-    wants the unfused path (stats-only folds, nfft < 1024, non-multiple
-    chunk sizes, or bin counts beyond the packed kernel's on-chip
-    validation cap — columnwise_histogram_fast's same 1024 limit).
+    wants the unfused path (nfft < 1024, non-multiple chunk sizes, or
+    bin counts beyond the packed kernel's on-chip validation cap —
+    columnwise_histogram_fast's same 1024 limit).
 
     With apd_navg > 0 the kernel also emits the detector-binned raw
     power (the chunk is then read exactly once for the whole

@@ -9,29 +9,9 @@ the XLA sort path before timing.
 Run: python scripts/bench_colhist.py   (claims the TPU chip)
 """
 
-import time
-
 import numpy as np
 
-
-def measure(step, *args):
-    def run_and_fence(reps):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(reps):
-            out = step(*args)
-        np.asarray(out)
-        return time.perf_counter() - t0
-
-    t_compile = run_and_fence(1)
-    run_and_fence(2)
-    dts = []
-    for _ in range(3):
-        t_lo = run_and_fence(2)
-        t_hi = run_and_fence(12)
-        dts.append((t_hi - t_lo) / 10)
-    dts.sort()
-    return dts[1], t_compile
+from _timing import measure
 
 
 def main():
@@ -53,13 +33,13 @@ def main():
         vals = jnp.asarray(vals_np)
 
         oracle = None
-        for compare_dtype in (jnp.int32, jnp.bfloat16):
-            name = f'{T}x{F} B={B} compare={jnp.dtype(compare_dtype).name}'
+        for factor_dtype in (jnp.int32, jnp.bfloat16):
+            name = f'{T}x{F} B={B} factor={jnp.dtype(factor_dtype).name}'
 
             @jax.jit
-            def step(v, _cd=compare_dtype):
+            def step(v, _fd=factor_dtype):
                 c = columnwise_histogram_packed(
-                    v, edges, compare_dtype=_cd
+                    v, edges, factor_dtype=_fd
                 )
                 return c.astype(jnp.float32)
 

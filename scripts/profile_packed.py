@@ -11,37 +11,10 @@ Run: python scripts/profile_packed.py   (claims the TPU chip)
 """
 
 import sys
-import time
 
 import numpy as np
 
-
-def _fence_vec(x):
-    import jax.numpy as jnp
-
-    if jnp.iscomplexobj(x):
-        x = x.real
-    return jnp.broadcast_to(x.astype(jnp.float32).sum()[None], (8,))
-
-
-def measure(step, x):
-    def run_and_fence(reps):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(reps):
-            out = step(x)
-        np.asarray(out)
-        return time.perf_counter() - t0
-
-    t_compile = run_and_fence(1)
-    run_and_fence(2)
-    dts = []
-    for _ in range(3):
-        t_lo = run_and_fence(2)
-        t_hi = run_and_fence(12)
-        dts.append((t_hi - t_lo) / 10)
-    dts.sort()
-    return dts[1], t_compile
+from _timing import fence_vec as _fence_vec, measure
 
 
 def main():
@@ -51,10 +24,14 @@ def main():
     from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
 
     precision = sys.argv[1] if len(sys.argv) > 1 else 'high'
+    # min_fft_size=8191 -> nfft 16384->8192, matching bench.py's flagship
+    # monitor8192p config (pass 16383 as argv[2] for the 2x-FFT variant)
+    min_fft_size = int(sys.argv[2]) if len(sys.argv) > 2 else 8191
     design = design_wideband_monitor(
         122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6,
         channel_count=16, fft_size_per_channel=256, window='hamming',
-        apd_bins=2048, apd_navg=16, fft_backend='mxu', min_fft_size=16383,
+        apd_bins=2048, apd_navg=16, fft_backend='mxu',
+        min_fft_size=min_fft_size,
         fft_precision=precision, ola_kernel='pallas', apd_kernel='pallas',
         chan_kernel='pallas',
     )

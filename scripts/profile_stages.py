@@ -10,38 +10,10 @@ Run: python scripts/profile_stages.py   (claims the TPU chip)
 """
 
 import sys
-import time
 
 import numpy as np
 
-
-def _fence_vec(x):
-    """reduce to a (8,) float32 leaf (0-d D2H hangs on the tunnel)."""
-    import jax.numpy as jnp
-
-    if jnp.iscomplexobj(x):
-        x = x.real
-    return jnp.broadcast_to(x.astype(jnp.float32).sum()[None], (8,))
-
-
-def measure(step, x):
-    def run_and_fence(reps):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(reps):
-            out = step(x)
-        np.asarray(out)
-        return time.perf_counter() - t0
-
-    t_compile = run_and_fence(1)
-    run_and_fence(2)
-    dts = []
-    for _ in range(3):
-        t_lo = run_and_fence(2)
-        t_hi = run_and_fence(12)
-        dts.append((t_hi - t_lo) / 10)
-    dts.sort()
-    return dts[1], t_compile
+from _timing import fence_vec as _fence_vec, measure
 
 
 def main():

@@ -8,24 +8,49 @@ edge-compare APD, Pallas channelizer-statistics kernel. Oracle = the same
 design with the plain XLA kernels (jnp.fft + HIGHEST-precision einsum
 paths) jitted on the CPU backend — the path the test suite pins to scipy.
 
-Every deliverable is gated PASS/FAIL (VERDICT r2 #5). psd_max — a max
-ORDER STATISTIC whose value flips between near-tied frames under any
-float reordering — is gated against the oracle's top-2 envelope: any
-value inside [second-largest, largest] per bin is error-free, values
-outside count by their distance to the envelope. This makes the gate
-binary without crediting real kernel error.
+Every deliverable is gated PASS/FAIL (VERDICT r2 #5). The averaged
+deliverables (channel powers, psd_mean) are gated directly against the
+1e-5 RMS budget at every tier. The two ORDER-STATISTIC deliverables
+need tie- and tier-aware envelopes to be binary without crediting real
+kernel error:
+
+- psd_max: when two frames are nearly tied at a bin's maximum, any
+  float reordering flips which one is reported, so the plain RMS
+  compares unrelated frames. The gate measures each bin's distance
+  OUTSIDE the oracle's [top-2, top-1] envelope, widened by the tier's
+  per-element contract (TIER_TOL below): values explicable by a tie or
+  by in-contract element error are error-free; anything beyond counts
+  toward the 1e-5 budget. At 'highest' the widening is 1e-5-scale, so
+  the gate there is the strict budget claim.
+- apd_counts: a sample whose binned power lies within the tier's
+  element error of a histogram edge legitimately lands on either side.
+  The gate builds the per-bin [certain, possible] count envelope from
+  the ORACLE's binned powers perturbed by ±TIER_TOL and requires the
+  TPU counts to lie inside it bin-by-bin (plus exact total
+  conservation). With ~1e6 binned samples against 2048 edges, a
+  max-bin-delta<=1 rule is statistically wrong — the expected number
+  of in-contract edge crossings is O(10) even at 'highest'.
+
+TIER_TOL is the documented per-element relative contract on linear
+power: 'highest' f32 rounding scale; 'high'/'i16' the 3-pass hi/lo
+bf16 split (~2.5e-4 worst-case element-wise, docs/BENCH_notes.md);
+'bf16' the 8-mantissa-bit storage tier.
 
 Usage: python scripts/rms_error_tpu.py [n_log2] [fft_precision]
 (defaults: 2**24 samples, 'high' — the 3-pass bf16 production point;
 pass 'highest' for the full-precision operating point). Importable:
 scripts.rms_error_tpu.run() returns the failure list (validate_tpu.py
-calls it so every round records explicit RMS PASS/FAIL lines).
+calls it at both 'high' and 'highest' so every round records explicit
+RMS PASS/FAIL lines for the production point and the budget point).
 """
 
 import sys
 import time
 
 import numpy as np
+
+# per-element relative error contract on linear power, by tier
+TIER_TOL = {'highest': 1e-5, 'high': 2e-4, 'i16': 2e-4, 'bf16': 5e-2}
 
 
 def rel_rms(got, ref):
@@ -36,9 +61,10 @@ def rel_rms(got, ref):
     )
 
 
-def _oracle_top2_dB(mon, planes_np):
-    """(2, nfft_big) dB envelope: per-bin largest and second-largest
-    frame of the oracle's channelizer spectrogram (CPU backend)."""
+def _oracle_envelopes(mon, planes_np):
+    """(top2_dB, p_binned): per-bin largest/second-largest frame of the
+    oracle's channelizer spectrogram (2, nfft_big), and the oracle's
+    detector-binned APD powers (CPU backend)."""
     import jax
     import jax.numpy as jnp
 
@@ -72,9 +98,38 @@ def _oracle_top2_dB(mon, planes_np):
         Y = jnp.fft.fft(frames * wind[None, :], axis=1)
         spg = Y.real * Y.real + Y.imag * Y.imag
         top2, _ = jax.lax.top_k(spg.T, 2)  # (nfft_big, 2)
-        return 10.0 * jnp.log10(top2.T + 1e-25)
 
-    return np.asarray(jax.jit(f, backend='cpu')(planes_np))
+        # same binned-power sample set as WidebandMonitor._apd_counts
+        yb = y[: nf * nfft_big]
+        pw = yb.real * yb.real + yb.imag * yb.imag
+        if d.apd_navg > 1:
+            nt = (pw.shape[0] // d.apd_navg) * d.apd_navg
+            pw = pw[:nt].reshape(-1, d.apd_navg).mean(axis=1)
+        return 10.0 * jnp.log10(top2.T + 1e-25), pw
+
+    top2_dB, p_binned = jax.jit(f, backend='cpu')(planes_np)
+    return np.asarray(top2_dB), np.asarray(p_binned)
+
+
+def _apd_count_envelope(p_binned, edges_pow, tol):
+    """per-bin [certain, possible] counts of the oracle's binned powers
+    under a +-tol relative value perturbation; counts layout matches
+    histogram_edge_counts ((n_edges+1,): underflow .. overflow)."""
+    e = np.asarray(edges_pow, dtype='float64')
+    p = np.asarray(p_binned, dtype='float64')
+    idx_lo = np.searchsorted(e, p * (1.0 - tol), side='right')
+    idx_hi = np.searchsorted(e, p * (1.0 + tol), side='right')
+    nbins = e.shape[0] + 1
+    certain = np.bincount(
+        idx_lo[idx_lo == idx_hi], minlength=nbins
+    ).astype('int64')
+    # possible[b] = #{idx_lo <= b} - #{idx_hi < b}
+    cum_lo = np.cumsum(np.bincount(idx_lo, minlength=nbins))
+    cum_hi_excl = np.concatenate(
+        [[0], np.cumsum(np.bincount(idx_hi, minlength=nbins))[:-1]]
+    )
+    possible = (cum_lo - cum_hi_excl).astype('int64')
+    return certain, possible
 
 
 def run(n_log2: int = 24, precision: str = 'high'):
@@ -130,10 +185,12 @@ def run(n_log2: int = 24, precision: str = 'high'):
     ref = {k: np.asarray(v) for k, v in step_cpu(planes_np).items()}
     print(f'cpu oracle: {time.time() - t0:.1f}s', flush=True)
 
-    # tie-aware envelope for the max order statistic (VERDICT r2 #5)
+    # tie-aware envelopes for the order-statistic deliverables
     t0 = time.time()
-    top2_dB = _oracle_top2_dB(mon_oracle, planes_np)
-    print(f'cpu top-2 envelope: {time.time() - t0:.1f}s', flush=True)
+    top2_dB, p_binned = _oracle_envelopes(mon_oracle, planes_np)
+    print(f'cpu order-statistic envelopes: {time.time() - t0:.1f}s',
+          flush=True)
+    tol_tier = TIER_TOL[precision]
 
     # TPU production config
     t0 = time.time()
@@ -175,32 +232,49 @@ def run(n_log2: int = 24, precision: str = 'high'):
           f'{"PASS" if ok else "FAIL (over budget)"}', flush=True)
     failures += [] if ok else [key]
 
-    # psd_max is a max ORDER STATISTIC: when two frames are nearly tied
-    # at a bin's maximum, any reordering of float32 ops flips which one
-    # is reported. The binary gate measures each bin's distance OUTSIDE
-    # the oracle's [top-2, top-1] envelope: ties are error-free, real
-    # kernel error is not.
+    # psd_max: distance outside the oracle's [top-2, top-1] tie band,
+    # widened by the tier's per-element contract (module docstring)
     key = 'psd_max'
     lin_got = 10 ** (got[key].astype('float64') / 10)
     lin_t1 = 10 ** (top2_dB[0].astype('float64') / 10)
     lin_t2 = 10 ** (top2_dB[1].astype('float64') / 10)
-    dev = np.maximum(0.0, np.maximum(lin_got - lin_t1, lin_t2 - lin_got))
+    dev = np.maximum(
+        0.0,
+        np.maximum(
+            lin_got - lin_t1 * (1.0 + tol_tier),
+            lin_t2 * (1.0 - tol_tier) - lin_got,
+        ),
+    )
     err_env = float(
         np.sqrt(np.mean(dev**2)) / max(np.sqrt(np.mean(lin_t1**2)), 1e-30)
     )
     err_plain = rel_rms(lin_got, 10 ** (ref[key].astype('float64') / 10))
     ok = err_env <= budget
     print(f'RMS {key:24s} envelope rel RMS {err_env:.3e} '
-          f'(plain {err_plain:.3e}) '
+          f'(tier tol {tol_tier:.0e}, plain {err_plain:.3e}) '
           f'{"PASS" if ok else "FAIL (over budget)"}', flush=True)
     failures += [] if ok else [key]
 
-    # APD: counts with identical edges; gate the worst bin disagreement
-    # at one count (a sample within float error of an edge may move one
-    # bin; more than one count in any bin is a kernel error)
-    apd_delta = int(np.abs(got['apd_counts'] - ref['apd_counts']).max())
-    ok = apd_delta <= 1
-    print(f'RMS apd_counts               max bin delta {apd_delta:d} '
+    # APD: the TPU counts must lie inside the per-bin [certain,
+    # possible] envelope of the oracle's binned powers under a
+    # +-tol_tier value perturbation, and conserve the total exactly
+    cmin, cmax = _apd_count_envelope(
+        p_binned, np.asarray(mon_prod._apd_edges_pow), tol_tier
+    )
+    got_counts = got['apd_counts'].astype('int64')
+    below = np.maximum(cmin - got_counts, 0)
+    above = np.maximum(got_counts - cmax, 0)
+    n_out = int((below + above > 0).sum())
+    worst = int(np.maximum(below, above).max())
+    total_ok = int(got_counts.sum()) == int(p_binned.shape[0])
+    apd_delta = int(
+        np.abs(got_counts - ref['apd_counts'].astype('int64')).max()
+    )
+    ok = n_out == 0 and total_ok
+    print(f'RMS apd_counts               count envelope '
+          f'{"ok" if n_out == 0 else f"{n_out} bins out (worst {worst})"}, '
+          f'total {"exact" if total_ok else "MISMATCH"} '
+          f'(plain max bin delta {apd_delta:d}) '
           f'{"PASS" if ok else "FAIL"}', flush=True)
     failures += [] if ok else ['apd_counts']
 

@@ -494,12 +494,16 @@ def main():
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import rms_error_tpu
 
-        try:
-            failures += rms_error_tpu.run(24, 'high')
-        except Exception as e:
-            failures.append('rms gate')
-            print('RMS gate                        EXCEPTION:',
-                  f'{type(e).__name__}: {str(e)[:120]}', flush=True)
+        # 'high' = the production/bench point (tier-contract envelopes
+        # on the order statistics); 'highest' = the strict 1e-5-budget
+        # claim (1e-5-scale envelopes)
+        for tier in ('high', 'highest'):
+            try:
+                failures += rms_error_tpu.run(24, tier)
+            except Exception as e:
+                failures.append(f'rms gate {tier}')
+                print(f'RMS gate ({tier})              EXCEPTION:',
+                      f'{type(e).__name__}: {str(e)[:120]}', flush=True)
 
     print(flush=True)
     if failures:
