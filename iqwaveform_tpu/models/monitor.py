@@ -543,20 +543,21 @@ class WidebandMonitor:
                     planes[:, : self.noverlap_in], axis_name, perm
                 )
                 halo = jnp.where(idx == n_dev - 1, 0.0, halo)
-            planes = jnp.concatenate([planes, halo], axis=1)
+            if self._strided_ola is None:
+                # the grouped fallback reads the halo as extra trailing
+                # samples; the strided kernel takes it as a side operand
+                # (no full-plane copy)
+                planes = jnp.concatenate([planes, halo], axis=1)
 
         rows_out = n_frames * hop_out // 128
         shift_rows = hop_out // 128
         nov_rows = self.noverlap_out // 128
         if self._strided_ola is not None:
-            # framing fused into the kernel's block fetch (R == 2, so
-            # each frame is two consecutive hop-blocks of the x planes)
-            lo, hi = self._strided_ola(
-                planes[0], planes[1], n_frames=n_frames
-            )
-            acc = jnp.concatenate(
-                [lo, jnp.zeros((shift_rows, 256), jnp.float32)]
-            ).at[shift_rows:].add(hi)
+            # framing + the 2:1 overlap-add run inside the kernel (R ==
+            # 2, so each frame is two consecutive hop-blocks); the final
+            # frame's dangling half comes back as ``tail`` for the
+            # shard halo exchange below
+            acc, tail = self._strided_ola(planes, halo, n_frames=n_frames)
         else:
             # gather-free grouped OLA on planes: R shifted contiguous
             # reshapes in, R row-shifted adds of packed kernel output
@@ -572,17 +573,18 @@ class WidebandMonitor:
                 start = g * shift_rows
                 length = min(pk.shape[0], acc.shape[0] - start)
                 acc = acc.at[start : start + length].add(pk[:length])
+            tail = acc[rows_out:]
+            acc = acc[:rows_out]
 
         if nov_rows and axis_name is not None:
             n_dev = jax.lax.axis_size(axis_name)
             idx = jax.lax.axis_index(axis_name)
-            tail = acc[rows_out:]
             perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
             incoming = jax.lax.ppermute(tail, axis_name, perm)
             incoming = jnp.where(idx == 0, jnp.zeros_like(incoming), incoming)
-            y_packed = acc[:rows_out].at[:nov_rows].add(incoming)
+            y_packed = acc.at[:nov_rows].add(incoming)
         else:
-            y_packed = acc[:rows_out]
+            y_packed = acc
         return y_packed
 
     def _body_packed(self, x, axis_name):

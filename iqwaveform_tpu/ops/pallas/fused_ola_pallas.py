@@ -227,20 +227,41 @@ def _fused_ola_kernel(
 
 
 def _fused_ola_strided_kernel(
-    lor, hir, loi, hii, war, wai, far, fai, twr, twi, fbr, fbi, mask,
-    f2r, f2i, wpr, wpi, fir, fii, wsr, wsi, out_lo, out_hi,
-    *, T, a, b, b2p, passes, H,
+    lor, hir, loi, hii, halo, war, wai, far, fai, twr, twi, fbr, fbi, mask,
+    f2r, f2i, wpr, wpi, fir, fii, wsr, wsi, out, tail, carry,
+    *, T, a, b, b2p, passes, H, grid,
 ):
-    """framing fused into the block fetch: the lo/hi input blocks are
-    consecutive T*H-row windows of the SAME x-plane array (50% frame
-    overlap = each hop read once per half), frames assembled by static
-    sublane slices in VMEM."""
-    full_r = jnp.concatenate(
-        [lor[...].astype(jnp.float32), hir[...].astype(jnp.float32)], axis=0
-    )  # (2T*H, b)
-    full_i = jnp.concatenate(
-        [loi[...].astype(jnp.float32), hii[...].astype(jnp.float32)], axis=0
-    )
+    """framing AND the 2:1 overlap-add fused into the kernel.
+
+    The lo/hi input blocks are row windows of the SAME packed
+    [real; imag] plane array: lo covers the step's T*H signal rows, hi
+    the next step's first H rows (each signal row fetched once plus an
+    H-row peek). On the last grid step the hi window has run off the
+    array (its index map clamps), so its content is replaced by the
+    ``halo`` operand — the next shard's first hop, or zeros.
+
+    The output is the overlap-ADDED stream: with 2:1 overlap, output
+    frame t's first half (H rows) adds to frame t-1's second half, so
+    row block t of ``out`` is lo_t + hi_{t-1} — in-block frames chain
+    directly and the block seam flows through a VMEM ``carry`` scratch
+    (sequential 'arbitrary' grid). The final frame's dangling second
+    half lands in ``tail`` for the caller's shard halo exchange (its
+    block index map pins every write to block 0; the last write wins).
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        carry[...] = jnp.zeros((H, 2 * b2p), jnp.float32)
+
+    is_last = step == grid - 1
+    hi_r = jnp.where(is_last, halo[...][:H].astype(jnp.float32),
+                     hir[...].astype(jnp.float32))
+    hi_i = jnp.where(is_last, halo[...][H:].astype(jnp.float32),
+                     hii[...].astype(jnp.float32))
+    full_r = jnp.concatenate([lor[...].astype(jnp.float32), hi_r], axis=0)
+    full_i = jnp.concatenate([loi[...].astype(jnp.float32), hi_i], axis=0)
+    # ((T+1)*H, b) -> (T, 2H, b) frames by static sublane slices
     AR = jnp.stack([full_r[t * H : t * H + 2 * H] for t in range(T)])
     AI = jnp.stack([full_i[t * H : t * H + 2 * H] for t in range(T)])
     packed = _fused_chain(
@@ -248,8 +269,14 @@ def _fused_ola_strided_kernel(
         f2r, f2i, wpr, wpi, fir, fii, wsr, wsi,
         T=T, a=a, b=b, b2p=b2p, passes=passes,
     )  # (T, a, 2*b2p) with a == 2*H output rows per frame
-    out_lo[...] = packed[:, :H].reshape(T * H, 2 * b2p)
-    out_hi[...] = packed[:, H:].reshape(T * H, 2 * b2p)
+    lo_half = packed[:, :H]  # (T, H, 2*b2p)
+    hi_half = packed[:, H:]
+    # static slices only: negative / dynamic indexing does not lower
+    prev = jnp.concatenate([carry[...][None], hi_half[: T - 1]], axis=0)
+    out[...] = (lo_half + prev).reshape(T * H, 2 * b2p)
+    last = hi_half[T - 1]
+    tail[...] = last
+    carry[...] = last
 
 
 def _pick_passes(precision) -> int:
@@ -463,8 +490,8 @@ def fused_ola_strided_supported(
 
 
 def fused_ola_strided(
-    pr,
-    pi,
+    planes,
+    halo,
     *,
     n_frames: int,
     hop_in: int,
@@ -477,17 +504,29 @@ def fused_ola_strided(
     w_in: np.ndarray,
     w_shift_out: np.ndarray,
     precision=jax.lax.Precision.HIGHEST,
-    frames_per_block: int = 8,
+    frames_per_block: int = 16,
     interpret: bool = None,
 ):
-    """fused OLA on float32 planes with the framing fused into the block
-    fetch: no frame-slab materialization at all. pr/pi are the raw
-    extended x planes (length >= n_frames*hop_in + frames_per_block*
-    hop_in; pad with zeros past the right halo).
+    """fused OLA with framing AND the 2:1 overlap-add inside the kernel.
 
-    Returns (out_lo, out_hi), each (n_frames * hop_out/128, 256) packed
-    planes: frame m's first/second output half at row offset
-    m*hop_out/128. The caller overlap-adds: y = out_lo + shift(out_hi).
+    frames_per_block default 16: a v5e sweep at the flagship monitor
+    shape ('high' tier, T in {4,8,16,32}) measured 2.52/2.38/2.32/2.30
+    ms — the H-row peek and carry seam amortize with T, flat past 16.
+
+    planes: (2, n_frames * hop_in) raw [real, imag] sample planes
+    (float32, or int16/bfloat16 at those storage tiers). Reaching past
+    the end, the final frame's second hop is ``halo``: (2, hop_in) —
+    the next shard's first hop, or zeros. Nothing is copied on the way
+    in: the kernel reads both planes and both frame halves of the SAME
+    (2*rows, b) reshape through four block index maps, so HBM sees each
+    sample once (plus an H-row peek per block and the halo operand).
+
+    Returns (y, tail): y is (n_frames * hop_out/128, 256) packed planes
+    of the overlap-ADDED output stream (hop_out = nfft_out/2; real in
+    columns 0:128, imag in 128:256); tail is the final frame's dangling
+    second half, (hop_out/128, 256) — add it (shard-halo-exchanged) to
+    the next chunk's first rows, or drop it to match a one-shot OLA
+    trimmed to n_frames * hop_out samples.
     """
     if interpret is None:
         interpret = not _on_tpu_like()
@@ -506,19 +545,25 @@ def fused_ola_strided(
     T = max(1, frames_per_block)
     while M % T:
         T //= 2
+    G = M // T
 
-    rows_needed = (M + T) * H
     sdt = _storage_dtype(precision)
-    xr = _to_storage(pr, sdt).reshape(-1, b)
-    xi = _to_storage(pi, sdt).reshape(-1, b)
-    if xr.shape[0] < rows_needed:
-        pad = rows_needed - xr.shape[0]
-        xr = jnp.concatenate([xr, jnp.zeros((pad, b), xr.dtype)])
-        xi = jnp.concatenate([xi, jnp.zeros((pad, b), xi.dtype)])
+    x2 = _to_storage(planes, sdt).reshape(2 * M * H, b)
+    h2 = _to_storage(halo, sdt).reshape(2 * H, b)
 
-    lo_spec = pl.BlockSpec((T * H, b), lambda m: (m, 0))
-    hi_spec = pl.BlockSpec((T * H, b), lambda m: (m + 1, 0))
+    # four views of the same array: {real, imag} x {T*H-row lo window,
+    # H-row peek at the next window}. The peek's index map clamps on
+    # the final step (the kernel swaps in the halo operand there), and
+    # the imag plane sits at row-block offset G (lo units) / M (peek
+    # units) of the packed [real; imag] stack.
+    lo_r = pl.BlockSpec((T * H, b), lambda m: (m, 0))
+    lo_i = pl.BlockSpec((T * H, b), lambda m: (G + m, 0))
+    hi_r = pl.BlockSpec((H, b), lambda m: (jnp.minimum((m + 1) * T, M - 1), 0))
+    hi_i = pl.BlockSpec(
+        (H, b), lambda m: (M + jnp.minimum((m + 1) * T, M - 1), 0)
+    )
     out_spec = pl.BlockSpec((T * H, 2 * _LANES), lambda m: (m, 0))
+    tail_spec = pl.BlockSpec((H, 2 * _LANES), lambda m: (0, 0))
 
     def const_spec(c):
         return pl.BlockSpec(c.shape, lambda m: (0, 0))
@@ -527,17 +572,19 @@ def fused_ola_strided(
         functools.partial(
             _fused_ola_strided_kernel,
             T=T, a=a, b=b, b2p=_LANES, passes=_pick_passes(precision), H=H,
+            grid=G,
         ),
-        grid=(M // T,),
-        in_specs=[lo_spec, hi_spec, lo_spec, hi_spec]
+        grid=(G,),
+        in_specs=[lo_r, hi_r, lo_i, hi_i, const_spec(h2)]
         + [const_spec(c) for c in consts],
-        out_specs=[out_spec, out_spec],
+        out_specs=[out_spec, tail_spec],
         out_shape=[
             jax.ShapeDtypeStruct((M * H, 2 * _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((M * H, 2 * _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((H, 2 * _LANES), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((H, 2 * _LANES), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',),
         ),
         interpret=interpret,
-    )(xr, xr, xi, xi, *consts)
+    )(x2, x2, x2, x2, h2, *consts)
