@@ -52,7 +52,7 @@ from iqwaveform_tpu.parallel.streaming import (
 from iqwaveform_tpu.utils import unpack_iq
 
 FS = 122.88e6
-CHUNK = 2**24  # 16.78 Ms per fold
+CHUNK = 2**24  # 16.78 Ms per fold (override with --chunk-log2)
 
 
 def synthesize(path: str, n_samples: int) -> None:
@@ -187,11 +187,18 @@ def run_monitor_i16(path: str, n_chunks: int) -> float:
 
 
 def main():
+    global CHUNK
     ap = argparse.ArgumentParser()
     ap.add_argument('--gigasamples', type=float, default=0.5)
     ap.add_argument('--monitor-i16', action='store_true')
     ap.add_argument('--out-dir', default=None)
+    ap.add_argument(
+        '--chunk-log2', type=int, default=24,
+        help='samples per fold as a power of two (small values keep CI '
+        'runs fast; throughput numbers are meaningful at the default)',
+    )
     args = ap.parse_args()
+    CHUNK = 2 ** args.chunk_log2
 
     out_dir = args.out_dir or tempfile.mkdtemp()
     os.makedirs(out_dir, exist_ok=True)

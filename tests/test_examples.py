@@ -61,8 +61,10 @@ def test_persistence_spectrum_example(tmp_path):
 
 
 def test_disk_to_chip_example(tmp_path):
+    # small chunks keep the CPU CI run fast while still crossing
+    # multiple prefetcher chunk boundaries
     out = _run_example(
-        'disk_to_chip.py', '--gigasamples', '0.04',
+        'disk_to_chip.py', '--gigasamples', '0.005', '--chunk-log2', '21',
         '--out-dir', str(tmp_path), timeout=600,
     )
     assert 'including ingest' in out
@@ -71,7 +73,7 @@ def test_disk_to_chip_example(tmp_path):
 
 def test_disk_to_chip_monitor_i16(tmp_path):
     out = _run_example(
-        'disk_to_chip.py', '--gigasamples', '0.04', '--monitor-i16',
-        '--out-dir', str(tmp_path), timeout=600,
+        'disk_to_chip.py', '--gigasamples', '0.005', '--monitor-i16',
+        '--chunk-log2', '21', '--out-dir', str(tmp_path), timeout=600,
     )
     assert 'including ingest' in out
