@@ -220,6 +220,84 @@ def _fused_ola_constants(
     return a, b, b2, Fa, W, Fb_kept, mask, Fb2_inv, Wp_conj, Fa_inv
 
 
+@lru_cache()
+def _fused_ola_constants_folded(
+    nfft, nfft_out, zero_lo, zero_hi, in_lo, in_hi, out_lo, factors=None,
+):
+    """mask-folded constants: passband mask + k2-inverse DFT collapse
+    into the forward trim matmul.
+
+    In factored coordinates the natural bin k = k2*a + k1 makes any
+    contiguous passband a COLUMN structure on the kept (k1, k2') grid:
+    interior columns all-pass, outer columns all-zero, and at most two
+    boundary columns carry a k1-dependent 0/1 profile (the passband is
+    an intersection of intervals in k, hence one interval — never more
+    than two partial columns). The three middle stages
+
+        D = C @ Fb_kept ;  D *= mask ;  Cp = D @ Fb2_inv
+
+    therefore fold EXACTLY into one matmul plus ≤2 rank-1 corrections:
+
+        Cp = C @ H0  +  Σ_s (p_s ⊙ (C @ Fb_kept[:, j_s])) ⊗ Fb2_inv[j_s, :]
+
+    with H0 = Fb_kept @ diag(m_int) @ Fb2_inv precomputed here in
+    float64 (m_int keeps interior columns, zeroes boundary + outside).
+    The correction contractions are thin (one column each) — consumers
+    evaluate them on the VPU (lane reductions), so an entire complex
+    matmul stage (1/4 of the MXU passes) disappears with no accuracy
+    or semantics change.
+
+    Returns (a, b, b2, Fa, W, H0, n_corr, prof[a, 2] f32,
+    fbcols[b, 2] c64, vrows[2, b2] c64, Wp_conj, Fa_inv); the three
+    correction constants are zero-padded to 2 slots so kernel
+    signatures stay static (n_corr ∈ {0, 1, 2} is the live count).
+
+    Reference semantics folded here: fourier.py:707-719
+    (zero_stft_by_freq) + fourier.py:866-924 (downsample_stft).
+    """
+    a, b = plan_factors(nfft) if factors is None else factors
+    b2 = nfft_out // a
+    in_start = in_lo - out_lo
+
+    i1 = np.arange(a)
+    i2 = np.arange(b)
+    Fa = np.exp(-2j * np.pi * np.outer(i1, i1) / a)
+    W = np.exp(-2j * np.pi * np.outer(i1, i2) / nfft)
+    k2_kept = np.arange(in_start // a, (in_start + nfft_out) // a)
+    Fb_kept = np.exp(-2j * np.pi * np.outer(i2, k2_kept) / b)
+
+    k1g, k2g = np.meshgrid(np.arange(a), k2_kept, indexing='ij')
+    k_nat = k2g * a + k1g
+    zhi = nfft if zero_hi is None else zero_hi
+    mask = (k_nat >= zero_lo) & (k_nat < zhi) & (k_nat >= in_lo) & (k_nat < in_hi)
+
+    i2p = np.arange(b2)
+    Fb2_inv = np.exp(2j * np.pi * np.outer(i2p, i2p) / b2) / b2
+    Wp_conj = np.exp(2j * np.pi * np.outer(i1, i2p) / nfft_out)
+    Fa_inv = np.exp(2j * np.pi * np.outer(i1, i1) / a) / a
+
+    full = mask.all(axis=0)
+    partial = np.flatnonzero(~full & mask.any(axis=0))
+    if partial.size > 2:
+        # unreachable for interval masks; guards future mask shapes
+        raise ValueError('passband mask has >2 partial columns')
+
+    H0 = Fb_kept @ (full[:, None] * Fb2_inv)
+    prof = np.zeros((a, 2), 'float32')
+    fbcols = np.zeros((b, 2), 'complex128')
+    vrows = np.zeros((2, b2), 'complex128')
+    for s, j in enumerate(partial):
+        prof[:, s] = mask[:, j]
+        fbcols[:, s] = Fb_kept[:, j]
+        vrows[s] = Fb2_inv[j]
+
+    c64 = lambda m: m.astype('complex64')  # noqa: E731
+    return (
+        a, b, b2, c64(Fa), c64(W), c64(H0), int(partial.size), prof,
+        c64(fbcols), c64(vrows), c64(Wp_conj), c64(Fa_inv),
+    )
+
+
 def fused_ola_mxu(
     frames,
     *,
@@ -230,6 +308,7 @@ def fused_ola_mxu(
     bounds_in,
     bounds_out=(0, None),
     precision=jax.lax.Precision.HIGHEST,
+    fold: bool = True,
 ):
     """forward FFT -> passband zero -> frequency trim -> inverse FFT of a
     frame batch, entirely in factored (k1, k2) coordinates.
@@ -243,14 +322,40 @@ def fused_ola_mxu(
 
     frames: (M, nfft) complex -> (M, nfft_out) complex time domain
     (without the ISTFT time-shift window, which the caller applies).
+
+    fold=True (default) additionally collapses trim + mask + k2-inverse
+    into one precomputed matmul (_fused_ola_constants_folded): one fewer
+    einsum and one fewer (M, a, b2) HBM round trip, exactly equal
+    results up to float32 rounding. fold=False keeps the literal
+    four-matmul chain (cross-validation path).
     """
     in_lo, in_hi = bounds_in
+    M = frames.shape[0]
+
+    if fold:
+        (a, b, b2, Fa, W, H0, n_corr, prof, fbcols, vrows, Wp_conj,
+         Fa_inv) = _fused_ola_constants_folded(
+            nfft, nfft_out, int(zero_lo), zero_hi, int(in_lo), int(in_hi),
+            int(bounds_out[0]),
+        )
+        A = frames.reshape(M, a, b)
+        B = jnp.einsum('ij,mjk->mik', Fa, A, precision=precision)
+        C = B * W
+        Cp = jnp.einsum('mij,jk->mik', C, H0, precision=precision)
+        if n_corr:
+            # ≤2 boundary-column rank-1 corrections (see constants doc)
+            d = jnp.einsum('mij,js->mis', C, fbcols, precision=precision)
+            Cp = Cp + jnp.einsum(
+                'mis,sk->mik', d * prof, vrows, precision=precision
+            )
+        Bp = Cp * Wp_conj
+        Ap = jnp.einsum('ij,mjk->mik', Fa_inv, Bp, precision=precision)
+        return Ap.reshape(M, nfft_out)
+
     a, b, b2, Fa, W, Fb_kept, mask, Fb2_inv, Wp_conj, Fa_inv = _fused_ola_constants(
         nfft, nfft_out, int(zero_lo), zero_hi, int(in_lo), int(in_hi),
         int(bounds_out[0]),
     )
-
-    M = frames.shape[0]
     A = frames.reshape(M, a, b)
 
     B = jnp.einsum('ij,mjk->mik', Fa, A, precision=precision)

@@ -6,9 +6,12 @@ through XLA those matmuls round-trip every (M, a, b) intermediate through
 HBM — and XLA cannot fuse the twiddle/mask elementwise stages into MXU
 dots, so stage profiling (scripts/profile_stages.py) shows the OLA stage
 traffic-bound. This kernel keeps the entire per-frame chain — window
-multiply, both forward matmuls, twiddle, mask, both inverse matmuls,
-output shift window — resident in VMEM: HBM sees one (a, b) frame read
-and one (a, 2*b2) result write per frame.
+multiply, Fa matmul, twiddle, the mask-FOLDED trim+mask+k2-inverse
+matmul (H0, ops.mxu_fft._fused_ola_constants_folded — three of the
+original four matmul stages remain, with the ≤2 passband-boundary
+columns restored by VPU rank-1 corrections), inverse twiddle, Fa_inv
+matmul, output shift window — resident in VMEM: HBM sees one (a, b)
+frame read and one (a, 2*b2) result write per frame.
 
 Precision: Mosaic lowers only DEFAULT (1-pass bf16, ~4e-3 rel — too
 lossy) and HIGHEST (6-pass, ~1.5e-7). The sweet spot is a manual 3-pass
@@ -45,7 +48,7 @@ from ._common import on_tpu_like as _on_tpu_like
 
 
 from ...utils import lru_cache
-from ..mxu_fft import _fused_ola_constants
+from ..mxu_fft import _fused_ola_constants_folded
 
 __all__ = ['fused_ola_pallas', 'fused_ola_packed', 'fused_ola_packed_supported', 'fused_ola_strided', 'fused_ola_strided_supported']
 
@@ -60,12 +63,6 @@ def _pad_minor(x: np.ndarray, width: int) -> np.ndarray:
     return out
 
 
-def _pad_square(x: np.ndarray, width: int) -> np.ndarray:
-    out = np.zeros((width, width), x.dtype)
-    out[: x.shape[0], : x.shape[1]] = x
-    return out
-
-
 @lru_cache()
 def _kernel_constants(
     nfft, nfft_out, zero_lo, zero_hi, in_lo, in_hi, out_lo, w_in_key,
@@ -73,10 +70,17 @@ def _kernel_constants(
 ):
     """host-side constant planes, minor dims padded to the 128-lane tile.
 
+    Uses the mask-FOLDED constants (ops.mxu_fft._fused_ola_constants_
+    folded): trim + passband mask + k2-inverse collapse into one H0
+    matmul plus ≤2 boundary-column corrections that the kernel evaluates
+    as VPU lane reductions — one entire complex matmul stage (1/4 of the
+    MXU passes) drops out, bit-exactly.
+
     w_in_key/w_out_key are hashable bytes snapshots of the input COLA
     window and output shift window so the cache keys stay small.
     """
-    a, b, b2, Fa, W, Fb_kept, mask, Fb2_inv, Wp_conj, Fa_inv = _fused_ola_constants(
+    (a, b, b2, Fa, W, H0, n_corr, prof, fbcols, vrows, Wp_conj,
+     Fa_inv) = _fused_ola_constants_folded(
         nfft, nfft_out, zero_lo, zero_hi, in_lo, in_hi, out_lo, factors
     )
     b2p = max(_LANES, -(-b2 // _LANES) * _LANES)
@@ -92,17 +96,27 @@ def _kernel_constants(
     consts += planes(w_in)  # war, wai (a, b)
     consts += planes(Fa)  # far, fai (a, a)
     consts += planes(W)  # twr, twi (a, b)
-    fbr, fbi = planes(Fb_kept)  # (b, b2) -> pad minor
-    consts += [_pad_minor(fbr, b2p), _pad_minor(fbi, b2p)]
-    consts += [_pad_minor(mask.astype('float32'), b2p)]
-    f2r, f2i = planes(Fb2_inv)  # (b2, b2) -> pad square
-    consts += [_pad_square(f2r, b2p), _pad_square(f2i, b2p)]
+    h0r, h0i = planes(H0)  # (b, b2) -> pad minor
+    consts += [_pad_minor(h0r, b2p), _pad_minor(h0i, b2p)]
+    # boundary-correction constants, zero-padded to 2 static slots:
+    # prof (a, 128) columns 0/1 = k1 profiles; fbc (8, b) rows
+    # 0/1/2/3 = Re/Im of the two Fb_kept boundary columns; vrow
+    # (8, b2p) rows likewise for the two Fb2_inv boundary rows
+    consts += [_pad_minor(prof, _LANES)]
+    fbc = np.zeros((8, b), 'float32')
+    fbc[0], fbc[1] = fbcols[:, 0].real, fbcols[:, 0].imag
+    fbc[2], fbc[3] = fbcols[:, 1].real, fbcols[:, 1].imag
+    consts += [fbc]
+    vrow = np.zeros((8, b2p), 'float32')
+    vrow[0, :b2], vrow[1, :b2] = vrows[0].real, vrows[0].imag
+    vrow[2, :b2], vrow[3, :b2] = vrows[1].real, vrows[1].imag
+    consts += [vrow]
     wpr, wpi = planes(Wp_conj)  # (a, b2) -> pad minor
     consts += [_pad_minor(wpr, b2p), _pad_minor(wpi, b2p)]
     consts += planes(Fa_inv)  # fir, fii (a, a)
     wsr, wsi = planes(w_out)  # output shift window (a, b2) -> pad minor
     consts += [_pad_minor(wsr, b2p), _pad_minor(wsi, b2p)]
-    return a, b, b2, b2p, tuple(consts)
+    return a, b, b2, b2p, n_corr, tuple(consts)
 
 
 def _make_dot(passes: int):
@@ -145,13 +159,19 @@ def _make_dot(passes: int):
 
 
 def _fused_chain(
-    AR, AI, war, wai, far, fai, twr, twi, fbr, fbi, mask,
-    f2r, f2i, wpr, wpi, fir, fii, wsr, wsi, *, T, a, b, b2p, passes,
+    AR, AI, war, wai, far, fai, twr, twi, h0r, h0i, prof, fbc, vrow,
+    wpr, wpi, fir, fii, wsr, wsi, *, T, a, b, b2p, passes, n_corr,
 ):
     """the windowed fft -> mask -> ifft -> shift chain on a (T, a, b)
     frame batch held in VMEM; returns packed (T, a, 2*b2p).
 
-    The four complex matmul stages use Gauss's 3-multiplication form at
+    The mask-folded middle (H0 = trim @ diag(mask) @ k2-inverse,
+    ops.mxu_fft._fused_ola_constants_folded) leaves THREE complex
+    matmul stages instead of four; the ≤2 passband-boundary columns
+    are restored exactly by rank-1 corrections whose thin contractions
+    run as f32 VPU lane reductions, never touching the MXU.
+
+    The complex matmul stages use Gauss's 3-multiplication form at
     the 1- and 3-pass tiers (m1 = (xr+xi)@yr, m2 = xr@(yi-yr),
     m3 = xi@(yr+yi); real = m1-m3, imag = m1+m2): 25% fewer MXU passes
     on a pass-bound kernel for a ~sqrt(2) error-constant bump that
@@ -192,13 +212,31 @@ def _fused_chain(
     # C = B * W (twiddles)
     cr = br * twr[...][None] - bi * twi[...][None]
     ci = br * twi[...][None] + bi * twr[...][None]
-    # D = C @ Fb_kept (frequency trim fused into the matmul), then mask
-    dr, di = cmul_right(cr, ci, fbr[...], fbi[...])
-    dr = dr * mask[...][None]
-    di = di * mask[...][None]
+    # Cp = C @ H0: trim, mask, and k2-inverse in ONE matmul
+    cpr, cpi = cmul_right(cr, ci, h0r[...], h0i[...])
 
-    # Cp = D @ Fb2_inv
-    cpr, cpi = cmul_right(dr, di, f2r[...], f2i[...])
+    if n_corr:
+        profv = prof[...]
+        fbcv = fbc[...]
+        vrowv = vrow[...]
+        lane = jax.lax.broadcasted_iota(jnp.int32, profv.shape, 1)
+        for s in range(n_corr):
+            # d_s = Σ_lanes C ⊙ Fb_kept[:, j_s] — thin contraction on
+            # the VPU (full f32, cheaper than any MXU pass)
+            fr_ = fbcv[2 * s : 2 * s + 1][None]  # (1, 1, b)
+            fi_ = fbcv[2 * s + 1 : 2 * s + 2][None]
+            d_r = jnp.sum(cr * fr_ - ci * fi_, axis=2, keepdims=True)
+            d_i = jnp.sum(cr * fi_ + ci * fr_, axis=2, keepdims=True)
+            p = jnp.sum(
+                jnp.where(lane == s, profv, 0.0), axis=1, keepdims=True
+            )  # (a, 1)
+            pd_r = d_r * p[None]
+            pd_i = d_i * p[None]
+            vr_ = vrowv[2 * s : 2 * s + 1][None]  # (1, 1, b2p)
+            vi_ = vrowv[2 * s + 1 : 2 * s + 2][None]
+            cpr = cpr + pd_r * vr_ - pd_i * vi_
+            cpi = cpi + pd_r * vi_ + pd_i * vr_
+
     # Bp = Cp * conj(Wp)
     bpr = cpr * wpr[...][None] - cpi * wpi[...][None]
     bpi = cpr * wpi[...][None] + cpi * wpr[...][None]
@@ -212,24 +250,24 @@ def _fused_chain(
 
 
 def _fused_ola_kernel(
-    ar, ai, war, wai, far, fai, twr, twi, fbr, fbi, mask,
-    f2r, f2i, wpr, wpi, fir, fii, wsr, wsi, out,
-    *, T, a, b, b2p, passes,
+    ar, ai, war, wai, far, fai, twr, twi, h0r, h0i, prof, fbc, vrow,
+    wpr, wpi, fir, fii, wsr, wsi, out,
+    *, T, a, b, b2p, passes, n_corr,
 ):
     AR = ar[...].astype(jnp.float32).reshape(T, a, b)
     AI = ai[...].astype(jnp.float32).reshape(T, a, b)
     packed = _fused_chain(
-        AR, AI, war, wai, far, fai, twr, twi, fbr, fbi, mask,
-        f2r, f2i, wpr, wpi, fir, fii, wsr, wsi,
-        T=T, a=a, b=b, b2p=b2p, passes=passes,
+        AR, AI, war, wai, far, fai, twr, twi, h0r, h0i, prof, fbc, vrow,
+        wpr, wpi, fir, fii, wsr, wsi,
+        T=T, a=a, b=b, b2p=b2p, passes=passes, n_corr=n_corr,
     )
     out[...] = packed.reshape(T * a, 2 * b2p)
 
 
 def _fused_ola_strided_kernel(
-    lor, hir, loi, hii, halo, war, wai, far, fai, twr, twi, fbr, fbi, mask,
-    f2r, f2i, wpr, wpi, fir, fii, wsr, wsi, out, tail, carry,
-    *, T, a, b, b2p, passes, H, grid,
+    lor, hir, loi, hii, halo, war, wai, far, fai, twr, twi, h0r, h0i,
+    prof, fbc, vrow, wpr, wpi, fir, fii, wsr, wsi, out, tail, carry,
+    *, T, a, b, b2p, passes, n_corr, H, grid,
 ):
     """framing AND the 2:1 overlap-add fused into the kernel.
 
@@ -265,9 +303,9 @@ def _fused_ola_strided_kernel(
     AR = jnp.stack([full_r[t * H : t * H + 2 * H] for t in range(T)])
     AI = jnp.stack([full_i[t * H : t * H + 2 * H] for t in range(T)])
     packed = _fused_chain(
-        AR, AI, war, wai, far, fai, twr, twi, fbr, fbi, mask,
-        f2r, f2i, wpr, wpi, fir, fii, wsr, wsi,
-        T=T, a=a, b=b, b2p=b2p, passes=passes,
+        AR, AI, war, wai, far, fai, twr, twi, h0r, h0i, prof, fbc, vrow,
+        wpr, wpi, fir, fii, wsr, wsi,
+        T=T, a=a, b=b, b2p=b2p, passes=passes, n_corr=n_corr,
     )  # (T, a, 2*b2p) with a == 2*H output rows per frame
     lo_half = packed[:, :H]  # (T, H, 2*b2p)
     hi_half = packed[:, H:]
@@ -349,7 +387,7 @@ def fused_ola_pallas(
     in_lo, in_hi = bounds_in
     w_in = np.asarray(w_in, dtype='complex64')
     w_out = np.asarray(w_shift_out, dtype='complex64')
-    a, b, b2, b2p, consts = _kernel_constants(
+    a, b, b2, b2p, n_corr, consts = _kernel_constants(
         nfft, nfft_out, int(zero_lo), zero_hi, int(in_lo), int(in_hi),
         int(bounds_out[0]), w_in.tobytes(), w_out.tobytes(),
     )
@@ -372,6 +410,7 @@ def fused_ola_pallas(
         functools.partial(
             _fused_ola_kernel,
             T=T, a=a, b=b, b2p=b2p, passes=_pick_passes(precision),
+            n_corr=n_corr,
         ),
         grid=(M // T,),
         in_specs=[frame_spec, frame_spec] + [const_spec(c) for c in consts],
@@ -441,7 +480,7 @@ def fused_ola_packed(
     a, b = _packed_factors(nfft, nfft_out)
     w_in = np.asarray(w_in, dtype='complex64')
     w_out = np.asarray(w_shift_out, dtype='complex64')
-    a_, b_, b2, b2p, consts = _kernel_constants(
+    a_, b_, b2, b2p, n_corr, consts = _kernel_constants(
         nfft, nfft_out, int(zero_lo), zero_hi, int(in_lo), int(in_hi),
         int(bounds_out[0]), w_in.tobytes(), w_out.tobytes(), (a, b),
     )
@@ -465,6 +504,7 @@ def fused_ola_packed(
         functools.partial(
             _fused_ola_kernel,
             T=T, a=a, b=b, b2p=_LANES, passes=_pick_passes(precision),
+            n_corr=n_corr,
         ),
         grid=(M // T,),
         in_specs=[frame_spec, frame_spec] + [const_spec(c) for c in consts],
@@ -535,7 +575,7 @@ def fused_ola_strided(
     H = hop_in // b  # input rows per hop; frame = 2 consecutive hops
     w_in = np.asarray(w_in, dtype='complex64')
     w_out = np.asarray(w_shift_out, dtype='complex64')
-    a_, b_, b2, b2p, consts = _kernel_constants(
+    a_, b_, b2, b2p, n_corr, consts = _kernel_constants(
         nfft, nfft_out, int(zero_lo), zero_hi, int(in_lo), int(in_hi),
         int(bounds_out[0]), w_in.tobytes(), w_out.tobytes(), (a, b),
     )
@@ -571,8 +611,8 @@ def fused_ola_strided(
     return pl.pallas_call(
         functools.partial(
             _fused_ola_strided_kernel,
-            T=T, a=a, b=b, b2p=_LANES, passes=_pick_passes(precision), H=H,
-            grid=G,
+            T=T, a=a, b=b, b2p=_LANES, passes=_pick_passes(precision),
+            n_corr=n_corr, H=H, grid=G,
         ),
         grid=(G,),
         in_specs=[lo_r, hi_r, lo_i, hi_i, const_spec(h2)]

@@ -206,3 +206,76 @@ def test_stft_mxu_backend_matches_xla():
     xr = fourier.istft(b, nfft=1024, noverlap=512, fft_backend='mxu')
     xr_ref = fourier.istft(a, nfft=1024, noverlap=512)
     np.testing.assert_allclose(np.asarray(xr), np.asarray(xr_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    'nfft,nfft_out,zero,b_in,b_out',
+    [
+        # misaligned edges: both boundary-column corrections live
+        (1024, 512, (300, 700), (256, 768), (0, 512)),
+        # flagship monitor bounds (nfft_out/a == 128: no pad-lane slack)
+        (16384, 8192, (5526, 10858), (5526, 10858), (1430, 6762)),
+        # all-pass: no partial columns, pure fold
+        (1024, 1024, (0, None), (0, 1024), (0, 1024)),
+        # single partial column: interval shorter than one column
+        (1024, 512, (301, 305), (256, 768), (0, 512)),
+    ],
+)
+def test_fused_ola_fold_matches_unfolded(nfft, nfft_out, zero, b_in, b_out):
+    """the mask-folded path (trim+mask+k2-inverse in one constant
+    matmul + rank-1 boundary corrections) must equal the literal
+    four-matmul chain AND a float64 fft oracle."""
+    from iqwaveform_tpu.ops.mxu_fft import fused_ola_mxu
+
+    rng = np.random.default_rng(0)
+    frames = (
+        rng.standard_normal((4, nfft)) + 1j * rng.standard_normal((4, nfft))
+    ).astype('complex64')
+    kws = dict(
+        nfft=nfft, nfft_out=nfft_out, zero_lo=zero[0], zero_hi=zero[1],
+        bounds_in=b_in, bounds_out=b_out,
+    )
+    got = np.asarray(fused_ola_mxu(jnp.asarray(frames), **kws))
+    ref = np.asarray(fused_ola_mxu(jnp.asarray(frames), fold=False, **kws))
+
+    Y = np.fft.fft(frames.astype('complex128'), axis=1)
+    zhi = nfft if zero[1] is None else zero[1]
+    keep = np.zeros(nfft)
+    keep[zero[0] : zhi] = 1
+    Y *= keep
+    Yf = np.zeros((4, nfft_out), 'complex128')
+    hi = nfft_out if b_out[1] is None else b_out[1]
+    Yf[:, b_out[0] : hi] = Y[:, b_in[0] : b_in[1]]
+    oracle = np.fft.ifft(Yf, axis=1)
+
+    scale = max(np.abs(oracle).max(), 1e-12)
+    assert np.abs(got - ref).max() / scale < 3e-6
+    assert np.abs(got - oracle).max() / scale < 3e-6
+
+
+def test_fused_ola_folded_constants_exact():
+    """H0 + rank-1 boundary corrections reconstruct the masked
+    two-matmul chain exactly in float64 (independent of any jit path)."""
+    from iqwaveform_tpu.ops.mxu_fft import (
+        _fused_ola_constants,
+        _fused_ola_constants_folded,
+    )
+
+    args = (1024, 512, 300, 700, 256, 768, 0)
+    a, b, b2, _, _, Fb_kept, mask, Fb2_inv, _, _ = _fused_ola_constants(*args)
+    (_, _, _, _, _, H0, n_corr, prof, fbcols, vrows, _, _) = (
+        _fused_ola_constants_folded(*args)
+    )
+    assert n_corr == 2
+
+    rng = np.random.default_rng(1)
+    C = (rng.standard_normal((a, b)) + 1j * rng.standard_normal((a, b)))
+    want = ((C @ Fb_kept.astype('complex128')) * mask) @ Fb2_inv.astype(
+        'complex128'
+    )
+    got = C @ H0.astype('complex128')
+    for s in range(n_corr):
+        d = C @ fbcols[:, s].astype('complex128')
+        got += (prof[:, s] * d)[:, None] * vrows[s].astype('complex128')
+    # constants are float32/complex64 snapshots of float64 math
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
