@@ -85,7 +85,14 @@ class MonitorDesign:
     ola_kernel: str = 'matmul'
     # APD histogram implementation: 'sort' = sort + searchsorted
     # (ops.power.histogram_edge_counts); 'pallas' = direct edge-compare
-    # kernel (ops.pallas.hist_pallas) — identical counts, ~3x faster
+    # kernel (ops.pallas.hist_pallas) — identical counts, ~3x faster;
+    # 'packed' = factored two-level counting in dB space
+    # (ops.pallas.colhist_pallas) — O(2*sqrt(B)) vs O(B) work per
+    # sample, totals exact, edge-tie samples may land one bin over.
+    # Pick by sample count: at apd_navg=16 bench shapes (0.5M binned
+    # samples) edge-compare wins (v5e: 5020 vs 4362 MS/s flagship);
+    # at apd_navg=1 (8.4M samples, 2048 bins) 'packed' counts 6.2x
+    # faster (13.4 -> 2.2 ms, scripts/probe_blockdiag_apd.py)
     apd_kernel: str = 'sort'
     # channelizer-statistics implementation: 'xla' = framed FFT +
     # reductions; 'pallas' = single-pass fused kernel
@@ -293,9 +300,10 @@ class WidebandMonitor:
         else:
             raise ValueError(f"fft_backend must be 'xla' or 'mxu', not {d.fft_backend!r}")
 
-        if d.apd_kernel not in ('sort', 'pallas'):
+        if d.apd_kernel not in ('sort', 'pallas', 'packed'):
             raise ValueError(
-                f"apd_kernel must be 'sort' or 'pallas', not {d.apd_kernel!r}"
+                "apd_kernel must be 'sort', 'pallas', or 'packed', "
+                f'not {d.apd_kernel!r}'
             )
 
         # channel analysis-bin trim
@@ -433,11 +441,43 @@ class WidebandMonitor:
             )
 
     def _hist(self, p):
-        """APD histogram counts per design.apd_kernel: sort+searchsorted
-        or the direct edge-compare Pallas kernel (identical counts,
-        1.9 -> 0.6 ms at bench shapes)."""
+        """APD histogram counts per design.apd_kernel: sort+searchsorted,
+        the direct edge-compare Pallas kernel (identical counts,
+        1.9 -> 0.6 ms at bench shapes), or the factored two-level
+        counting kernel ('packed': the APD edges are uniform in dB, so
+        binning linear power against 10^(edges/10) is a uniform
+        quantize of 10*log10(p) — O(2*sqrt(B)) one-hot cells per sample
+        instead of B edge compares; totals exact, a sample within f32
+        rounding of an edge may land one bin over, same envelope as the
+        other packed counters)."""
         from ..ops.power import histogram_edge_counts
 
+        if self.design.apd_kernel == 'packed':
+            from ..ops.pallas.colhist_pallas import columnwise_histogram_packed
+
+            d = self.design
+            lo, hi = d.apd_range_dB
+            w = (hi - lo) / (d.apd_bins - 1)
+            v = 10.0 * jnp.log10(p)
+            # searchsorted(edges, ., 'left') == ceil((v - lo)/w) away
+            # from exact edge ties; clip folds under/overflow into the
+            # contract's first/last regions
+            idx = jnp.clip(jnp.ceil((v - lo) / w), 0, d.apd_bins).astype(
+                jnp.int32
+            )
+            n = idx.shape[0]
+            cols = 128
+            pad = (-n) % cols
+            if pad:
+                # pad level apd_bins+1 lies outside the [:B] readout
+                # slice, so padding never counts
+                idx = jnp.concatenate(
+                    [idx, jnp.full((pad,), d.apd_bins + 1, jnp.int32)]
+                )
+            counts2d = columnwise_histogram_packed(
+                levels=(idx.reshape(-1, cols), d.apd_bins + 1)
+            )
+            return counts2d.sum(axis=0)
         if self.design.apd_kernel == 'pallas':
             from ..ops.pallas.hist_pallas import histogram_edge_counts_pallas
 

@@ -585,3 +585,47 @@ def test_monitor_i16_requires_pallas():
                 fft_precision='i16', min_fft_size=8191,
             )
         )
+
+
+def test_monitor_apd_packed_matches_sort():
+    """apd_kernel='packed' (factored dB-space counting) must match the
+    sort+searchsorted counts up to edge-tie rounding: totals exact,
+    cumulative counts within 2."""
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=2048,
+        apd_navg=16, fft_backend='mxu', min_fft_size=8191,
+    )
+    m1 = WidebandMonitor(design)
+    m2 = WidebandMonitor(dataclasses.replace(design, apd_kernel='packed'))
+
+    n = m1.min_input_multiple()
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        'complex64'
+    )
+    c1 = np.asarray(jax.jit(m1.step)(jnp.asarray(x))['apd_counts'])
+    c2 = np.asarray(jax.jit(m2.step)(jnp.asarray(x))['apd_counts'])
+
+    assert c1.sum() == c2.sum()
+    assert np.abs(np.cumsum(c1) - np.cumsum(c2)).max() <= 2
+    # other deliverables are untouched by the APD kernel choice
+    assert c2.shape == (design.apd_bins + 1,)
+
+
+def test_monitor_apd_packed_pad_path():
+    """packed APD with a binned-sample count that is not a multiple of
+    128 exercises the pad-level branch (padding must count nowhere)."""
+    design = design_wideband_monitor(
+        2e6, 1e6, bw=0.8e6, channel_count=4, fft_size_per_channel=64,
+        window='hamming', apd_bins=256, min_fft_size=255, fs_sdr=2e6,
+        apd_navg=4,
+    )
+    m1 = WidebandMonitor(design)
+    m2 = WidebandMonitor(dataclasses.replace(design, apd_kernel='packed'))
+    n = m1.min_input_multiple() * 3
+    x = make_tone_noise(n, fs=2e6, f_tone=150e3, snr_db=30)
+    c1 = np.asarray(jax.jit(m1.step)(jnp.asarray(x))['apd_counts'])
+    c2 = np.asarray(jax.jit(m2.step)(jnp.asarray(x))['apd_counts'])
+    assert c1.sum() == c2.sum() == (n // 2) // 4
+    assert np.abs(np.cumsum(c1) - np.cumsum(c2)).max() <= 2
