@@ -92,7 +92,7 @@ class MonitorDesign:
     # Pick by sample count: at apd_navg=16 bench shapes (0.5M binned
     # samples) edge-compare wins (v5e: 5020 vs 4362 MS/s flagship);
     # at apd_navg=1 (8.4M samples, 2048 bins) 'packed' counts 6.2x
-    # faster (13.4 -> 2.2 ms, scripts/probe_blockdiag_apd.py)
+    # faster (13.4 -> 2.2 ms, scripts/probe_apd_kernels.py)
     apd_kernel: str = 'sort'
     # channelizer-statistics implementation: 'xla' = framed FFT +
     # reductions; 'pallas' = single-pass fused kernel
