@@ -29,39 +29,47 @@ def probe_apd():
         histogram_edge_counts_pallas,
     )
 
-    n = 1 << 23  # 8.4M samples (the flagship resampled stream, navg=1)
     apd_bins = 2048
     lo, hi = -120.0, 30.0
     edges_pow = (10 ** (np.linspace(lo, hi, apd_bins) / 10.0)).astype(
         'float32'
     )
+    w = (hi - lo) / (apd_bins - 1)
     rng = np.random.default_rng(0)
-    p_host = (rng.standard_normal(n) ** 2).astype('float32')
-    p = jnp.asarray(p_host)
+
+    def make_packed(slab):
+        @jax.jit
+        def packed(p):
+            v = 10.0 * jnp.log10(p)
+            idx = jnp.clip(jnp.ceil((v - lo) / w), 0, apd_bins).astype(
+                jnp.int32
+            )
+            counts2d = columnwise_histogram_packed(
+                levels=(idx.reshape(-1, 128), apd_bins + 1), slab_size=slab
+            )
+            return counts2d.sum(axis=0).astype(jnp.float32)
+
+        return packed
 
     @jax.jit
     def edge(p):
         return histogram_edge_counts_pallas(p, edges_pow).astype(jnp.float32)
 
-    w = (hi - lo) / (apd_bins - 1)
-
-    @jax.jit
-    def packed(p):
-        v = 10.0 * jnp.log10(p)
-        idx = jnp.clip(jnp.ceil((v - lo) / w), 0, apd_bins).astype(jnp.int32)
-        counts2d = columnwise_histogram_packed(
-            levels=(idx.reshape(-1, 128), apd_bins + 1)
-        )
-        return counts2d.sum(axis=0).astype(jnp.float32)
-
-    for name, fn in [('edge-compare', edge), ('packed slab', packed)]:
-        dt, _ = measure(fn, p)
-        total = float(np.asarray(fn(p)).sum())
-        print(
-            f'apd {name:14s} {dt * 1e3:7.2f} ms  ({n / dt / 1e9:.2f} GS/s) '
-            f'total={total:.0f}',
-            flush=True,
-        )
+    # both operating points: navg=1 (8.4M samples) and the flagship's
+    # navg=16 (0.5M binned samples)
+    for n in (1 << 23, 1 << 19):
+        p = jnp.asarray((rng.standard_normal(n) ** 2).astype('float32'))
+        cases = [('edge-compare', edge)] + [
+            (f'packed slab{s}', make_packed(s)) for s in (None, 4, 8, 16)
+        ]
+        for name, fn in cases:
+            dt, _ = measure(fn, p)
+            total = float(np.asarray(fn(p)).sum())
+            print(
+                f'apd n={n >> 20:2d}M {name:16s} {dt * 1e3:7.2f} ms '
+                f'({n / dt / 1e9:5.2f} GS/s) total={total:.0f}',
+                flush=True,
+            )
 
 
 def main():
