@@ -145,7 +145,9 @@ def run_monitor_i16(path: str, n_chunks: int) -> float:
     )
     mon = WidebandMonitor(design)
     quantum = mon.min_input_multiple()
-    chunk = (CHUNK // quantum) * quantum
+    # round to the monitor quantum; a small --chunk-log2 rounds UP so
+    # the flag can never produce a zero-length chunk
+    chunk = max((CHUNK // quantum) * quantum, quantum)
 
     # per-chunk step_planes with the running merge INSIDE the jit
     # program (axon rule: no eager ops; fence by reading jit-produced

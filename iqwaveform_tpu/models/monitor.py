@@ -551,6 +551,11 @@ class WidebandMonitor:
         R = d.nfft // hop_in if self.noverlap_in > 0 else 1
         if self.noverlap_in == 0 or d.nfft % hop_in or n_frames % R:
             return False
+        if n_samples % hop_in:
+            # a partial trailing hop has no defined frame/halo alignment
+            # on the packed path (the strided kernel reshapes the whole
+            # plane into hop rows); fall back to the unpacked body
+            return False
         if R != d.nfft_out // hop_out:
             return False
         chan_frames = n_frames * hop_out // self._nfft_big
@@ -826,10 +831,12 @@ class WidebandMonitor:
         packed = self._packed_applies(n_samples)
 
         def ola_only(x):
-            x = maybe_unpack(x)
             if packed:
-                y = self._packed_resample(x, None)
+                # _packed_resample consumes (2, N) planes, not complex
+                planes = x if packed_planes else jnp.stack([x.real, x.imag])
+                y = self._packed_resample(planes, None)
             else:
+                x = maybe_unpack(x)
                 d = self.design
                 y = _sharded_ola_body(
                     x,

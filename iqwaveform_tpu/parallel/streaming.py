@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.window_design import get_window
+from ..utils.dispatch import unpack_iq
 
 __all__ = [
     'PersistenceCarry',
@@ -210,7 +211,7 @@ def _chunk_planes(chunk):
 def _chunk_complex(chunk):
     """complex view of a chunk given as complex or (2, n) planes."""
     if chunk.ndim == 2 and chunk.shape[0] == 2 and not jnp.iscomplexobj(chunk):
-        return jax.lax.complex(chunk[0], chunk[1])
+        return unpack_iq(chunk)
     return chunk
 
 

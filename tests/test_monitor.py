@@ -629,3 +629,57 @@ def test_monitor_apd_packed_pad_path():
     c2 = np.asarray(jax.jit(m2.step)(jnp.asarray(x))['apd_counts'])
     assert c1.sum() == c2.sum() == (n // 2) // 4
     assert np.abs(np.cumsum(c1) - np.cumsum(c2)).max() <= 2
+
+
+def _small_packed_design():
+    """smallest design that arms the fully-packed kernel path."""
+    fs = 30.72e6
+    return design_wideband_monitor(
+        fs, fs / 2, bw=10e6, fs_sdr=fs, channel_count=8,
+        fft_size_per_channel=128, window='hamming', apd_bins=64,
+        apd_navg=8, fft_backend='mxu', min_fft_size=2047,
+        ola_kernel='pallas', apd_kernel='pallas', chan_kernel='pallas',
+        fft_precision='high',
+    )
+
+
+def test_monitor_packed_misaligned_length_falls_back():
+    """a capture length with a partial trailing OLA hop must fall back to
+    the unpacked body (the strided packed kernel reshapes the whole
+    plane into hop rows, so there is no defined frame/halo alignment)
+    instead of crashing at trace time; step_planes rejects it."""
+    mon = WidebandMonitor(_small_packed_design())
+    # min_input_multiple guarantees unpacked alignment; the packed path
+    # additionally needs a multiple-of-8 channelizer frame count
+    n = mon.min_input_multiple() * 8
+    assert mon._packed_applies(n)
+    # a 128-aligned remainder below one hop leaves n_frames (and every
+    # other alignment check) unchanged — only the hop multiple fails
+    n_mis = n + 128
+    assert not mon._packed_applies(n_mis)
+
+    x = jnp.asarray(make_tone_noise(n_mis, fs=30.72e6, f_tone=3e6))
+    out = jax.jit(mon.step)(x)  # unpacked fallback, no trace-time crash
+    assert np.isfinite(np.asarray(out['psd_mean'])).all()
+
+    planes = jnp.stack([x.real, x.imag]).astype(jnp.float32)
+    with pytest.raises(ValueError, match='packed'):
+        mon.step_planes(planes)
+
+
+def test_profile_step_packed():
+    """profile_step must run with the packed resample prefix armed
+    (regression: the ola_resample stage passed complex input where the
+    packed body requires (2, N) planes)."""
+    mon = WidebandMonitor(_small_packed_design())
+    n = mon.min_input_multiple() * 8
+    assert mon._packed_applies(n)
+    x = jnp.asarray(make_tone_noise(n, fs=30.72e6, f_tone=3e6))
+
+    timer = mon.profile_step(x, reps=1)
+    assert set(timer.durations) == {'ola_resample', 'chan_stats_apd'}
+    assert timer.durations['ola_resample'] > 0
+
+    planes = jnp.stack([x.real, x.imag]).astype(jnp.float32)
+    timer_p = mon.profile_step(planes, reps=1)
+    assert set(timer_p.durations) == {'ola_resample', 'chan_stats_apd'}
