@@ -237,6 +237,19 @@ def test_reference_facade_import_surface():
                        'DataFrameType', 'IndexType', 'AxisType',
                        'LocatorType', 'DataArrayType', 'DatasetType',
                        'TypeAlias'],
+        'figures': [
+            'GammaLogitFormatter', 'GammaMaxNLocator', 'GammaQQScale',
+            'contiguous_segments', 'is_decade', 'pcolormesh_df',
+            'plot_power_ccdf', 'plot_power_histogram_heatmap',
+            'plot_spectrogram_heatmap', 'plot_spectrogram_heatmap_from_iq',
+            'rotate_ticklabels_on_collision', 'round_places',
+            'xaxis_concise_dates',
+        ],
+        'io': [
+            'extract_ntia_calibration_metadata', 'read_sigmf',
+            'read_sigmf_metadata', 'read_sigmf_to_df', 'resample_iq',
+            'waveform_to_frame',
+        ],
     }
     for mod, names in surface.items():
         m = importlib.import_module(f'iqwaveform_tpu.{mod}')
