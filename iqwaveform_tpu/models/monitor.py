@@ -92,7 +92,9 @@ class MonitorDesign:
     # Pick by sample count: at apd_navg=16 bench shapes (0.5M binned
     # samples) edge-compare wins (v5e: 5020 vs 4362 MS/s flagship);
     # at apd_navg=1 (8.4M samples, 2048 bins) 'packed' counts 6.2x
-    # faster (13.4 -> 2.2 ms, scripts/probe_apd_kernels.py)
+    # faster (13.4 -> 2.2 ms, scripts/probe_apd_kernels.py).
+    # 'auto' = resolve 'pallas' vs 'packed' from the trace-time binned
+    # sample count (crossover ~2M; docs/BENCH_notes.md)
     apd_kernel: str = 'sort'
     # channelizer-statistics implementation: 'xla' = framed FFT +
     # reductions; 'pallas' = single-pass fused kernel
@@ -300,10 +302,10 @@ class WidebandMonitor:
         else:
             raise ValueError(f"fft_backend must be 'xla' or 'mxu', not {d.fft_backend!r}")
 
-        if d.apd_kernel not in ('sort', 'pallas', 'packed'):
+        if d.apd_kernel not in ('sort', 'pallas', 'packed', 'auto'):
             raise ValueError(
-                "apd_kernel must be 'sort', 'pallas', or 'packed', "
-                f'not {d.apd_kernel!r}'
+                "apd_kernel must be 'sort', 'pallas', 'packed', or "
+                f"'auto', not {d.apd_kernel!r}"
             )
 
         # channel analysis-bin trim
@@ -452,7 +454,15 @@ class WidebandMonitor:
         other packed counters)."""
         from ..ops.power import histogram_edge_counts
 
-        if self.design.apd_kernel == 'packed':
+        kernel = self.design.apd_kernel
+        if kernel == 'auto':
+            # the packed counter's fixed quadrant-dot + readout overhead
+            # dominates below ~1M samples while edge-compare scales with
+            # bins x samples (crossover measured in docs/BENCH_notes.md
+            # "APD kernel choice by sample count"); the binned sample
+            # count is static at trace time, so resolve per program
+            kernel = 'packed' if p.shape[0] >= (1 << 21) else 'pallas'
+        if kernel == 'packed':
             from ..ops.pallas.colhist_pallas import columnwise_histogram_packed
 
             d = self.design
@@ -478,7 +488,7 @@ class WidebandMonitor:
                 levels=(idx.reshape(-1, cols), d.apd_bins + 1)
             )
             return counts2d.sum(axis=0)
-        if self.design.apd_kernel == 'pallas':
+        if kernel == 'pallas':
             from ..ops.pallas.hist_pallas import histogram_edge_counts_pallas
 
             return histogram_edge_counts_pallas(p, self._apd_edges_pow)

@@ -683,3 +683,25 @@ def test_profile_step_packed():
     planes = jnp.stack([x.real, x.imag]).astype(jnp.float32)
     timer_p = mon.profile_step(planes, reps=1)
     assert set(timer_p.durations) == {'ola_resample', 'chan_stats_apd'}
+
+
+def test_monitor_apd_auto_kernel():
+    """apd_kernel='auto' resolves to a TPU counting kernel by the
+    trace-time binned sample count and matches the 'sort' oracle."""
+    design = design_wideband_monitor(
+        2e6, 1e6, bw=0.8e6, channel_count=4, fft_size_per_channel=64,
+        window='hamming', apd_bins=256, min_fft_size=255, fs_sdr=2e6,
+        apd_navg=4,
+    )
+    m1 = WidebandMonitor(design)
+    m2 = WidebandMonitor(dataclasses.replace(design, apd_kernel='auto'))
+    n = m1.min_input_multiple() * 3
+    x = make_tone_noise(n, fs=2e6, f_tone=150e3, snr_db=30)
+    c1 = np.asarray(jax.jit(m1.step)(jnp.asarray(x))['apd_counts'])
+    c2 = np.asarray(jax.jit(m2.step)(jnp.asarray(x))['apd_counts'])
+    # below the ~2M-sample crossover 'auto' is the edge-compare kernel,
+    # whose counts are identical to the sort path
+    np.testing.assert_array_equal(c1, c2)
+
+    with pytest.raises(ValueError, match='apd_kernel'):
+        WidebandMonitor(dataclasses.replace(design, apd_kernel='nope'))
