@@ -11,6 +11,7 @@ pipelines; this module falls back to numpy when it is not built.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 import numpy as np
@@ -132,13 +133,19 @@ def read_sigmf(
     Ts = 1.0 / (force_sample_rate if force_sample_rate is not None else sample_rate)
 
     payload = _load_sigmf_payload(metadata_path, sigmf_data_ext)
-    captures = _cut_at_capture_starts(payload, center_freqs.keys(), stack)
+    # segments follow sorted capture starts; sort the start -> frequency
+    # pairs together so out-of-order capture metadata cannot misassign a
+    # frequency to another segment (the reference splits in file order,
+    # which np.array_split corrupts for unsorted starts)
+    starts = sorted(center_freqs)
+    freqs = np.array([center_freqs[s] for s in starts])
+    captures = _cut_at_capture_starts(payload, starts, stack)
 
     scale = _voltage_scale_from_cal(cal, require=ntia_extensions, z0=z0)
     if scale is not None:
         captures = np.multiply(captures, scale)
 
-    return captures, np.array(list(center_freqs.values())), Ts, cal
+    return captures, freqs, Ts, cal
 
 
 def read_sigmf_to_df(
@@ -154,8 +161,12 @@ def read_sigmf_to_df(
         stack=True,
     )
 
+    # the reference labels the GHz-scaled columns 'Frequency (Hz)'
+    # (io.py:104-106) — a units mislabel we do not reproduce (see
+    # docs/PARITY.md)
     return waveform_to_frame(
-        x_split, Ts, columns=pd.Index(center_freqs / 1e9), column_name='Frequency (Hz)'
+        x_split, Ts, columns=pd.Index(center_freqs / 1e9),
+        column_name='Frequency (GHz)',
     )
 
 
@@ -326,9 +337,18 @@ def read_iq_data(
                 scale=scale,
                 threads=threads,
             )
-        raw = np.memmap(path, dtype=np.int16, mode='r')
-        total = raw.size // 2
+        total = os.stat(path).st_size // 4
         n = total - offset_samples if num_samples < 0 else num_samples
+        if offset_samples < 0 or n < 0 or offset_samples + n > total:
+            # same contract as the native loader: out-of-range requests
+            # fail loudly instead of silently truncating
+            raise ValueError(
+                f'requested {num_samples} samples at offset '
+                f'{offset_samples} exceeds the {total}-sample file'
+            )
+        if n == 0:
+            return np.zeros(0, dtype='complex64')
+        raw = np.memmap(path, dtype=np.int16, mode='r')
         view = raw[2 * offset_samples : 2 * (offset_samples + n)]
         z = view.astype('float32').reshape(-1, 2) * np.float32(scale)
         return (z[:, 0] + 1j * z[:, 1]).astype('complex64')
@@ -339,9 +359,18 @@ def read_iq_data(
                 path, offset_samples=offset_samples, num_samples=num_samples
             )
         else:
-            raw = np.memmap(path, dtype=np.complex64, mode='r')
-            n = raw.size - offset_samples if num_samples < 0 else num_samples
-            z = np.array(raw[offset_samples : offset_samples + n])
+            total = os.stat(path).st_size // 8
+            n = total - offset_samples if num_samples < 0 else num_samples
+            if offset_samples < 0 or n < 0 or offset_samples + n > total:
+                raise ValueError(
+                    f'requested {num_samples} samples at offset '
+                    f'{offset_samples} exceeds the {total}-sample file'
+                )
+            if n == 0:
+                z = np.zeros(0, dtype='complex64')
+            else:
+                raw = np.memmap(path, dtype=np.complex64, mode='r')
+                z = np.array(raw[offset_samples : offset_samples + n])
         if scale is not None and scale != 1.0:
             z *= np.complex64(scale)
         return z
@@ -456,6 +485,7 @@ class CapturePrefetcher:
         self.n_chunks = total // self.chunk_samples
         self._tail = total - self.n_chunks * self.chunk_samples
         self._thread = None
+        self._finished = False
         self._queue = None
 
     def __len__(self):
@@ -525,6 +555,7 @@ class CapturePrefetcher:
 
         self._queue = queue.Queue(maxsize=self.depth)
         self._stop = threading.Event()
+        self._finished = False
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
         return self
@@ -551,13 +582,20 @@ class CapturePrefetcher:
             raise RuntimeError(
                 'iterate inside the context: with CapturePrefetcher(...) as c'
             )
+        if self._finished:
+            # the producer already delivered its end sentinel: behave
+            # like any exhausted iterator instead of blocking forever on
+            # a drained queue with a dead producer
+            return
         while True:
             kind, payload = self._queue.get()
             if kind == 'chunk':
                 yield payload
             elif kind == 'error':
+                self._finished = True
                 raise payload
             else:
+                self._finished = True
                 return
 
 

@@ -38,25 +38,86 @@ __all__ = [
 ]
 
 
+def _leaf_to_host(v):
+    """exact host copy of a carry leaf through the axon-safe channel.
+
+    The tunneled TPU's D2H path only supports float32 arrays produced
+    by jit (int32 raises UNIMPLEMENTED, 0-d scalars hang — CLAUDE.md
+    platform rules), so integer leaves leave the device as two
+    sub-2^24-magnitude float32 planes (arithmetic-shift hi + masked lo
+    reassemble exactly, negatives included) and every leaf flattens to
+    >= 1-D before crossing. Host numpy leaves pass straight through."""
+    from ..utils.dispatch import is_jax_array
+
+    if not is_jax_array(v):
+        return np.asarray(v)
+    shape, dtype = v.shape, v.dtype
+    if jnp.issubdtype(dtype, jnp.integer):
+        hi, lo = jax.jit(
+            lambda a: (
+                (a.reshape(-1) >> 12).astype(jnp.float32),
+                (a.reshape(-1) & 0xFFF).astype(jnp.float32),
+            )
+        )(v)
+        out = np.asarray(hi).astype('int64') * 4096 + np.asarray(lo).astype(
+            'int64'
+        )
+        return out.reshape(shape).astype(np.dtype(dtype.name))
+    if jnp.issubdtype(dtype, jnp.floating) and dtype != jnp.float32:
+        # carries are f32/int32; anything else takes the direct path
+        return np.asarray(v)
+    flat = jax.jit(lambda a: a.reshape(-1).astype(jnp.float32))(v)
+    return np.asarray(flat).reshape(shape).astype(np.dtype(dtype.name))
+
+
+def _carry_path(path: str) -> str:
+    """np.savez appends '.npz' when the suffix is missing; normalize so
+    save and load agree on the path the caller recorded."""
+    return path if str(path).endswith('.npz') else str(path) + '.npz'
+
+
 def save_carry(path: str, carry) -> None:
     """checkpoint a streaming-reduction carry (any pytree of arrays) so a
     long capture analysis can resume after interruption — the only state
     worth checkpointing in this library (SURVEY.md §5: "nothing to resume;
     all transforms are stateless ... beyond streaming-reduction carry
-    state")."""
+    state"). Device leaves are read back through the axon-safe float32
+    channel (_leaf_to_host), so checkpointing works mid-capture on the
+    tunneled TPU."""
     leaves, treedef = jax.tree_util.tree_flatten(carry)
     np.savez(
-        path,
+        _carry_path(path),
         __treedef__=np.frombuffer(str(treedef).encode(), dtype=np.uint8),
-        **{f'leaf_{i}': np.asarray(v) for i, v in enumerate(leaves)},
+        **{f'leaf_{i}': _leaf_to_host(v) for i, v in enumerate(leaves)},
     )
 
 
 def load_carry(path: str, like):
     """restore a carry checkpointed with save_carry. ``like`` provides the
-    pytree structure (e.g. a fresh init_carry / PersistenceCarry)."""
+    pytree structure (e.g. a fresh init_carry / PersistenceCarry); the
+    stored structure must match it (leaf count + treedef), so a
+    checkpoint from a different design fails loudly instead of mapping
+    leaves onto the wrong fields."""
+    import os
+
+    if not os.path.exists(path):
+        path = _carry_path(path)
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
+    n_stored = sum(1 for k in data.files if k.startswith('leaf_'))
+    stored_treedef = (
+        bytes(data['__treedef__']).decode()
+        if '__treedef__' in data.files
+        else None
+    )
+    if n_stored != len(leaves) or (
+        stored_treedef is not None and stored_treedef != str(treedef)
+    ):
+        raise ValueError(
+            f'checkpoint structure ({n_stored} leaves, '
+            f'{stored_treedef!r}) does not match `like` '
+            f'({len(leaves)} leaves, {str(treedef)!r})'
+        )
     restored = [
         jnp.asarray(data[f'leaf_{i}']) for i in range(len(leaves))
     ]
@@ -610,11 +671,25 @@ def streaming_apd(
     (power_analysis.py:552-580). Use sharded.ccdf_from_counts to
     convert. See apd_fold for navg (detector-binned APD; chunk_size
     must be a navg multiple and trailing samples short of a detector
-    window are dropped) and kernel.
+    window are dropped) and kernel. ``x`` may be 1-D complex or (2, n)
+    float [real, imag] planes (the io.read_iq_planes layout).
+
+    Counts accumulate in device int32: exact up to 2^31-1 binned
+    samples per bin, which no array that fits in device memory can
+    exceed (a 2^31-sample complex capture is ~17 GB). Captures beyond
+    one array — the disk-chunked workflows — should roll apd_fold
+    results into a host int64 between chunks; see
+    examples/disk_to_chip.py.
     """
     from ..utils.dispatch import is_jax_array
 
     x = jnp.asarray(x)
+    planes = x.ndim == 2 and x.shape[0] == 2 and not jnp.iscomplexobj(x)
+    if x.ndim != 1 and not planes:
+        raise ValueError(
+            'x must be 1-D (complex or power) or (2, n) float planes, '
+            f'not shape {x.shape} dtype {x.dtype}'
+        )
     if navg > 1 and chunk_size % navg:
         raise ValueError(
             f'chunk_size={chunk_size} must be a multiple of navg={navg}'
@@ -622,23 +697,56 @@ def streaming_apd(
     if not is_jax_array(edges):
         edges = np.asarray(edges, dtype='float32')
     n_edges = edges.shape[0]
-    n_chunks = x.shape[0] // chunk_size
-    tail = x[n_chunks * chunk_size :]
-    if navg > 1:
-        tail = tail[: (tail.shape[0] // navg) * navg]
-    body = x[: n_chunks * chunk_size].reshape(n_chunks, chunk_size)
+    n = x.shape[1] if planes else x.shape[0]
+    n_chunks = n // chunk_size
+    if planes:
+        tail = x[:, n_chunks * chunk_size :]
+        if navg > 1:
+            tail = tail[:, : (tail.shape[1] // navg) * navg]
+        tail_n = tail.shape[1]
+        body = x[:, : n_chunks * chunk_size]
 
-    def count_chunk(counts, chunk_x):
+        def chunk_at(i):
+            # dynamic_slice instead of a (2, n_chunks, chunk) transpose:
+            # the planes stay in place, each scan step reads its window
+            return jax.lax.dynamic_slice(
+                body, (0, i * chunk_size), (2, chunk_size)
+            )
+
+    else:
+        tail = x[n_chunks * chunk_size :]
+        if navg > 1:
+            tail = tail[: (tail.shape[0] // navg) * navg]
+        tail_n = tail.shape[0]
+        body2d = x[: n_chunks * chunk_size].reshape(n_chunks, chunk_size)
+
+        def chunk_at(i):
+            return body2d[i]
+
+    def count_at(counts, i):
         return apd_fold(
-            counts, chunk_x, edges=edges, navg=navg, kernel=kernel
+            counts, chunk_at(i), edges=edges, navg=navg, kernel=kernel
         ), None
 
+    def scan_range(lo, hi):
+        counts, _ = jax.lax.scan(
+            count_at, init, jnp.arange(lo, hi, dtype=jnp.int32)
+        )
+        return counts
+
     init = jnp.zeros((n_edges + 1,), dtype=jnp.int32)
-    counts = init
-    if n_chunks:
-        counts, _ = jax.lax.scan(count_chunk, init, body)
 
-    if tail.shape[0]:
-        counts, _ = count_chunk(counts, tail)
+    # int32 accumulator guard: unreachable for any array that fits in
+    # device memory, but fail loudly rather than wrap silently
+    if (n_chunks * chunk_size + tail_n) // max(navg, 1) >= (1 << 31):
+        raise ValueError(
+            'binned sample count exceeds the int32 accumulator; count '
+            'in segments with apd_fold and roll into a host int64'
+        )
 
+    counts = scan_range(0, n_chunks) if n_chunks else init
+    if tail_n:
+        counts = apd_fold(
+            counts, tail, edges=edges, navg=navg, kernel=kernel
+        )
     return counts

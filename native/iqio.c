@@ -351,12 +351,12 @@ static PyObject *iqio_load_planes(PyObject *self, PyObject *args, PyObject *kws)
         out = (PyArrayObject *)out_obj;
         if (PyArray_TYPE(out) != NPY_FLOAT32 || PyArray_NDIM(out) != 2 ||
             PyArray_DIM(out, 0) != 2 || PyArray_DIM(out, 1) != n ||
-            !PyArray_IS_C_CONTIGUOUS(out)) {
+            !PyArray_IS_C_CONTIGUOUS(out) || !PyArray_ISWRITEABLE(out)) {
             if (base) munmap(base, fsize);
             close(fd);
             PyErr_Format(PyExc_ValueError,
-                         "out must be C-contiguous float32 with shape "
-                         "(2, %zd)", (Py_ssize_t)n);
+                         "out must be writeable C-contiguous float32 with "
+                         "shape (2, %zd)", (Py_ssize_t)n);
             return NULL;
         }
         Py_INCREF(out);

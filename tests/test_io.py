@@ -181,7 +181,10 @@ def test_read_sigmf_to_df_columns(sigmf_capture):
     meta_path, data = sigmf_capture
     df = io.read_sigmf_to_df(meta_path)
     assert df.shape == (1000, 2)
-    assert df.columns.name == 'Frequency (Hz)'
+    # reference mislabels the GHz-scaled columns 'Frequency (Hz)'
+    # (docs/PARITY.md); we keep GHz values with an honest label
+    assert df.columns.name == 'Frequency (GHz)'
+    np.testing.assert_allclose(df.columns.values, [3.7, 3.8])
 
 
 def test_write_sigmf_roundtrip_cf32(tmp_path):
@@ -425,3 +428,89 @@ def test_capture_prefetcher_early_exit_is_prompt(tmp_path):
     dt = time.perf_counter() - t0
     assert dt < 2.0
     assert not pre._thread.is_alive()
+
+
+def test_read_sigmf_out_of_order_captures(tmp_path):
+    """capture starts listed out of order must keep each segment paired
+    with its own center frequency (sorted together; the reference's
+    file-order array_split corrupts this case — docs/PARITY.md)."""
+    meta = {
+        'global': {'core:sample_rate': 1e6, 'core:datatype': 'cf32'},
+        'captures': [
+            {'core:sample_start': 1200, 'core:frequency': 2.0e9,
+             'core:datetime': '2024-01-01T00:00:01Z'},
+            {'core:sample_start': 0, 'core:frequency': 1.0e9,
+             'core:datetime': '2024-01-01T00:00:00Z'},
+        ],
+    }
+    meta_path = tmp_path / 'ooo.sigmf-meta'
+    meta_path.write_text(json.dumps(meta))
+    data = np.concatenate(
+        [np.full(1200, 1 + 0j), np.full(800, 2 + 0j)]
+    ).astype('complex64')
+    np.save(meta_path.with_suffix('.sigmf-data.npy'), data)
+
+    captures, freqs, Ts, _cal = io.read_sigmf(meta_path)
+    assert [len(c) for c in captures] == [1200, 800]
+    np.testing.assert_allclose(freqs, [1.0e9, 2.0e9])
+    # the segment of 1s belongs to the capture at start 0 = 1 GHz
+    assert captures[0][0] == 1 + 0j and captures[1][0] == 2 + 0j
+
+
+def test_read_iq_data_fallback_bounds(tmp_path):
+    """the numpy fallback enforces the same bounds contract as the
+    native loader instead of silently truncating."""
+    rng = np.random.default_rng(0)
+    iq16 = rng.integers(-1000, 1000, size=240, dtype='int16')  # 120 samples
+    path = tmp_path / 'b.sigmf-data'
+    iq16.tofile(path)
+    (rng.standard_normal(120).astype('complex64')).tofile(
+        tmp_path / 'b32.sigmf-data'
+    )
+
+    saved = io._iqio
+    try:
+        io._iqio = None
+        with pytest.raises(ValueError, match='exceeds'):
+            io.read_iq_data(path, 'ci16_le', offset_samples=100, num_samples=50)
+        with pytest.raises(ValueError, match='exceeds'):
+            io.read_iq_data(
+                tmp_path / 'b32.sigmf-data', 'cf32_le',
+                offset_samples=100, num_samples=50,
+            )
+        # zero-length reads (incl. empty files) return empty, not memmap
+        # errors
+        empty = tmp_path / 'empty.sigmf-data'
+        empty.write_bytes(b'')
+        assert io.read_iq_data(empty, 'ci16_le').shape == (0,)
+    finally:
+        io._iqio = saved
+
+
+def test_capture_prefetcher_exhausted_reiteration(tmp_path):
+    """a second iteration after exhaustion inside the context yields
+    nothing (regression: it deadlocked on the drained queue)."""
+    rng = np.random.default_rng(1)
+    iq16 = rng.integers(-1000, 1000, size=4096 * 2 * 4, dtype='int16')
+    path = tmp_path / 'x.sigmf-data'
+    iq16.tofile(path)
+
+    with io.CapturePrefetcher(path, 4096, 'ci16_le') as chunks:
+        first = [np.array(c) for c in chunks]
+        again = list(chunks)
+    assert len(first) == 4
+    assert again == []
+
+
+def test_native_load_planes_rejects_readonly_out(tmp_path):
+    """a read-only ``out`` buffer must raise, not crash the process."""
+    _iqio = pytest.importorskip('iqwaveform_tpu._iqio')
+    rng = np.random.default_rng(2)
+    iq16 = rng.integers(-1000, 1000, size=512, dtype='int16')
+    path = tmp_path / 'ro.sigmf-data'
+    iq16.tofile(path)
+
+    out = np.zeros((2, 256), dtype='float32')
+    out.setflags(write=False)
+    with pytest.raises(ValueError, match='writeable'):
+        io.read_iq_planes(path, 'ci16_le', out=out)

@@ -763,3 +763,63 @@ def test_persistence_stats_only_fused_kernel():
         np.asarray(c_pal.pmax), np.asarray(c_mxu.pmax), atol=1e-3
     )
     assert int(np.asarray(c_pal.count)) == n // nfft
+
+
+def test_streaming_apd_planes_input():
+    """(2, n) float plane input — the io.read_iq_planes layout apd_fold
+    advertises — must chunk along the sample axis and match the complex
+    path (regression: it mis-chunked along axis 0, returning zeros)."""
+    x = make_tone_noise(100000)
+    planes = jnp.stack([jnp.asarray(x.real), jnp.asarray(x.imag)])
+    p = np.abs(x) ** 2
+    edges = np.linspace(0, float(p.max()) * 1.01, 100).astype('float32')
+
+    ref = parallel.streaming_apd(jnp.asarray(x), edges=edges, chunk_size=8192)
+    got = parallel.streaming_apd(planes, edges=edges, chunk_size=8192)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert int(np.asarray(got).sum()) == x.shape[0]
+
+    # detector-binned planes path (navg windows never span chunks)
+    ref16 = parallel.streaming_apd(
+        jnp.asarray(x), edges=edges, chunk_size=16 * 512, navg=16
+    )
+    got16 = parallel.streaming_apd(
+        planes, edges=edges, chunk_size=16 * 512, navg=16
+    )
+    np.testing.assert_array_equal(np.asarray(got16), np.asarray(ref16))
+
+    with pytest.raises(ValueError, match='planes'):
+        parallel.streaming_apd(
+            jnp.zeros((3, 100)), edges=edges, chunk_size=64
+        )
+
+
+def test_carry_checkpoint_path_and_structure_guards(tmp_path):
+    """save/load agree on an extensionless path, and a structurally
+    mismatched template fails loudly instead of mapping leaves onto the
+    wrong fields."""
+    from iqwaveform_tpu.parallel import streaming
+
+    carry = streaming.PersistenceCarry(
+        hist=jnp.arange(12, dtype=jnp.int32).reshape(3, 4) * (1 << 20),
+        psum=jnp.ones(3),
+        pmax=jnp.full(3, 2.0),
+        pmin=jnp.full(3, -2.0),
+        count=jnp.asarray(7, jnp.int32),
+    )
+    blank = jax.tree_util.tree_map(jnp.zeros_like, carry)
+
+    # extensionless path: np.savez appends '.npz'; load must follow
+    path = str(tmp_path / 'carry')
+    streaming.save_carry(path, carry)
+    restored = streaming.load_carry(path, blank)
+    # int leaves round-trip exactly through the f32-only hi/lo channel
+    np.testing.assert_array_equal(
+        np.asarray(restored.hist), np.asarray(carry.hist)
+    )
+    np.testing.assert_array_equal(np.asarray(restored.count), 7)
+    assert np.asarray(restored.hist).dtype == np.int32
+
+    # a different pytree structure must be rejected
+    with pytest.raises(ValueError, match='structure'):
+        streaming.load_carry(path, {'a': jnp.zeros(3), 'b': jnp.zeros(3)})
