@@ -253,7 +253,10 @@ def corr_at_indices(inds, x, nfft: int, norm: bool = True, out=None, *, backend:
             ops.pallas.corr_pallas; structured index rows only)
 
     Returns:
-        complex correlation sequence of length nfft + ncp
+        complex correlation sequence of length nfft + ncp. Index/lag pairs
+        that fall past the end of ``x`` contribute zero (the reference
+        kernel's bounds check, _jit/cpu.py:21-26); with ``norm=True`` a lag
+        whose pairs are ALL out of bounds is 0/0 = NaN, as in the reference.
     """
     inds_host = np.asarray(inds)
     ncp = inds_host.shape[-1]
@@ -492,9 +495,14 @@ def pss_params(
     subcarrier_spacing: float,
     discovery_periodicity: float = 20e-3,
     shared_spectrum: bool = False,
+    case: str = 'auto',
 ) -> SyncParams:
-    """PSS burst timing per 3GPP TS 38.213 §4.1 Cases A/C
-    (reference ofdm.py:333-418)."""
+    """PSS burst timing per 3GPP TS 38.213 §4.1 Cases A/B/C
+    (reference ofdm.py:333-418, Cases A/C only; Case B is a TODO there).
+
+    ``case='auto'`` keeps the reference mapping (15 kHz -> Case A,
+    30 kHz -> Case C); pass ``case='B'`` for the 30 kHz Case B burst
+    ({4, 8, 16, 20} + 28·n candidate first symbols)."""
     if not isroundmod(subcarrier_spacing, 15e3):
         raise ValueError('subcarrier_spacing must be multiple of 15000')
 
@@ -505,22 +513,31 @@ def pss_params(
             f'sample_rate must be a multiple of {128 * subcarrier_spacing}'
         )
 
-    # SSB burst patterns per TS 38.213 §4.1: {scs: (case, offsets, stride,
-    # n below 3 GHz, n with shared spectrum)}. 30 kHz is treated as Case C
-    # (reference ofdm.py:378-387; Case B is a TODO there too).
+    # SSB burst patterns per TS 38.213 §4.1: {case: (scs, offsets, stride,
+    # n for the L_max=8 FR1 pattern, n with shared spectrum)}. The counts
+    # follow the reference's choice of the maximal FR1 pattern
+    # (reference ofdm.py:378-387); shared-spectrum (NR-U) patterns are
+    # defined only for Cases A and C.
     ssb_cases = {
-        15e3: ('A', (2, 8), 14, 4, 5),
-        30e3: ('C', (2, 8), 14, 4, 10),
+        'A': (15e3, (2, 8), 14, 4, 5),
+        'B': (30e3, (4, 8, 16, 20), 28, 2, None),
+        'C': (30e3, (2, 8), 14, 4, 10),
     }
-    for scs, params in ssb_cases.items():
-        if np.isclose(subcarrier_spacing, scs):
-            _, offsets, stride, n_low, n_shared = params
-            break
-    else:
+    if case == 'auto':
+        case = 'A' if np.isclose(subcarrier_spacing, 15e3) else 'C'
+    if case not in ssb_cases:
+        raise ValueError(f"case must be 'auto', 'A', 'B', or 'C', not {case!r}")
+    scs, offsets, stride, n_low, n_shared = ssb_cases[case]
+    if not np.isclose(subcarrier_spacing, scs):
         raise ValueError(
-            'only 15 kHz and 30 kHz SCS (Case A, C) are currently supported (Case A,B,C)'
+            f'SSB Case {case} is defined for {scs / 1e3:.0f} kHz subcarrier '
+            f'spacing, not {subcarrier_spacing / 1e3:g} kHz'
         )
 
+    if shared_spectrum and n_shared is None:
+        raise ValueError(
+            'shared-spectrum operation is defined for SSB Cases A and C only'
+        )
     n_count = n_shared if shared_spectrum else n_low
     symbol_indexes = [
         offset + stride * n for n in range(n_count) for offset in offsets
@@ -552,6 +569,7 @@ def sss_params(
     subcarrier_spacing: float,
     discovery_periodicity: float = 20e-3,
     shared_spectrum: bool = False,
+    case: str = 'auto',
 ) -> SyncParams:
     """SSS burst timing: PSS symbol indexes incremented by 2
     (reference ofdm.py:421-448)."""
@@ -560,6 +578,7 @@ def sss_params(
         subcarrier_spacing=subcarrier_spacing,
         discovery_periodicity=discovery_periodicity,
         shared_spectrum=shared_spectrum,
+        case=case,
     )
 
     indexes = [i + 2 for i in template.symbol_indexes]

@@ -109,6 +109,34 @@ def test_pss_params_case_a():
     assert p.frame_size == round(10e-3 * 15.36e6)
 
 
+def test_pss_params_case_b():
+    # TS 38.213 §4.1 Case B: {4, 8, 16, 20} + 28·n, n ∈ {0, 1} for the
+    # maximal FR1 pattern; 30 kHz SCS only, no shared-spectrum variant
+    p = ofdm.pss_params(
+        sample_rate=30.72e6, subcarrier_spacing=30e3, case='B'
+    )
+    assert p.symbol_indexes == [4, 8, 16, 20, 32, 36, 44, 48]
+    assert p.slot_count == 4
+    s = ofdm.sss_params(
+        sample_rate=30.72e6, subcarrier_spacing=30e3, case='B'
+    )
+    assert s.symbol_indexes == [i + 2 for i in p.symbol_indexes]
+    with pytest.raises(ValueError):
+        ofdm.pss_params(
+            sample_rate=15.36e6, subcarrier_spacing=15e3, case='B'
+        )
+    with pytest.raises(ValueError):
+        ofdm.pss_params(
+            sample_rate=30.72e6,
+            subcarrier_spacing=30e3,
+            case='B',
+            shared_spectrum=True,
+        )
+    # the default mapping is unchanged: 30 kHz -> Case C
+    c = ofdm.pss_params(sample_rate=30.72e6, subcarrier_spacing=30e3)
+    assert c.symbol_indexes == [2, 8, 16, 22, 30, 36, 44, 50]
+
+
 def test_sss_params_offsets():
     p = ofdm.pss_params(sample_rate=15.36e6, subcarrier_spacing=15e3)
     s = ofdm.sss_params(sample_rate=15.36e6, subcarrier_spacing=15e3)
