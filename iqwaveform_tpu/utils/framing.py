@@ -114,14 +114,27 @@ def axis_slice(a, start, stop=None, step=None, axis: int = -1):
 
 
 def pad_along_axis(a, pad_width: list, axis: int = 0, *args, **kws):
-    """pad only along one axis (reference util.py:217-224)."""
-    if axis >= 0:
-        pre_pad = [[0, 0]] * axis
-    else:
-        pre_pad = [[0, 0]] * (axis + a.ndim - 1)
+    """pad only along ``axis`` (``pad_width`` pairs apply to consecutive
+    axes starting there; reference util.py:217-224).
 
+    The reference builds only the LEADING [0, 0] pairs, so for axis=0 on
+    a multi-dim array np.pad broadcasts the single pair to every axis
+    (and its negative-axis arithmetic is off by one); both are latent
+    reference bugs (intent is clearly one-axis padding), fixed here by
+    completing the trailing pairs — see docs/PARITY.md.
+    """
+    ax = axis if axis >= 0 else axis + a.ndim
+    if not 0 <= ax < a.ndim:
+        raise ValueError(f'axis {axis} out of range for ndim {a.ndim}')
+    pads = [[0, 0]] * ax + list(pad_width)
+    pads += [[0, 0]] * (a.ndim - len(pads))
+    if len(pads) != a.ndim:
+        raise ValueError(
+            f'{len(pad_width)} pad pairs starting at axis {axis} exceed '
+            f'ndim {a.ndim}'
+        )
     xp = array_namespace(a)
-    return xp.pad(a, pre_pad + list(pad_width), *args, **kws)
+    return xp.pad(a, pads, *args, **kws)
 
 
 @lru_cache()

@@ -1,0 +1,305 @@
+"""Randomized dual-path / scipy-oracle fuzzing.
+
+Every public entry point accepts numpy (host, scipy-matched) or jax
+arrays (device path, traceable); this harness drives both paths with
+randomized shapes/axes/parameters and checks they agree (and, where an
+exact scipy counterpart exists, that the host path matches scipy).
+
+Usage: python scripts/fuzz_parity.py [N_CASES] [SEED]
+
+Runs on the virtual CPU mesh (never touches the TPU tunnel). Exits
+nonzero on the first 20 failures with reproduction parameters printed.
+"""
+
+import os
+import sys
+import traceback
+import zlib
+
+os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+
+import numpy as np
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+import jax.numpy as jnp
+import scipy.signal
+
+
+def _agree(name, params, a, b, rtol=2e-5, atol=1e-5):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.shape != b.shape:
+        raise AssertionError(f'{name} {params}: shape {a.shape} vs {b.shape}')
+    scale = max(np.abs(a).max(), 1e-30)
+    err = np.abs(a - b).max() / scale
+    if not np.isfinite(a).all() == np.isfinite(b).all() or err > max(
+        rtol, atol / scale
+    ):
+        raise AssertionError(f'{name} {params}: rel err {err:.3e}')
+
+
+def fuzz_stft(rng):
+    from iqwaveform_tpu import fourier
+
+    nperseg = int(rng.choice([64, 96, 128, 256]))
+    frac = rng.choice([0.0, 0.5])
+    noverlap = int(nperseg * frac)
+    window = str(rng.choice(['hamming', 'hann', 'blackman']))
+    nblocks = int(rng.integers(2, 6))
+    n = nperseg * nblocks
+    ndim = int(rng.integers(1, 3))
+    axis = int(rng.integers(0, ndim))
+    shape = [int(rng.integers(1, 3)) for _ in range(ndim)]
+    shape[axis] = n
+    norm = rng.choice([None, 'power'])
+    x = (
+        rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    ).astype('complex64')
+    params = dict(
+        nperseg=nperseg, noverlap=noverlap, window=window, shape=shape,
+        axis=axis, norm=norm,
+    )
+    _, _, got_np = fourier.stft(
+        x, fs=1.0, window=window, nperseg=nperseg, noverlap=noverlap,
+        axis=axis, norm=None if norm is None else str(norm),
+    )
+    _, _, got_jx = fourier.stft(
+        jnp.asarray(x), fs=1.0, window=window, nperseg=nperseg,
+        noverlap=noverlap, axis=axis, norm=None if norm is None else str(norm),
+    )
+    _agree('stft', params, got_np, got_jx)
+
+
+def fuzz_resample(rng):
+    from iqwaveform_tpu import fourier
+
+    n_in = int(rng.integers(16, 400))
+    n_out = int(rng.integers(8, 400))
+    ndim = int(rng.integers(1, 3))
+    axis = int(rng.integers(0, ndim))
+    shape = [int(rng.integers(1, 4)) for _ in range(ndim)]
+    shape[axis] = n_in
+    x = (
+        rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    ).astype('complex64')
+    params = dict(n_in=n_in, n_out=n_out, shape=shape, axis=axis)
+    got_np = fourier.resample(x, n_out, axis=axis)
+    got_jx = fourier.resample(jnp.asarray(x), n_out, axis=axis)
+    _agree('resample', params, got_np, got_jx, rtol=5e-5)
+    if n_in % 2 == 0 and n_out % 2 == 0 and n_out > 8:
+        # documented deviation (tests/test_filtering.py:42-44): the
+        # band-edge bin is sliced, not folded as scipy does, so compare
+        # spectra away from the two edge bins
+        ref = scipy.signal.resample(x.astype('complex128'), n_out, axis=axis)
+        F_ref = np.fft.fftshift(np.fft.fft(ref, axis=axis), axes=axis)
+        F_got = np.fft.fftshift(np.fft.fft(got_np, axis=axis), axes=axis)
+        keep = np.ones(n_out, bool)
+        if n_out > n_in:
+            # upsampling: the deviation sits at the original band's
+            # edge bins inside the zero-padded output
+            pad = (n_out - n_in) // 2
+            keep[[pad, pad + n_in]] = False
+        else:
+            keep[:2] = keep[-2:] = False
+        F_ref = np.compress(keep, F_ref, axis=axis)
+        F_got = np.compress(keep, F_got, axis=axis)
+        _agree('resample-vs-scipy', params, F_ref, F_got, rtol=2e-4)
+
+
+def fuzz_upfirdn(rng):
+    from iqwaveform_tpu import fourier
+
+    up = int(rng.integers(1, 6))
+    down = int(rng.integers(1, 6))
+    hlen = int(rng.integers(1, 33))
+    n = int(rng.integers(max(hlen, 8), 256))
+    ndim = int(rng.integers(1, 3))
+    axis = int(rng.integers(0, ndim))
+    shape = [int(rng.integers(1, 4)) for _ in range(ndim)]
+    shape[axis] = n
+    cplx = bool(rng.integers(0, 2))
+    h = rng.standard_normal(hlen).astype('float32')
+    x = rng.standard_normal(shape).astype('float32')
+    if cplx:
+        x = (x + 1j * rng.standard_normal(shape).astype('float32')).astype(
+            'complex64'
+        )
+    params = dict(up=up, down=down, hlen=hlen, shape=shape, axis=axis, cplx=cplx)
+    ref = scipy.signal.upfirdn(
+        h.astype('float64'), x.astype('complex128' if cplx else 'float64'),
+        up=up, down=down, axis=axis,
+    )
+    got_np = fourier.upfirdn(h, x, up=up, down=down, axis=axis)
+    _agree('upfirdn-np', params, ref, got_np, rtol=1e-4)
+    got_jx = fourier.upfirdn(h, jnp.asarray(x), up=up, down=down, axis=axis)
+    _agree('upfirdn-jx', params, ref, got_jx, rtol=1e-4)
+
+
+def fuzz_power_ops(rng):
+    from iqwaveform_tpu import power_analysis as pa
+
+    ndim = int(rng.integers(1, 4))
+    shape = [int(rng.integers(1, 9)) for _ in range(ndim)]
+    x = (
+        rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    ).astype('complex64')
+    p = (np.abs(x) ** 2).astype('float32') + 1e-12
+    params = dict(shape=shape)
+    for fn, arg in [
+        (pa.envtopow, x), (pa.envtodB, x), (pa.powtodB, p), (pa.dBtopow, p)
+    ]:
+        got_np = fn(arg)
+        got_jx = fn(jnp.asarray(arg))
+        _agree(fn.__name__, params, got_np, got_jx)
+
+
+def fuzz_bin_power(rng):
+    from iqwaveform_tpu import power_analysis as pa
+
+    nbin = int(rng.integers(2, 17))
+    nblocks = int(rng.integers(2, 33))
+    n = nbin * nblocks
+    Ts = 1e-6
+    detector = str(rng.choice(['mean', 'max', 'rms', 'min', 'peak']))
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    params = dict(nbin=nbin, nblocks=nblocks, detector=detector)
+    got_np = pa.iq_to_bin_power(x, Ts=Ts, Tbin=nbin * Ts, kind=detector)
+    got_jx = pa.iq_to_bin_power(jnp.asarray(x), Ts=Ts, Tbin=nbin * Ts, kind=detector)
+    _agree('iq_to_bin_power', params, got_np, got_jx)
+
+
+def fuzz_ccdf(rng):
+    from iqwaveform_tpu import power_analysis as pa
+
+    n = int(rng.integers(16, 2048))
+    nedges = int(rng.integers(4, 64))
+    x = np.abs(rng.standard_normal(n)).astype('float32') + 1e-6
+    edges = np.linspace(0, float(x.max()) * 1.1, nedges).astype('float32')
+    params = dict(n=n, nedges=nedges)
+    got_np = pa.sample_ccdf(x, edges)
+    got_jx = pa.sample_ccdf(jnp.asarray(x), jnp.asarray(edges))
+    oracle = (x[None, :] > edges[:, None]).sum(axis=1) / n
+    _agree('sample_ccdf-np', params, oracle, got_np, rtol=0, atol=1e-7)
+    _agree('sample_ccdf-jx', params, oracle, got_jx, rtol=0, atol=1e-7)
+
+
+def fuzz_histogram_last_axis(rng):
+    from iqwaveform_tpu import util
+
+    rows = int(rng.integers(1, 9))
+    n = int(rng.integers(8, 300))
+    nbins = int(rng.integers(2, 40))
+    x = rng.standard_normal((rows, n)).astype('float32')
+    edges = np.linspace(-3, 3, nbins + 1)
+    params = dict(rows=rows, n=n, nbins=nbins)
+    got, _ = util.histogram_last_axis(x, edges)
+    oracle = np.stack([np.histogram(r, edges)[0] for r in x])
+    _agree('histogram_last_axis', params, oracle, got, rtol=0, atol=0)
+
+
+def fuzz_framing(rng):
+    from iqwaveform_tpu import util
+
+    n = int(rng.integers(8, 300))
+    size = int(rng.integers(1, 16))
+    ndim = int(rng.integers(1, 3))
+    axis = int(rng.integers(0, ndim))
+    shape = [int(rng.integers(1, 4)) for _ in range(ndim)]
+    shape[axis] = (n // size) * size if n >= size else size
+    x = rng.standard_normal(shape).astype('float32')
+    params = dict(shape=shape, size=size, axis=axis)
+    got = util.to_blocks(x, size, axis=axis)
+    got_jx = util.to_blocks(jnp.asarray(x), size, axis=axis)
+    _agree('to_blocks', params, got, got_jx, rtol=0, atol=0)
+
+    wlen = int(rng.integers(1, max(2, shape[axis] // 2 + 1)))
+    got = util.sliding_window_view(x, wlen, axis=axis)
+    oracle = np.lib.stride_tricks.sliding_window_view(x, wlen, axis=axis)
+    if got.shape != oracle.shape:
+        # axis placement conventions can differ; compare via moveaxis
+        raise AssertionError(f'sliding_window_view {params}: {got.shape} vs {oracle.shape}')
+    _agree('sliding_window_view', params, oracle, got, rtol=0, atol=0)
+
+
+def fuzz_ola_filter(rng):
+    from iqwaveform_tpu import fourier
+
+    window, divisor = rng.choice(
+        [('hamming', 2), ('blackman', 3), ('blackmanharris', 5)], axis=0
+    )
+    divisor = int(divisor)
+    window = str(window)
+    # COLA needs nfft divisible by the window's overlap divisor, and the
+    # input a whole number of noverlap spans: hamming overlaps 1/2,
+    # blackman 2/3, blackmanharris 4/5 -> nblocks multiples of 1/2/4
+    nfft = divisor * int(rng.choice([32, 64, 128]))
+    block_quantum = {2: 1, 3: 2, 5: 4}[divisor]
+    nblocks = block_quantum * int(rng.integers(1, 4)) + block_quantum
+    n = nfft * nblocks
+    fs = 1e6
+    lo = rng.uniform(-0.3, -0.05) * fs
+    hi = rng.uniform(0.05, 0.3) * fs
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    params = dict(window=window, nfft=nfft, n=n, passband=(lo, hi))
+    got_np = fourier.ola_filter(
+        x, fs=fs, nfft=nfft, window=window, passband=(lo, hi)
+    )
+    got_jx = fourier.ola_filter(
+        jnp.asarray(x), fs=fs, nfft=nfft, window=window, passband=(lo, hi)
+    )
+    _agree('ola_filter', params, got_np, got_jx, rtol=5e-5)
+
+
+FUZZERS = [
+    fuzz_stft,
+    fuzz_resample,
+    fuzz_upfirdn,
+    fuzz_power_ops,
+    fuzz_bin_power,
+    fuzz_ccdf,
+    fuzz_histogram_last_axis,
+    fuzz_framing,
+    fuzz_ola_filter,
+]
+
+
+def main():
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    failures = []
+    for i in range(n_cases):
+        for fz in FUZZERS:
+            # zlib.crc32, not hash(): str hashes are salted per process,
+            # which would make failures irreproducible
+            rng = np.random.default_rng(
+                seed * 1_000_003
+                + i * 997
+                + zlib.crc32(fz.__name__.encode()) % 65536
+            )
+            try:
+                fz(rng)
+            except AssertionError as err:
+                failures.append(f'[case {i}] {err}')
+                print(failures[-1], flush=True)
+            except Exception:
+                failures.append(f'[case {i}] {fz.__name__} CRASH:\n' + traceback.format_exc(limit=8))
+                print(failures[-1], flush=True)
+            if len(failures) >= 20:
+                print(f'stopping after {len(failures)} failures')
+                sys.exit(1)
+        if (i + 1) % 10 == 0:
+            print(f'{i + 1}/{n_cases} cases x {len(FUZZERS)} fuzzers ok so far', flush=True)
+    if failures:
+        sys.exit(1)
+    print(f'fuzz parity: {n_cases} cases x {len(FUZZERS)} fuzzers all passed')
+
+
+if __name__ == '__main__':
+    main()

@@ -55,6 +55,35 @@ def test_resample_matches_scipy(num_ratio):
     np.testing.assert_allclose(np.asarray(ours_j), ours, atol=1e-4 * scale)
 
 
+def test_resample_multidim_upsample_shape():
+    # regression (scripts/fuzz_parity.py): upsampling a 2-D array along
+    # axis 0 used to pad every axis ((148, 3) -> (212, 67)) through the
+    # reference's pad_along_axis bug
+    rng = np.random.default_rng(7)
+    x = (
+        rng.standard_normal((148, 3)) + 1j * rng.standard_normal((148, 3))
+    ).astype('complex64')
+    got = fourier.resample(x, 212, axis=0)
+    assert got.shape == (212, 3)
+    ref = scipy.signal.resample(x.astype('complex128'), 212, axis=0)
+    # per-column equality with the documented band-edge-bin deviation:
+    # when upsampling, the deviation sits at the ORIGINAL band's edge
+    # bins (rows pad and pad+148 of the fftshifted output), not at the
+    # output edges — mask those rows and compare everything else
+    F_got = np.fft.fftshift(np.fft.fft(got, axis=0), axes=0)
+    F_ref = np.fft.fftshift(np.fft.fft(ref, axis=0), axes=0)
+    pad = (212 - 148) // 2
+    keep = np.ones(212, bool)
+    keep[[pad, pad + 148]] = False
+    np.testing.assert_allclose(
+        F_got[keep], F_ref[keep], atol=2e-3 * np.abs(F_ref).max()
+    )
+    got_j = fourier.resample(jnp.asarray(x), 212, axis=0)
+    np.testing.assert_allclose(
+        np.asarray(got_j), got, atol=1e-4 * np.abs(got).max()
+    )
+
+
 def test_resample_preserves_tone():
     fs = 1e6
     n = 8192

@@ -49,6 +49,20 @@ def test_pad_along_axis():
     np.testing.assert_allclose(np.asarray(yj), y)
 
 
+def test_pad_along_axis_pads_only_that_axis():
+    # reference bug not reproduced (util.py:217-224): with axis=0 on a
+    # multi-dim array the reference's single pad pair broadcasts to
+    # EVERY axis; its negative-axis arithmetic is also off by one
+    x = np.ones((2, 3))
+    assert util.pad_along_axis(x, [[1, 2]], axis=0).shape == (5, 3)
+    assert util.pad_along_axis(x, [[1, 2]], axis=-1).shape == (2, 6)
+    assert util.pad_along_axis(x, [[1, 2]], axis=-2).shape == (5, 3)
+    with pytest.raises(ValueError):
+        util.pad_along_axis(x, [[1, 2]], axis=2)
+    with pytest.raises(ValueError):
+        util.pad_along_axis(x, [[1, 2], [3, 4]], axis=1)
+
+
 def test_sliding_window_view_matches_numpy():
     x = np.arange(10, dtype='float32')
     a = util.sliding_window_view(x, 3, axis=0)
