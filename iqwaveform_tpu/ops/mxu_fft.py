@@ -326,8 +326,15 @@ def fused_ola_mxu(
     fold=True (default) additionally collapses trim + mask + k2-inverse
     into one precomputed matmul (_fused_ola_constants_folded): one fewer
     einsum and one fewer (M, a, b2) HBM round trip, exactly equal
-    results up to float32 rounding. fold=False keeps the literal
-    four-matmul chain (cross-validation path).
+    results up to float32 rounding. The fold engages only when the
+    passband edges land on exact k1-column boundaries (n_corr == 0): on
+    the XLA path the ≤2 rank-1 boundary-correction einsums are
+    pass-bound s≤2-wide dots that cost more than the removed Fb2_inv
+    matmul saves (measured 1.03x SLOWER at flagship shapes vs 0.91x
+    faster without corrections — scripts/probe_fold_xla.py; the Pallas
+    kernels keep their folded path, where the corrections are cheap VPU
+    lane reductions). fold=False keeps the literal four-matmul chain
+    (cross-validation path).
     """
     in_lo, in_hi = bounds_in
     M = frames.shape[0]
@@ -338,6 +345,11 @@ def fused_ola_mxu(
             nfft, nfft_out, int(zero_lo), zero_hi, int(in_lo), int(in_hi),
             int(bounds_out[0]),
         )
+        # fold='force' keeps the corrections-as-einsums path measurable
+        # (scripts/probe_fold_xla.py); production never takes it
+        fold = n_corr == 0 or fold == 'force'
+
+    if fold:
         A = frames.reshape(M, a, b)
         B = jnp.einsum('ij,mjk->mik', Fa, A, precision=precision)
         C = B * W

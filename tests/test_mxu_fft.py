@@ -235,7 +235,11 @@ def test_fused_ola_fold_matches_unfolded(nfft, nfft_out, zero, b_in, b_out):
         nfft=nfft, nfft_out=nfft_out, zero_lo=zero[0], zero_hi=zero[1],
         bounds_in=b_in, bounds_out=b_out,
     )
-    got = np.asarray(fused_ola_mxu(jnp.asarray(frames), **kws))
+    # fold='force' exercises the corrections-as-einsums path even where
+    # the production dispatch (fold=True) would pick the unfolded chain
+    # for speed (n_corr > 0 on the XLA path; scripts/probe_fold_xla.py)
+    got = np.asarray(fused_ola_mxu(jnp.asarray(frames), fold='force', **kws))
+    auto = np.asarray(fused_ola_mxu(jnp.asarray(frames), **kws))
     ref = np.asarray(fused_ola_mxu(jnp.asarray(frames), fold=False, **kws))
 
     Y = np.fft.fft(frames.astype('complex128'), axis=1)
@@ -251,6 +255,7 @@ def test_fused_ola_fold_matches_unfolded(nfft, nfft_out, zero, b_in, b_out):
     scale = max(np.abs(oracle).max(), 1e-12)
     assert np.abs(got - ref).max() / scale < 3e-6
     assert np.abs(got - oracle).max() / scale < 3e-6
+    assert np.abs(auto - oracle).max() / scale < 3e-6
 
 
 def test_fused_ola_folded_constants_exact():
