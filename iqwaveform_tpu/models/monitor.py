@@ -737,6 +737,15 @@ class WidebandMonitor:
         multiple of hop*channel FFT alignment."""
         if iq.ndim == 1:
             return self._body_1d(iq, None)
+        if self._packed_applies(iq.shape[1]):
+            # build the (B, 2, N) planes once OUTSIDE the vmap: stacking
+            # per row inside the vmapped body materializes a transposed
+            # copy XLA does not elide (~10% of the rx4 step,
+            # scripts/probe_rx_batch.py)
+            planes = jnp.stack([iq.real, iq.imag], axis=1)
+            return jax.vmap(lambda p: self._body_packed_planes(p, None))(
+                planes
+            )
         return jax.vmap(lambda row: self._body_1d(row, None))(iq)
 
     def step_planes(self, planes):

@@ -257,6 +257,117 @@ def fuzz_ola_filter(rng):
     _agree('ola_filter', params, got_np, got_jx, rtol=5e-5)
 
 
+def fuzz_istft_roundtrip(rng):
+    from iqwaveform_tpu import fourier
+
+    window, divisor = rng.choice(
+        [('hamming', 2), ('blackman', 3), ('blackmanharris', 5)], axis=0
+    )
+    divisor = int(divisor)
+    window = str(window)
+    nperseg = divisor * int(rng.choice([16, 32, 64]))
+    overlap_frac = {2: 0.5, 3: 2 / 3, 5: 0.8}[divisor]
+    noverlap = round(nperseg * overlap_frac)
+    block_quantum = {2: 1, 3: 2, 5: 4}[divisor]
+    # >= 3 blocks so the full-overlap interior is non-empty
+    nblocks = max(3, block_quantum * int(rng.integers(2, 5)))
+    n = nperseg * nblocks
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    params = dict(window=window, nperseg=nperseg, noverlap=noverlap, n=n)
+    Y = fourier.stft(
+        x, fs=1.0, window=window, nperseg=nperseg, noverlap=noverlap,
+        truncate=False, return_axis_arrays=False,
+    )
+    y = np.asarray(fourier.istft(Y, nfft=nperseg, noverlap=noverlap))
+    # COLA roundtrip reconstructs the interior exactly (edges lack full
+    # overlap coverage)
+    m = min(n, y.shape[0])
+    interior = slice(nperseg, m - nperseg)
+    _agree('istft-roundtrip', params, x[interior], y[interior], rtol=2e-4)
+    Yj = fourier.stft(
+        jnp.asarray(x), fs=1.0, window=window, nperseg=nperseg,
+        noverlap=noverlap, truncate=False, return_axis_arrays=False,
+    )
+    yj = np.asarray(fourier.istft(Yj, nfft=nperseg, noverlap=noverlap))
+    _agree('istft-roundtrip-jx', params, y, yj, rtol=5e-5)
+
+
+def fuzz_psd(rng):
+    from iqwaveform_tpu import fourier
+
+    nperseg = int(rng.choice([64, 128, 256]))
+    nblocks = int(rng.integers(4, 10))
+    n = nperseg * nblocks
+    fs = float(nperseg)  # resolution=1 -> nperseg bins
+    stats = [0.5, 'mean', 'max'] if rng.integers(0, 2) else ['min', 0.9, 'rms']
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    params = dict(nperseg=nperseg, n=n, stats=stats)
+    got_np = fourier.power_spectral_density(
+        x, fs=fs, window='hann', resolution=1.0, statistics=stats
+    )
+    got_jx = fourier.power_spectral_density(
+        jnp.asarray(x), fs=fs, window='hann', resolution=1.0, statistics=stats
+    )
+    _agree('power_spectral_density', params, got_np, got_jx, rtol=1e-4)
+
+
+def fuzz_channelize(rng):
+    from iqwaveform_tpu import fourier
+
+    fft_per_chan = int(rng.choice([16, 32, 64]))
+    n_chan = int(rng.choice([4, 8]))
+    analysis = fft_per_chan - 2 * int(rng.integers(0, fft_per_chan // 4))
+    nblocks = int(rng.integers(2, 6))
+    n = fft_per_chan * n_chan * nblocks
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    params = dict(
+        fft_per_chan=fft_per_chan, n_chan=n_chan, analysis=analysis, n=n
+    )
+    got_np = fourier.channelize_power(
+        x, 1e-6, fft_per_chan, analysis_bins_per_channel=analysis,
+        window='hamming', channel_count=n_chan,
+    )
+    got_jx = fourier.channelize_power(
+        jnp.asarray(x), 1e-6, fft_per_chan,
+        analysis_bins_per_channel=analysis, window='hamming',
+        channel_count=n_chan,
+    )
+    _agree('channelize_power', params, got_np[2], got_jx[2], rtol=1e-4)
+
+
+def fuzz_cyclic_power(rng):
+    from iqwaveform_tpu import power_analysis as pa
+
+    Ts = 1e-6
+    nbin = int(rng.integers(2, 9))
+    bins_per_cycle = int(rng.integers(2, 6))
+    cycles = int(rng.integers(2, 8))
+    n = nbin * bins_per_cycle * cycles
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    params = dict(nbin=nbin, bins_per_cycle=bins_per_cycle, cycles=cycles)
+    kws = dict(
+        Ts=Ts,
+        detector_period=nbin * Ts,
+        cyclic_period=nbin * bins_per_cycle * Ts,
+    )
+    got_np = pa.iq_to_cyclic_power(x, **kws)
+    got_jx = pa.iq_to_cyclic_power(jnp.asarray(x), **kws)
+    for det in got_np:
+        for stat in got_np[det]:
+            _agree(
+                f'iq_to_cyclic_power[{det}][{stat}]', params,
+                got_np[det][stat], got_jx[det][stat],
+            )
+
+
 FUZZERS = [
     fuzz_stft,
     fuzz_resample,
@@ -267,6 +378,10 @@ FUZZERS = [
     fuzz_histogram_last_axis,
     fuzz_framing,
     fuzz_ola_filter,
+    fuzz_istft_roundtrip,
+    fuzz_psd,
+    fuzz_channelize,
+    fuzz_cyclic_power,
 ]
 
 

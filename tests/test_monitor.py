@@ -69,6 +69,37 @@ def test_monitor_batched(design):
     assert out['apd_counts'].shape == (3, 257)
 
 
+def test_monitor_batched_packed_matches_rows():
+    """on the packed kernel path, the (B, N) step (which builds the
+    plane stack once outside the vmap; scripts/probe_rx_batch.py) must
+    equal per-row 1-D steps exactly."""
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=128,
+        apd_navg=16, fft_backend='mxu', min_fft_size=8191,
+        ola_kernel='pallas', apd_kernel='pallas', chan_kernel='pallas',
+        fft_precision='high',
+    )
+    mon = WidebandMonitor(design)
+    # the packed path needs >= 8 channelizer frames (chan_frames % 8)
+    n = 4 * mon.min_input_multiple()
+    rng = np.random.default_rng(5)
+    x = (
+        rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+    ).astype('complex64')
+    assert mon._packed_applies(n)
+
+    out_b = jax.jit(mon.step)(jnp.asarray(x))
+    for i in range(3):
+        out_i = jax.jit(mon.step)(jnp.asarray(x[i]))
+        for key in out_i:
+            np.testing.assert_array_equal(
+                np.asarray(out_b[key])[i],
+                np.asarray(out_i[key]),
+                err_msg=f'row {i} key {key}',
+            )
+
+
 def test_monitor_sharded_matches_single(design):
     mesh = parallel.time_mesh(8)
     mon_s = WidebandMonitor(design, mesh=mesh)
