@@ -11,8 +11,9 @@ TPU-native notes:
   kernels on GPU — C15 in SURVEY.md §2 — plain xp ops otherwise) collapse
   to plain jnp expressions: XLA fuses elementwise chains natively, so the
   fused-kernel tier is the *default* here rather than an accelerator
-  special case. ``out=`` buffers are accepted for API compatibility; XLA
-  owns buffer reuse.
+  special case. ``out=`` buffers are honored on the numpy host path (the
+  reference's numexpr in-place contract); on device XLA owns buffer
+  reuse, so ``out=`` is a documented no-op for jax arrays.
 * Everything is traceable: called on jax tracers inside jit, these run on
   device; called on numpy/pandas eagerly, they compute with numpy and
   repackage (Series->Series, DataFrame->DataFrame, xarray attrs get unit
@@ -188,6 +189,18 @@ def _real_part(values, xp):
     return values
 
 
+def _fill_out(result, out, xp):
+    """honor the reference's ``out=`` buffer contract on the host path
+    (reference power_analysis.py:182,220,241,274 via numexpr): write the
+    result into ``out`` and return the buffer itself, casting as numexpr
+    does. jax arrays are immutable -> ``out=`` stays a no-op on device.
+    """
+    if out is None or xp is not np:
+        return result
+    np.copyto(out, result, casting='unsafe')
+    return out
+
+
 def powtodB(x, abs: bool = True, eps: float = 0, out=None):
     """compute 10*log10(abs(x) + eps) or 10*log10(x + eps)
     (reference power_analysis.py:168-206). One fused XLA expression on TPU."""
@@ -200,6 +213,7 @@ def powtodB(x, abs: bool = True, eps: float = 0, out=None):
         v = v + eps
     result = 10.0 * xp.log10(v)
     result = _real_part(result, xp)
+    result = _fill_out(result, out, xp)
 
     return _repackage_arraylike(result, x, unit_transform=unit_linear_to_dB)
 
@@ -213,6 +227,7 @@ def dBtopow(x, out=None):
     if v.dtype.itemsize < 4:
         v = v.astype('float32')
     result = xp.power(xp.asarray(10.0, dtype=float_dtype_like(v)), v / 10.0)
+    result = _fill_out(result, out, xp)
 
     return _repackage_arraylike(result, x, unit_transform=unit_dB_to_linear)
 
@@ -226,6 +241,7 @@ def envtopow(x, out=None):
         result = v.real * v.real + v.imag * v.imag
     else:
         result = v * v
+    result = _fill_out(result, out, xp)
 
     return _repackage_arraylike(result, x, unit_transform=unit_wave_to_linear)
 
@@ -242,6 +258,7 @@ def envtodB(x, abs: bool = True, eps: float = 0, out=None):
         v = v + eps
     result = 20.0 * xp.log10(v)
     result = _real_part(result, xp)
+    result = _fill_out(result, out, xp)
 
     return _repackage_arraylike(result, x, unit_transform=unit_wave_to_dB)
 

@@ -1,0 +1,642 @@
+"""Randomized numeric parity fuzz against the ACTUAL reference package.
+
+scripts/fuzz_parity.py checks our numpy path against our jax path and
+scipy oracles. This harness goes one step further: it imports the real
+reference package (via scripts/_refload.py functional dependency
+emulations) and drives the reference's numpy code paths and ours with
+identical inputs, comparing numbers directly.
+
+Reference entry points that crash as released (documented in
+docs/PARITY.md "Reference bugs intentionally not reproduced") are
+compared against hand-built oracles over the reference's *working*
+internals instead — e.g. `power_spectral_density` (reference
+fourier.py:1318 writes the quantile block transposed) is checked
+against reference `spectrogram` + explicit statistics.
+
+Usage: python scripts/fuzz_vs_reference.py [N_CASES] [SEED]
+
+Runs host-only (never touches the TPU tunnel).
+"""
+
+import os
+import sys
+import traceback
+import zlib
+
+os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+
+import numpy as np
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _refload
+
+REF = _refload.load_reference()
+REF_OFDM = sys.modules['iqwaveform.ofdm']
+
+REF_WINDOWS = sys.modules['iqwaveform.windows']
+
+import iqwaveform_tpu as OURS
+from iqwaveform_tpu import ofdm as OURS_OFDM
+from iqwaveform_tpu import power_analysis as OURS_PA
+from iqwaveform_tpu import windows as OURS_WINDOWS
+
+
+def _agree(name, params, ref, got, rtol=2e-6, atol=1e-7):
+    ref = np.asarray(ref)
+    got = np.asarray(got)
+    if ref.shape != got.shape:
+        raise AssertionError(f'{name} {params}: shape {ref.shape} vs {got.shape}')
+    if ref.size == 0:
+        return
+    finite = np.isfinite(ref)
+    if not np.array_equal(finite, np.isfinite(got)):
+        raise AssertionError(f'{name} {params}: finite-mask mismatch')
+    scale = max(np.abs(ref[finite]).max() if finite.any() else 0.0, 1e-30)
+    err = (
+        np.abs(ref[finite] - got[finite]).max() / scale if finite.any() else 0.0
+    )
+    if err > max(rtol, atol / scale):
+        raise AssertionError(f'{name} {params}: rel err {err:.3e}')
+
+
+def _iq(rng, shape):
+    return (
+        rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    ).astype('complex64')
+
+
+def fuzz_db_transforms(rng):
+    ndim = int(rng.integers(1, 3))
+    shape = [int(rng.integers(1, 64)) for _ in range(ndim)]
+    x = _iq(rng, shape)
+    p = (np.abs(x) ** 2).astype('float32') + 1e-12
+    eps = float(rng.choice([0.0, 1e-25]))
+    params = dict(shape=shape, eps=eps)
+    for fname, arg, kws in [
+        ('envtodB', x, dict(eps=eps)),
+        ('powtodB', p, dict(eps=eps)),
+        ('envtopow', x, {}),
+        ('dBtopow', p, {}),
+    ]:
+        ref_fn = getattr(REF.power_analysis, fname)
+        our_fn = getattr(OURS_PA, fname)
+        _agree(fname, params, ref_fn(arg.copy(), **kws), our_fn(arg.copy(), **kws))
+    # the out= buffer contract (reference power_analysis.py:182,220)
+    out_ref = np.empty_like(p)
+    out_our = np.empty_like(p)
+    r = REF.power_analysis.powtodB(p.copy(), out=out_ref)
+    g = OURS_PA.powtodB(p.copy(), out=out_our)
+    _agree('powtodB[out=]', params, r, g)
+    assert r is out_ref and g is out_our, 'out= identity contract'
+
+
+def fuzz_unit_transforms(rng):
+    for s, pairs in [
+        ('dBm', ('unit_dB_to_linear', 'unit_dB_to_wave')),
+        ('dBV', ('unit_dB_to_linear', 'unit_dB_to_wave')),
+        ('mW', ('unit_linear_to_dB',)),
+        ('V', ('unit_wave_to_dB', 'unit_wave_to_linear')),
+    ]:
+        for fname in pairs:
+            r = getattr(REF.power_analysis, fname)(s)
+            g = getattr(OURS_PA, fname)(s)
+            if r != g:
+                raise AssertionError(f'{fname}({s!r}): {r!r} vs {g!r}')
+
+
+def fuzz_stft(rng):
+    nperseg = int(rng.choice([64, 128, 256]))
+    frac = rng.choice([0.0, 0.5])
+    noverlap = int(nperseg * frac)
+    window = str(rng.choice(['hamming', 'hann', 'blackman']))
+    n = nperseg * int(rng.integers(2, 6))
+    norm = rng.choice([None, 'power'])
+    x = _iq(rng, n)
+    params = dict(nperseg=nperseg, noverlap=noverlap, window=window, norm=norm)
+    kws = dict(
+        fs=1e6, window=window, nperseg=nperseg, noverlap=noverlap,
+        norm=None if norm is None else str(norm),
+    )
+    rf, rt, rX = REF.fourier.stft(x, **kws)
+    gf, gt, gX = OURS.fourier.stft(x, **kws)
+    _agree('stft[freqs]', params, rf, gf)
+    _agree('stft[times]', params, rt, gt)
+    _agree('stft', params, rX, gX, rtol=1e-5)
+
+
+def fuzz_istft(rng):
+    nperseg = int(rng.choice([64, 128]))
+    noverlap = nperseg // 2
+    n = nperseg * int(rng.integers(3, 6))
+    x = _iq(rng, n)
+    params = dict(nperseg=nperseg, n=n)
+    kws = dict(
+        fs=1.0, window='hamming', nperseg=nperseg, noverlap=noverlap,
+        return_axis_arrays=False,
+    )
+    rX = REF.fourier.stft(x, **kws)
+    r = REF.fourier.istft(rX.copy(), nfft=nperseg, noverlap=noverlap)
+    g = OURS.fourier.istft(rX.copy(), nfft=nperseg, noverlap=noverlap)
+    _agree('istft', params, r, g, rtol=1e-5)
+
+
+def fuzz_spectrogram(rng):
+    nperseg = int(rng.choice([64, 128, 256]))
+    noverlap = int(nperseg * rng.choice([0.0, 0.5]))
+    window = str(rng.choice(['hamming', 'hann']))
+    n = nperseg * int(rng.integers(2, 6))
+    x = _iq(rng, n)
+    params = dict(nperseg=nperseg, noverlap=noverlap, window=window)
+    kws = dict(fs=1e6, window=window, nperseg=nperseg, noverlap=noverlap)
+    rf, rt, rS = REF.fourier.spectrogram(x, **kws)
+    gf, gt, gS = OURS.fourier.spectrogram(x, **kws)
+    _agree('spectrogram[freqs]', params, rf, gf)
+    _agree('spectrogram', params, rS, gS, rtol=1e-5)
+
+
+def fuzz_psd(rng):
+    """our power_spectral_density vs an oracle built on the REFERENCE
+    spectrogram.
+
+    The reference entry point itself crashes on every call (reference
+    fourier.py:1318 assigns the (nq, nbin) quantile block into a
+    swapaxed (nbin, nq) view) — see docs/PARITY.md.
+    """
+    nperseg = int(rng.choice([64, 128, 256]))
+    nblocks = int(rng.integers(4, 10))
+    n = nperseg * nblocks
+    fs = 1e6
+    x = _iq(rng, n)
+    stats = [0.25, 'mean', 'max'] if rng.integers(0, 2) else ['min', 0.9, 'rms']
+    params = dict(nperseg=nperseg, n=n, stats=stats)
+    _, _, S = REF.fourier.spectrogram(
+        x, fs=fs, window='hann', nperseg=nperseg, noverlap=0
+    )
+    SdB = REF.power_analysis.powtodB(S, eps=1e-25).real
+    rows = []
+    for s in stats:
+        if isinstance(s, float):
+            rows.append(np.quantile(SdB, s, axis=0))
+        else:
+            rows.append(
+                REF.fourier.stat_ufunc_from_shorthand(s, xp=np)(SdB, axis=0)
+            )
+    oracle = np.stack(rows).astype('float32')
+    got = OURS.fourier.power_spectral_density(
+        x, fs=fs, window='hann', resolution=fs / nperseg, statistics=stats
+    )
+    _agree('power_spectral_density', params, oracle, got, rtol=2e-5)
+
+
+def fuzz_resample(rng):
+    n_in = 2 * int(rng.integers(16, 200))
+    n_out = 2 * int(rng.integers(8, 200))
+    x = _iq(rng, n_in)
+    params = dict(n_in=n_in, n_out=n_out)
+    r = REF.fourier.resample(x.copy(), n_out)
+    g = OURS.fourier.resample(x.copy(), n_out)
+    _agree('resample', params, r, g, rtol=1e-5)
+    # scale=None + overwrite_x=False crashes in the reference
+    # (fourier.py:1533 multiplies None*shift) -> exercise the two paths
+    # that work: explicit scale, and the overwrite_x short path
+    shifted_r = REF.fourier.time_fftshift(x.copy(), scale=1.0)
+    shifted_g = OURS.fourier.time_fftshift(x.copy(), scale=1.0)
+    _agree('time_fftshift[scale]', params, shifted_r, shifted_g, rtol=1e-5)
+    _agree(
+        'time_fftshift[overwrite]', params,
+        REF.fourier.time_fftshift(x.copy(), overwrite_x=True),
+        OURS.fourier.time_fftshift(x.copy(), overwrite_x=True), rtol=1e-5,
+    )
+
+
+def fuzz_ola_filter(rng):
+    """OLA framing/window/overlap-add machinery vs the reference.
+
+    The reference's in-band zeroing never fires (zero_stft_by_freq
+    passes fs where _freq_band_edges expects a sample period, and
+    derives fs from the *block* axis — docs/PARITY.md), so a finite
+    passband compares our real bandpass against the reference's no-op.
+    A super-Nyquist passband zeroes nothing on either side and checks
+    the COLA stft->istft chain exactly.
+    """
+    window, divisor = [
+        ('hamming', 2), ('blackman', 3), ('blackmanharris', 5)
+    ][int(rng.integers(0, 3))]
+    nfft = divisor * int(rng.choice([32, 64]))
+    quantum = {2: 1, 3: 2, 5: 4}[divisor]
+    n = nfft * (quantum * int(rng.integers(1, 4)) + quantum)
+    fs = 1e6
+    x = _iq(rng, n)
+    params = dict(window=window, nfft=nfft, n=n)
+    kws = dict(fs=fs, nfft=nfft, window=window, passband=(-fs, fs))
+    r = REF.fourier.ola_filter(x.copy(), **kws)
+    g = OURS.fourier.ola_filter(x.copy(), **kws)
+    _agree('ola_filter', params, r, g, rtol=2e-5)
+
+
+def fuzz_upfirdn(rng):
+    up = int(rng.integers(1, 5))
+    down = int(rng.integers(1, 5))
+    hlen = int(rng.integers(1, 25))
+    n = int(rng.integers(max(hlen, 8), 200))
+    h = rng.standard_normal(hlen).astype('float32')
+    x = _iq(rng, n)
+    params = dict(up=up, down=down, hlen=hlen, n=n)
+    r = REF.fourier.upfirdn(h, x, up=up, down=down)
+    g = OURS.fourier.upfirdn(h, x, up=up, down=down)
+    _agree('upfirdn', params, r, g, rtol=1e-5)
+
+
+def fuzz_bin_power(rng):
+    nbin = int(rng.integers(2, 17))
+    n = nbin * int(rng.integers(2, 33))
+    Ts = 1e-6
+    detector = str(rng.choice(['mean', 'max', 'rms', 'min', 'peak']))
+    x = _iq(rng, n)
+    params = dict(nbin=nbin, n=n, detector=detector)
+    r = REF.power_analysis.iq_to_bin_power(x, Ts=Ts, Tbin=nbin * Ts, kind=detector)
+    g = OURS_PA.iq_to_bin_power(x, Ts=Ts, Tbin=nbin * Ts, kind=detector)
+    _agree('iq_to_bin_power', params, r, g, rtol=1e-5)
+
+
+def fuzz_cyclic_power(rng):
+    # the reference crashes on 1-D input (power_analysis.py:459 indexes
+    # shape[1] unconditionally) and mis-truncates when shape[1] is not a
+    # bin multiple (truncation length computed from the wrong axis) —
+    # docs/PARITY.md. Fuzz the configuration where its numbers are
+    # correct: 2-D input, whole cycles, channel count a bin multiple.
+    Ts = 1e-6
+    nbin = int(rng.integers(2, 9))
+    bins_per_cycle = int(rng.integers(2, 6))
+    cycles = int(rng.integers(2, 8))
+    n = nbin * bins_per_cycle * cycles
+    nch = bins_per_cycle * int(rng.integers(1, 3))
+    x = _iq(rng, (n, nch))
+    params = dict(nbin=nbin, bins_per_cycle=bins_per_cycle, cycles=cycles, nch=nch)
+    kws = dict(
+        Ts=Ts, detector_period=nbin * Ts,
+        cyclic_period=nbin * bins_per_cycle * Ts,
+    )
+    r = REF.power_analysis.iq_to_cyclic_power(x, **kws)
+    g = OURS_PA.iq_to_cyclic_power(x, **kws)
+    if set(r) != set(g):
+        raise AssertionError(f'cyclic detectors {set(r)} vs {set(g)}')
+    for det in r:
+        if set(r[det]) != set(g[det]):
+            raise AssertionError(f'cyclic stats {set(r[det])} vs {set(g[det])}')
+        for stat in r[det]:
+            _agree(
+                f'iq_to_cyclic_power[{det}][{stat}]', params,
+                r[det][stat], g[det][stat], rtol=1e-5,
+            )
+
+
+def fuzz_ccdf(rng):
+    n = int(rng.integers(16, 1024))
+    nedges = int(rng.integers(4, 48))
+    x = np.abs(rng.standard_normal(n)).astype('float32') + 1e-6
+    edges = np.linspace(0, float(x.max()) * 1.1, nedges).astype('float32')
+    params = dict(n=n, nedges=nedges)
+    r = REF.power_analysis.sample_ccdf(x.copy(), edges)
+    g = OURS_PA.sample_ccdf(x.copy(), edges)
+    _agree('sample_ccdf', params, r, g, rtol=0, atol=1e-7)
+
+
+def fuzz_histogram_last_axis(rng):
+    rows = int(rng.integers(1, 9))
+    n = int(rng.integers(8, 256))
+    nbins = int(rng.integers(2, 40))
+    x = rng.standard_normal((rows, n)).astype('float32')
+    params = dict(rows=rows, n=n, nbins=nbins)
+    r_counts, r_edges = REF.power_analysis.histogram_last_axis(x, nbins)
+    g = OURS_PA.histogram_last_axis(x, nbins)
+    g_counts, g_edges = g if isinstance(g, tuple) else (g, r_edges)
+    _agree('histogram_last_axis[counts]', params, r_counts, g_counts, rtol=0, atol=0)
+    _agree('histogram_last_axis[edges]', params, r_edges, g_edges, rtol=1e-6)
+
+
+def fuzz_framing(rng):
+    n = int(rng.integers(8, 300))
+    size = int(rng.integers(1, 16))
+    m = max(size, (n // size) * size)
+    x = _iq(rng, m)
+    params = dict(m=m, size=size)
+    _agree(
+        'to_blocks', params,
+        REF.util.to_blocks(x, size), OURS.util.to_blocks(x, size),
+        rtol=0, atol=0,
+    )
+    wlen = int(rng.integers(1, max(2, m // 2)))
+    _agree(
+        'sliding_window_view', params,
+        REF.util.sliding_window_view(x, wlen, axis=0),
+        OURS.util.sliding_window_view(x, wlen, axis=0), rtol=0, atol=0,
+    )
+    lo = int(rng.integers(0, m // 2))
+    hi = int(rng.integers(lo + 1, m + 1))
+    _agree(
+        'axis_slice', params,
+        REF.util.axis_slice(x, lo, hi, axis=0),
+        OURS.util.axis_slice(x, lo, hi, axis=0), rtol=0, atol=0,
+    )
+    # 1-D only: multi-dim pad_along_axis broadcasts the pad to every
+    # axis in the reference (docs/PARITY.md bug list)
+    before, after = int(rng.integers(0, 9)), int(rng.integers(0, 9))
+    _agree(
+        'pad_along_axis', params,
+        REF.util.pad_along_axis(x, [(before, after)], axis=0),
+        OURS.util.pad_along_axis(x, [(before, after)], axis=0),
+        rtol=0, atol=0,
+    )
+
+
+def fuzz_design_cola(rng):
+    fs_base = float(rng.choice([122.88e6, 61.44e6, 30.72e6]))
+    fs_target = float(rng.choice([10e6, 15.36e6, 20e6, 7.68e6]))
+    bw = float(rng.choice([fs_target * 0.8, fs_target * 0.5]))
+    window = str(rng.choice(['hamming', 'blackman']))
+    params = dict(fs_base=fs_base, fs_target=fs_target, bw=bw, window=window)
+    kws = dict(fs_base=fs_base, fs_target=fs_target, bw=bw, window=window)
+    r = REF.fourier.design_cola_resampler(**kws)
+    g = OURS.fourier.design_cola_resampler(**kws)
+    for key in r:
+        rv, gv = r[key], g.get(key, '<missing>')
+        if isinstance(rv, float):
+            ok = isinstance(gv, (float, int)) and abs(rv - gv) <= 1e-9 * max(
+                abs(rv), 1.0
+            )
+        else:
+            ok = rv == gv
+        if not ok:
+            raise AssertionError(f'design_cola_resampler[{key}] {params}: {rv!r} vs {gv!r}')
+
+
+def fuzz_enbw(rng):
+    windows = ['hamming', 'hann', 'blackman', ('kaiser', 7.0)]
+    window = windows[int(rng.integers(0, len(windows)))]
+    n = int(rng.choice([128, 256, 1024]))
+    params = dict(window=window, n=n)
+    _agree(
+        'equivalent_noise_bandwidth', params,
+        REF.fourier.equivalent_noise_bandwidth(window, n),
+        OURS.fourier.equivalent_noise_bandwidth(window, n), rtol=1e-6,
+    )
+
+
+def fuzz_fftfreq(rng):
+    n = int(rng.integers(2, 512))
+    d = float(rng.uniform(1e-7, 1.0))
+    params = dict(n=n, d=d)
+    _agree('fftfreq', params, REF.fourier.fftfreq(n, d), OURS.fourier.fftfreq(n, d), rtol=1e-6)
+
+
+def fuzz_pss_sss(rng):
+    scs = float(rng.choice([15e3, 30e3]))
+    sample_rate = float(rng.choice([15.36e6, 30.72e6]))
+    shared = bool(rng.integers(0, 2))
+    params = dict(scs=scs, sample_rate=sample_rate, shared=shared)
+    rp = REF_OFDM.pss_params(
+        sample_rate=sample_rate, subcarrier_spacing=scs, shared_spectrum=shared
+    )
+    gp = OURS_OFDM.pss_params(
+        sample_rate=sample_rate, subcarrier_spacing=scs, shared_spectrum=shared
+    )
+    rd = rp._asdict()
+    gd = gp._asdict() if hasattr(gp, '_asdict') else dict(gp)
+    for key, rv in rd.items():
+        gv = gd.get(key, '<missing>')
+        same = (
+            np.allclose(rv, gv)
+            if isinstance(rv, (int, float, np.ndarray))
+            else rv == gv
+        )
+        if not same:
+            raise AssertionError(f'pss_params[{key}] {params}: {rv!r} vs {gv!r}')
+    r = REF_OFDM.pss_5g_nr(sample_rate, scs)
+    g = OURS_OFDM.pss_5g_nr(sample_rate, scs)
+    _agree('pss_5g_nr', params, r, g, rtol=1e-5)
+    r = REF_OFDM.sss_5g_nr(sample_rate, scs)
+    g = OURS_OFDM.sss_5g_nr(sample_rate, scs)
+    _agree('sss_5g_nr', params, r, g, rtol=1e-5)
+
+
+def fuzz_corr_at_indices(rng):
+    # reference corr_at_indices runs the numba source as pure python
+    # under the stub (slow) -> keep N small
+    nfft = int(rng.choice([32, 64]))
+    n = nfft * int(rng.integers(3, 6))
+    n_inds = int(rng.integers(2, 6))
+    inds = np.sort(rng.choice(n - 2 * nfft, size=n_inds, replace=False)).astype(
+        'int64'
+    )
+    x = _iq(rng, n)
+    norm = bool(rng.integers(0, 2))
+    params = dict(nfft=nfft, n=n, inds=inds.tolist(), norm=norm)
+    r = REF_OFDM.corr_at_indices(inds, x, nfft, norm=norm)
+    g = OURS_OFDM.corr_at_indices(inds, x, nfft, norm=norm)
+    _agree('corr_at_indices', params, r, g, rtol=2e-5)
+
+
+def fuzz_phy(rng):
+    scs = float(rng.choice([15e3, 30e3]))
+    bw = float(rng.choice([10e6, 15e6, 20e6]))
+    params = dict(scs=scs, bw=bw)
+    r = REF_OFDM.Phy3GPP(channel_bandwidth=bw, subcarrier_spacing=scs)
+    g = OURS_OFDM.Phy3GPP(channel_bandwidth=bw, subcarrier_spacing=scs)
+    for attr in (
+        'nfft', 'sample_rate', 'frame_duration', 'frame_size',
+        'contiguous_size', 'subcarriers',
+    ):
+        missing = object()
+        rv = getattr(r, attr, missing)
+        if rv is missing:  # not defined for this config in the reference
+            continue
+        gv = getattr(g, attr, '<missing>')
+        if not np.all(np.asarray(rv) == np.asarray(gv)):
+            raise AssertionError(f'Phy3GPP.{attr} {params}: {rv!r} vs {gv!r}')
+    for attr in ('cp_sizes', 'cp_start_idx', 'symbol_idx', 'cp_idx'):
+        rv = getattr(r, attr, None)
+        gv = getattr(g, attr, None)
+        if rv is not None:
+            _agree(
+                f'Phy3GPP.{attr}', params,
+                np.asarray(rv), np.asarray(gv), rtol=0, atol=0,
+            )
+
+
+def fuzz_extra_windows(rng):
+    M = int(rng.integers(8, 257))
+    sym = bool(rng.integers(0, 2))
+    alpha = float(rng.uniform(1.5, 8.0))
+    sigma_t = float(rng.uniform(0.1, 0.5))
+    params = dict(M=M, sym=sym, alpha=alpha, sigma_t=sigma_t)
+    for name, kws in [
+        ('knab', dict(alpha=alpha, sym=sym)),
+        ('cosh', dict(alpha=alpha, sym=sym)),
+        ('modified_bessel', dict(alpha=alpha, sym=sym)),
+        ('acg', dict(sigma_t=sigma_t, sym=sym)),
+    ]:
+        r = getattr(REF_WINDOWS, name)(M, **kws)
+        g = getattr(OURS_WINDOWS, name)(M, **kws)
+        _agree(f'windows.{name}', params, r, g, rtol=1e-6)
+
+
+def fuzz_ofdm_helpers(rng):
+    n = int(rng.integers(16, 256))
+    x = _iq(rng, n)
+    shift = float(rng.uniform(-0.5, 0.5))
+    params = dict(n=n, shift=shift)
+    _agree(
+        'subsample_shift', params,
+        REF_OFDM.subsample_shift(x.copy(), shift),
+        OURS_OFDM.subsample_shift(x.copy(), shift), rtol=1e-5,
+    )
+    ncols = int(rng.integers(1, 6))
+    a = _iq(rng, (n, ncols))
+    b = _iq(rng, (n, ncols))
+    _agree(
+        'correlate_along_axis', params,
+        REF_OFDM.correlate_along_axis(a, b, axis=0),
+        OURS_OFDM.correlate_along_axis(a, b, axis=0), rtol=1e-5,
+    )
+    ix = rng.integers(0, 100, size=int(rng.integers(1, 8)))
+    iy = rng.integers(0, 100, size=int(rng.integers(1, 8)))
+    _agree(
+        'indexsum2d', params,
+        REF_OFDM.indexsum2d(ix, iy), OURS_OFDM.indexsum2d(ix, iy),
+        rtol=0, atol=0,
+    )
+
+
+def fuzz_gamma_qq(rng):
+    """contract-level comparison of the (re-derived) GammaQQ tick
+    locator + formatter against the reference cluster.
+
+    Exact tick positions are NOT required to match — the candidate
+    generation was deliberately re-derived (VERDICT r2 #1) — but both
+    must honor the same contract: ticks inside the clamped view, sorted
+    unique, bounded count, 0.5 kept when visible, and identical labels
+    on the canonical preferred values. (The reference formatter rounds
+    0.95 to the label "0.9"; such lossy labels are excluded here and
+    not reproduced.)
+    """
+    import matplotlib
+
+    matplotlib.use('Agg', force=False)
+    import matplotlib.pyplot as plt
+
+    import iqwaveform.figures as rfig
+    import iqwaveform_tpu.figures as ofig
+
+    k = int(rng.choice([2, 4, 10, 16]))
+    nbins = int(rng.integers(6, 12))
+    vmin = float(rng.choice([1e-9, 1e-6, 1e-4, 0.01]))
+    vmax = 1.0 - float(rng.choice([1e-6, 1e-3, 0.01]))
+    params = dict(k=k, nbins=nbins, vmin=vmin, vmax=vmax)
+
+    def ticks_for(scale_cls):
+        fig, ax = plt.subplots()
+        try:
+            s = scale_cls(ax.xaxis, k=k, major_ticks=nbins)
+            loc = s._major_locator
+            loc.axis = ax.xaxis
+            ax.xaxis.set_view_interval(vmin, vmax, True)
+            ax.xaxis.set_data_interval(vmin, vmax, True)
+            return np.asarray(loc.tick_values(vmin, vmax))
+        finally:
+            plt.close(fig)
+
+    rt = ticks_for(rfig.GammaQQScale)
+    gt = ticks_for(ofig.GammaQQScale)
+    for name, t in [('ref', rt), ('ours', gt)]:
+        if not np.all(np.diff(t) > 0):
+            raise AssertionError(f'gamma-qq[{name}] {params}: unsorted ticks {t}')
+        if t.min() < vmin - 1e-12 or t.max() > vmax + 1e-12:
+            raise AssertionError(f'gamma-qq[{name}] {params}: ticks out of view {t}')
+    if len(gt) > nbins + 1:
+        raise AssertionError(f'gamma-qq {params}: {len(gt)} ticks > nbins+1')
+    if vmin < 0.5 < vmax and 0.5 in rt and 0.5 not in gt:
+        raise AssertionError(f'gamma-qq {params}: 0.5 visible but not kept: {gt}')
+
+    rfmt = rfig.GammaLogitFormatter(one_half='0.5')
+    gfmt = ofig.GammaLogitFormatter(one_half='0.5')
+    canonical = [0.5, 0.9, 0.99, 1e-2, 1e-4, 1e-7, 1 - 1e-3, 1 - 1e-5]
+    for v in canonical:
+        if rfmt(v) != gfmt(v):
+            raise AssertionError(
+                f'gamma-qq formatter({v}): {rfmt(v)!r} vs {gfmt(v)!r}'
+            )
+
+
+FUZZERS = [
+    fuzz_db_transforms,
+    fuzz_unit_transforms,
+    fuzz_stft,
+    fuzz_istft,
+    fuzz_spectrogram,
+    fuzz_psd,
+    fuzz_resample,
+    fuzz_ola_filter,
+    fuzz_upfirdn,
+    fuzz_bin_power,
+    fuzz_cyclic_power,
+    fuzz_ccdf,
+    fuzz_histogram_last_axis,
+    fuzz_framing,
+    fuzz_design_cola,
+    fuzz_enbw,
+    fuzz_fftfreq,
+    fuzz_pss_sss,
+    fuzz_corr_at_indices,
+    fuzz_phy,
+    fuzz_extra_windows,
+    fuzz_ofdm_helpers,
+    fuzz_gamma_qq,
+]
+
+
+def run(n_cases, seed, fuzzers=FUZZERS, max_failures=20):
+    failures = []
+    for i in range(n_cases):
+        for fz in fuzzers:
+            rng = np.random.default_rng(
+                seed * 1_000_003
+                + i * 997
+                + zlib.crc32(fz.__name__.encode()) % 65536
+            )
+            try:
+                fz(rng)
+            except AssertionError as err:
+                failures.append(f'[case {i}] {err}')
+                print(failures[-1], flush=True)
+            except Exception:
+                failures.append(
+                    f'[case {i}] {fz.__name__} CRASH:\n'
+                    + traceback.format_exc(limit=8)
+                )
+                print(failures[-1], flush=True)
+            if len(failures) >= max_failures:
+                return failures
+        if (i + 1) % 10 == 0:
+            print(f'{i + 1}/{n_cases} cases ok so far', flush=True)
+    return failures
+
+
+def main():
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    failures = run(n_cases, seed)
+    if failures:
+        print(f'{len(failures)} failures')
+        sys.exit(1)
+    print(
+        f'fuzz vs reference: {n_cases} cases x {len(FUZZERS)} fuzzers all passed'
+    )
+
+
+if __name__ == '__main__':
+    main()
