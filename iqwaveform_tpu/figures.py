@@ -91,7 +91,10 @@ _QQ_TAIL_DECADES = 12
 @lru_cache()
 def _quantile_ladder(qmin: float, qmax: float) -> tuple:
     """(value, rank) candidates inside [qmin, qmax], sorted by value."""
-    cands: dict[float, int] = {0.5: 0, 0.9: 0, 0.99: 0, 0.95: 1, 0.8: 1}
+    # the median is the anchor tick of a QQ axis: rank -1 so it survives
+    # any packing order (the reference keeps 0.5 at the head of its
+    # PREFER_TICKS for the same reason)
+    cands: dict[float, int] = {0.5: -1, 0.9: 0, 0.99: 0, 0.95: 1, 0.8: 1}
 
     # center grid: coarse 0.1 steps first, 0.05 infill at lower priority
     for step, rank in ((0.1, 1), (0.05, 2)):

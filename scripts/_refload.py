@@ -82,7 +82,7 @@ def install_stubs():
 
     if 'numexpr' not in sys.modules:
         ne = types.ModuleType('numexpr')
-        ne.__version__ = '2.10.0'
+        ne.__version__ = '2.11.0'
         ne.evaluate = _ne_evaluate
         ne.set_num_threads = lambda n: None
         ne.detect_number_of_cores = lambda: 1

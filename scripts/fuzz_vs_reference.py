@@ -512,6 +512,95 @@ def fuzz_ofdm_helpers(rng):
     )
 
 
+def fuzz_oaconvolve(rng):
+    hlen = int(rng.integers(2, 65))
+    n = int(rng.integers(max(hlen, 16), 1024))
+    mode = ['full', 'same', 'valid'][int(rng.integers(0, 3))]
+    cplx = bool(rng.integers(0, 2))
+    h = rng.standard_normal(hlen).astype('float32')
+    x = _iq(rng, n) if cplx else rng.standard_normal(n).astype('float32')
+    params = dict(hlen=hlen, n=n, mode=mode, cplx=cplx)
+    r = REF.fourier.oaconvolve(x, h, mode=mode)
+    g = OURS.fourier.oaconvolve(x, h, mode=mode)
+    _agree('oaconvolve', params, r, g, rtol=1e-5)
+
+
+def fuzz_oaresample(rng):
+    up, down = [(1, 2), (2, 3), (3, 4), (2, 1), (5, 4)][int(rng.integers(0, 5))]
+    nch = int(rng.integers(1, 4))
+    n = 256 * int(rng.integers(4, 17))
+    fs = 1e6
+    x = _iq(rng, (nch, n))
+    params = dict(up=up, down=down, nch=nch, n=n)
+    kws = dict(up=up, down=down, fs=fs, axis=1)
+    try:
+        r = REF.fourier.oaresample(x.copy(), **kws)
+    except ValueError:
+        # design-time rejection (COLA nfft parity); ours must reject too
+        try:
+            OURS.fourier.oaresample(x.copy(), **kws)
+        except ValueError:
+            return
+        raise AssertionError(f'oaresample {params}: reference raises, ours does not')
+    g = OURS.fourier.oaresample(x.copy(), **kws)
+    _agree('oaresample', params, r, g, rtol=2e-5)
+
+
+def fuzz_iq_to_stft_spectrogram(rng):
+    nfft = int(rng.choice([128, 256]))
+    n = nfft * int(rng.integers(3, 8))
+    Ts = float(rng.choice([1e-6, 0.5e-6]))
+    overlap = bool(rng.integers(0, 2))
+    x = _iq(rng, n)
+    params = dict(nfft=nfft, n=n, Ts=Ts, overlap=overlap)
+    r = REF.fourier.iq_to_stft_spectrogram(x, 'hamming', nfft, Ts, overlap=overlap)
+    g = OURS.fourier.iq_to_stft_spectrogram(x, 'hamming', nfft, Ts, overlap=overlap)
+    _agree('iq_to_stft_spectrogram', params, np.asarray(r), np.asarray(g), rtol=1e-5)
+    _agree('iq_to_stft_spectrogram[index]', params, r.index.values, g.index.values, rtol=1e-9)
+    _agree('iq_to_stft_spectrogram[columns]', params, r.columns.values, g.columns.values, rtol=1e-9)
+
+
+def fuzz_downsample_stft(rng):
+    nperseg = int(rng.choice([128, 256]))
+    n = nperseg * int(rng.integers(3, 8))
+    fs = 1e6
+    nfft_out = nperseg // int(rng.choice([2, 4]))
+    bw = float(rng.uniform(0.2, 0.8)) * fs * nfft_out / nperseg
+    x = _iq(rng, n)
+    params = dict(nperseg=nperseg, n=n, nfft_out=nfft_out, bw=bw)
+    f, _, Y = REF.fourier.stft(
+        x, fs=fs, window='hamming', nperseg=nperseg, noverlap=0
+    )
+    rf, rY = REF.fourier.downsample_stft(
+        f.copy(), Y.copy(), nfft_out=nfft_out, passband=(-bw / 2, bw / 2)
+    )
+    gf, gY = OURS.fourier.downsample_stft(
+        f.copy(), Y.copy(), nfft_out=nfft_out, passband=(-bw / 2, bw / 2)
+    )
+    _agree('downsample_stft[freqs]', params, rf, gf, rtol=1e-9)
+    _agree('downsample_stft', params, rY, gY, rtol=1e-6)
+
+
+def fuzz_stft_fir_lowpass(rng):
+    nperseg = int(rng.choice([128, 256]))
+    n = nperseg * int(rng.integers(3, 8))
+    fs = 1e6
+    bw = float(rng.uniform(0.2, 0.6)) * fs
+    tbw = float(rng.uniform(0.02, 0.1)) * fs
+    x = _iq(rng, n)
+    params = dict(nperseg=nperseg, n=n, bw=bw, tbw=tbw)
+    _, _, Y = REF.fourier.stft(
+        x, fs=fs, window='hamming', nperseg=nperseg, noverlap=0
+    )
+    r = REF.fourier.stft_fir_lowpass(
+        Y.copy(), sample_rate=fs, bandwidth=bw, transition_bandwidth=tbw
+    )
+    g = OURS.fourier.stft_fir_lowpass(
+        Y.copy(), sample_rate=fs, bandwidth=bw, transition_bandwidth=tbw
+    )
+    _agree('stft_fir_lowpass', params, r, g, rtol=1e-5)
+
+
 def fuzz_gamma_qq(rng):
     """contract-level comparison of the (re-derived) GammaQQ tick
     locator + formatter against the reference cluster.
@@ -595,6 +684,11 @@ FUZZERS = [
     fuzz_phy,
     fuzz_extra_windows,
     fuzz_ofdm_helpers,
+    fuzz_oaconvolve,
+    fuzz_oaresample,
+    fuzz_iq_to_stft_spectrogram,
+    fuzz_downsample_stft,
+    fuzz_stft_fir_lowpass,
     fuzz_gamma_qq,
 ]
 
