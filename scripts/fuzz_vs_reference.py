@@ -601,6 +601,124 @@ def fuzz_stft_fir_lowpass(rng):
     _agree('stft_fir_lowpass', params, r, g, rtol=1e-5)
 
 
+def fuzz_waveform_to_frame(rng):
+    import pandas as pd  # noqa: F401
+
+    n = int(rng.integers(16, 512))
+    ncol = int(rng.integers(1, 4))
+    Ts = float(rng.choice([1e-6, 0.5e-6]))
+    oned = bool(rng.integers(0, 2))
+    x = _iq(rng, n if oned else (n, ncol))
+    params = dict(n=n, ncol=ncol, Ts=Ts, oned=oned)
+    r = REF.io.waveform_to_frame(x, Ts=Ts)
+    g = OURS.io.waveform_to_frame(x, Ts=Ts)
+    _agree('waveform_to_frame', params, np.asarray(r), np.asarray(g), rtol=0, atol=0)
+    _agree('waveform_to_frame[index]', params, r.index.values, g.index.values, rtol=1e-9)
+    if r.index.name != g.index.name:
+        raise AssertionError(
+            f'waveform_to_frame index name {r.index.name!r} vs {g.index.name!r}'
+        )
+
+
+def fuzz_binned_mean(rng):
+    ndim = int(rng.integers(1, 3))
+    axis = int(rng.integers(0, ndim))
+    shape = [int(rng.integers(1, 4)) for _ in range(ndim)]
+    count = int(rng.integers(2, 17))
+    shape[axis] = count * int(rng.integers(2, 17))
+    x = rng.standard_normal(shape).astype('float32')
+    kws = dict(
+        axis=axis,
+        reject_extrema=bool(rng.integers(0, 2)),
+        fft=bool(rng.integers(0, 2)),
+    )
+    params = dict(shape=shape, count=count, **kws)
+    r = REF.util.binned_mean(x, count, **kws)
+    g = OURS.util.binned_mean(x, count, **kws)
+    _agree('binned_mean', params, r, g, rtol=1e-5)
+
+
+def fuzz_dblin(rng):
+    ndim = int(rng.integers(1, 3))
+    shape = [int(rng.integers(2, 33)) for _ in range(ndim)]
+    axis_choices = [None] + list(range(ndim))
+    axis = axis_choices[int(rng.integers(0, len(axis_choices)))]
+    x_dB = (10 * np.log10(rng.gamma(2.0, size=shape) + 1e-9)).astype('float32')
+    params = dict(shape=shape, axis=axis)
+    for fname in ('dBlinmean', 'dBlinsum'):
+        r = getattr(REF.power_analysis, fname)(x_dB.copy(), axis=axis)
+        g = getattr(OURS_PA, fname)(x_dB.copy(), axis=axis)
+        _agree(fname, params, r, g, rtol=1e-5)
+
+
+def fuzz_window_solver(rng):
+    window, lo, hi = [
+        ('kaiser', 1.2, 3.0), ('dpss', 1.2, 3.0), ('chebwin', 1.2, 2.2)
+    ][int(rng.integers(0, 3))]
+    enbw = float(rng.uniform(lo, hi))
+    nfft = int(rng.choice([512, 1024]))
+    params = dict(window=window, enbw=enbw, nfft=nfft)
+    try:
+        r = REF.fourier.find_window_param_from_enbw(window, enbw, nfft=nfft)
+    except ValueError:
+        # target outside the solver bracket: ours must reject too
+        try:
+            OURS.fourier.find_window_param_from_enbw(window, enbw, nfft=nfft)
+        except ValueError:
+            return
+        raise AssertionError(
+            f'find_window_param_from_enbw {params}: reference raises, ours does not'
+        )
+    g = OURS.fourier.find_window_param_from_enbw(window, enbw, nfft=nfft)
+    _agree('find_window_param_from_enbw', params, r, g, rtol=1e-5)
+
+
+def fuzz_power_histogram_along_axis(rng):
+    """our power_histogram_along_axis vs an oracle over the reference's
+    working histogram_last_axis.
+
+    The reference entry point itself crashes on every call (its
+    `.astype` on the (counts, edges) tuple, power_analysis.py:639 —
+    docs/PARITY.md), so the oracle rebuilds the intended reshape +
+    per-row histogram with the reference's own working internals.
+    """
+    import pandas as pd
+
+    res_axis = int(rng.integers(1, 5))
+    rows = int(rng.integers(2, 17))
+    nfreq = res_axis * int(rng.integers(2, 9)) + int(rng.integers(0, res_axis))
+    lo, hi = -30.0, 10.0
+    res_db = float(rng.choice([1.0, 2.0, 4.0]))
+    # linear power input; the entry point applies powtodB itself
+    x = rng.gamma(2.0, size=(rows, nfreq)).astype('float32') + 1e-9
+    pvt = pd.DataFrame(
+        x, index=np.arange(rows) * 1e-3, columns=np.linspace(-4, 4, nfreq)
+    )
+    params = dict(rows=rows, nfreq=nfreq, res_axis=res_axis, res_db=res_db)
+    g = OURS_PA.power_histogram_along_axis(
+        pvt, bounds=(lo, hi), resolution_db=res_db, resolution_axis=res_axis
+    )
+    # oracle: the reference flow with its two crashes repaired (axis=0
+    # transposes, powtodB, truncate, reshape, n_bins = 1 + range/res)
+    xT = 10 * np.log10(x.T)
+    n_groups = xT.shape[0] // res_axis
+    kept = xT[: n_groups * res_axis]
+    reshaped = kept.reshape(n_groups, res_axis * kept.shape[1])
+    n_bins = 1 + int((hi - lo) / res_db)
+    counts, _ = REF.power_analysis.histogram_last_axis(
+        reshaped.astype('float32'), n_bins, (lo, hi)
+    )
+    _agree(
+        'power_histogram_along_axis', params,
+        counts.astype('uint32'), np.asarray(g), rtol=0, atol=0,
+    )
+    edges = np.linspace(lo, hi, n_bins + 1)
+    _agree(
+        'power_histogram_along_axis[columns]', params,
+        (edges[:-1] + edges[1:]) / 2, g.columns.values, rtol=1e-9,
+    )
+
+
 def fuzz_gamma_qq(rng):
     """contract-level comparison of the (re-derived) GammaQQ tick
     locator + formatter against the reference cluster.
@@ -689,6 +807,11 @@ FUZZERS = [
     fuzz_iq_to_stft_spectrogram,
     fuzz_downsample_stft,
     fuzz_stft_fir_lowpass,
+    fuzz_waveform_to_frame,
+    fuzz_binned_mean,
+    fuzz_dblin,
+    fuzz_window_solver,
+    fuzz_power_histogram_along_axis,
     fuzz_gamma_qq,
 ]
 
