@@ -134,7 +134,34 @@ def install_stubs():
     sys.modules['numba.cuda'].jit = passthrough
     sys.modules['numba.cuda'].is_available = lambda: False
     sys.modules['methodtools'].lru_cache = lambda *a, **k: (lambda f: f)
-    sys.modules['sklearn.linear_model'].LinearRegression = object
+
+    class _LinearRegression:
+        """functional emulation of sklearn LinearRegression.fit with
+        sample weights (closed-form weighted least squares with
+        intercept) — enough for the reference clock-sync regression
+        (reference ofdm.py:947-949)."""
+
+        def fit(self, X, y, sample_weight=None):
+            X = np.asarray(X, dtype='float64')
+            y = np.asarray(y, dtype='float64')
+            if y.ndim == 1:
+                y = y[:, None]
+            w = (
+                np.ones(X.shape[0])
+                if sample_weight is None
+                else np.asarray(sample_weight, dtype='float64')
+            )
+            A = np.concatenate([X, np.ones((X.shape[0], 1))], axis=1)
+            Aw = A * w[:, None]
+            beta, *_ = np.linalg.lstsq(
+                np.sqrt(w)[:, None] * A, np.sqrt(w)[:, None] * y, rcond=None
+            )
+            del Aw
+            self.coef_ = beta[:-1].T  # (n_targets, n_features)
+            self.intercept_ = beta[-1]
+            return self
+
+    sys.modules['sklearn.linear_model'].LinearRegression = _LinearRegression
 
     # the reference's register_extra_windows (reference windows.py:119)
     # writes into scipy's legacy `_win_equiv` registry, removed in

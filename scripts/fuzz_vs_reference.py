@@ -719,6 +719,73 @@ def fuzz_power_histogram_along_axis(rng):
     )
 
 
+def _make_cp_waveform(phy, n_slots, rng):
+    """synthesize a waveform with the CP structure of ``phy``
+    (mirrors tests/test_ofdm.py make_cp_waveform)."""
+    cps = np.asarray(phy.cp_sizes)
+    wave = []
+    for _ in range(n_slots):
+        for i in range(len(cps)):
+            s = (
+                rng.standard_normal(phy.nfft)
+                + 1j * rng.standard_normal(phy.nfft)
+            ) / np.sqrt(2)
+            wave += [s[-cps[i]:], s]
+    return np.concatenate(wave).astype('complex64')
+
+
+def fuzz_symbol_decoder(rng):
+    bw = float(rng.choice([1.4e6, 5e6, 10e6]))
+    rdec = REF_OFDM.SymbolDecoder(channel_bandwidth=bw)
+    gdec = OURS_OFDM.SymbolDecoder(channel_bandwidth=bw)
+    phy = rdec.phy
+    nblk = int(rng.integers(3, 7))
+    n = nblk * 2 * phy.contiguous_size
+    x = _iq(rng, n)
+    # a strong power step makes the TTI-alignment argmax unambiguous
+    step = int(rng.integers(n // 4, 3 * n // 4))
+    x[step:] *= 4.0
+    params = dict(bw=bw, nblk=nblk, step=step)
+    r = rdec(x.copy())
+    g = gdec(x.copy())
+    _agree('SymbolDecoder', params, r, np.asarray(g), rtol=1e-5)
+
+
+def fuzz_clock_sync_estimate(rng):
+    """clock-mismatch estimation parity on identical input.
+
+    Output waveforms are not compared: both loops converge but may
+    apply the total correction through different per-pass resample
+    sequences (equally valid synchronized outputs that differ
+    sample-wise). The measured offsets per sync window and the
+    regression estimate ARE deterministic on the same input.
+    """
+    sub = int(rng.choice([4, 8]))
+    rs = REF_OFDM.BasebandClockSynchronizer(1.4e6, correlation_subframes=sub)
+    gs = OURS_OFDM.BasebandClockSynchronizer(1.4e6, correlation_subframes=sub)
+    phy = rs.phy
+    n_slots = int(rng.integers(40, 100))
+    slip = int(rng.integers(4, 25))
+    x = _make_cp_waveform(phy, n_slots, rng)
+    y = np.asarray(OURS.fourier.resample(x, x.size - slip))
+    params = dict(sub=sub, n_slots=n_slots, slip=slip)
+    import contextlib
+    import io as _io
+
+    with contextlib.redirect_stdout(_io.StringIO()):
+        # the reference prints progress lines from inside the estimator
+        r_off = np.asarray(rs._offset_by_sync_period(y.copy()))
+        r_slip, r_icpt = rs._estimate_clock_mismatch(y.copy())
+    g_off = np.asarray(gs._offset_by_sync_period(y.copy()))
+    _agree('clock_sync[offsets]', params, r_off, g_off, rtol=1e-4)
+    g_slip, g_icpt = gs._estimate_clock_mismatch(y.copy())
+    if int(r_slip) != int(g_slip):
+        raise AssertionError(
+            f'clock_sync[slip] {params}: {int(r_slip)} vs {int(g_slip)}'
+        )
+    _agree('clock_sync[intercept]', params, r_icpt, g_icpt, rtol=1e-3)
+
+
 def fuzz_gamma_qq(rng):
     """contract-level comparison of the (re-derived) GammaQQ tick
     locator + formatter against the reference cluster.
@@ -812,6 +879,8 @@ FUZZERS = [
     fuzz_dblin,
     fuzz_window_solver,
     fuzz_power_histogram_along_axis,
+    fuzz_symbol_decoder,
+    fuzz_clock_sync_estimate,
     fuzz_gamma_qq,
 ]
 
