@@ -719,6 +719,160 @@ def fuzz_power_histogram_along_axis(rng):
     )
 
 
+def fuzz_domain_binned_cyclic(rng):
+    """pre-binned-power cyclic statistics vs the TIME-domain result.
+
+    The reference's TIME_BINNED_POWER branch crashes (it reads `.ndim`
+    on the input dict, power_analysis.py:475 — docs/PARITY.md), so the
+    oracle is the reference's working TIME-domain path on the same raw
+    iq: mathematically the pre-binned call must reproduce it.
+    """
+    Ts = 1e-6
+    nbin = int(rng.integers(2, 9))
+    bins_per_cycle = int(rng.integers(2, 6))
+    cycles = int(rng.integers(2, 8))
+    n = nbin * bins_per_cycle * cycles
+    nch = bins_per_cycle * int(rng.integers(1, 3))
+    x = _iq(rng, (n, nch))
+    params = dict(nbin=nbin, bins_per_cycle=bins_per_cycle, cycles=cycles, nch=nch)
+    kws = dict(
+        Ts=Ts, detector_period=nbin * Ts,
+        cyclic_period=nbin * bins_per_cycle * Ts,
+    )
+    oracle = REF.power_analysis.iq_to_cyclic_power(x, **kws)
+    binned = {
+        d: OURS_PA.iq_to_bin_power(x, Ts=Ts, Tbin=nbin * Ts, kind=d)
+        for d in ('rms', 'peak')
+    }
+    with OURS.util.set_input_domain('time_binned_power'):
+        got = OURS_PA.iq_to_cyclic_power(binned, **kws)
+    for det in oracle:
+        for stat in oracle[det]:
+            _agree(
+                f'cyclic_binned[{det}][{stat}]', params,
+                oracle[det][stat], got[det][stat], rtol=1e-5,
+            )
+
+
+def fuzz_phy802_16(rng):
+    bw = float(rng.choice([5e6, 7e6, 10e6, 20e6]))
+    params = dict(bw=bw)
+    try:
+        r = REF_OFDM.Phy802_16(channel_bandwidth=bw)
+    except (ValueError, KeyError):
+        try:
+            OURS_OFDM.Phy802_16(channel_bandwidth=bw)
+        except (ValueError, KeyError):
+            return
+        raise AssertionError(f'Phy802_16 {params}: reference rejects, ours does not')
+    g = OURS_OFDM.Phy802_16(channel_bandwidth=bw)
+    for attr in (
+        'nfft', 'sample_rate', 'frame_duration', 'frame_size',
+        'contiguous_size', 'sampling_factor', 'cp_ratio',
+        'symbols_per_frame',
+    ):
+        missing = object()
+        rv = getattr(r, attr, missing)
+        if rv is missing:
+            continue
+        gv = getattr(g, attr, '<missing>')
+        if not np.all(np.asarray(rv) == np.asarray(gv)):
+            raise AssertionError(f'Phy802_16.{attr} {params}: {rv!r} vs {gv!r}')
+    for attr in ('cp_sizes', 'cp_start_idx', 'symbol_idx', 'cp_idx'):
+        rv = getattr(r, attr, None)
+        if rv is not None:
+            _agree(
+                f'Phy802_16.{attr}', params,
+                np.asarray(rv), np.asarray(getattr(g, attr)), rtol=0, atol=0,
+            )
+
+
+def fuzz_util_helpers(rng):
+    n = int(rng.integers(3, 200))
+    d = int(rng.integers(1, 20))
+    params = dict(n=n, d=d)
+    if REF.util.ceildiv(n, d) != OURS.util.ceildiv(n, d):
+        raise AssertionError(f'ceildiv {params}')
+    val = float(rng.uniform(0, 50))
+    div = float(rng.choice([0.5, 1.0, 2.5, 3.0]))
+    r = REF.util.isroundmod(val, div)
+    g = OURS.util.isroundmod(val, div)
+    if bool(r) != bool(g):
+        raise AssertionError(f'isroundmod({val}, {div}): {r} vs {g}')
+    for v in (val, round(val / div) * div):
+        r = REF_OFDM.isclosetoint(v)
+        g = OURS_OFDM.isclosetoint(v)
+        if bool(np.all(r == g)) is False:
+            raise AssertionError(f'isclosetoint({v}): {r} vs {g}')
+    for dt in ('float32', 'float64', 'complex64', 'complex128'):
+        x = np.zeros(2, dt)
+        if REF.util.float_dtype_like(x) != OURS.util.float_dtype_like(x):
+            raise AssertionError(f'float_dtype_like({dt})')
+    # broadcast_onto / axis_index
+    ndim = int(rng.integers(2, 4))
+    shape = [int(rng.integers(2, 5)) for _ in range(ndim)]
+    axis = int(rng.integers(0, ndim))
+    big = rng.standard_normal(shape).astype('float32')
+    vec = rng.standard_normal(shape[axis]).astype('float32')
+    _agree(
+        'broadcast_onto', params,
+        np.broadcast_to(REF.fourier.broadcast_onto(vec, big, axis=axis), shape),
+        np.broadcast_to(OURS.fourier.broadcast_onto(vec, big, axis=axis), shape),
+        rtol=0, atol=0,
+    )
+    mask = rng.integers(0, 2, size=shape[axis]).astype(bool)
+    _agree(
+        'axis_index', params,
+        REF.util.axis_index(big, mask, axis=axis),
+        OURS.util.axis_index(big, mask, axis=axis), rtol=0, atol=0,
+    )
+    # grouped views: identical ordered partition (axis 0 stays whole;
+    # the other axes are split to bound view size)
+    x2 = rng.standard_normal((int(rng.integers(2, 9)), 24)).astype('float32')
+    max_size = int(rng.choice([48, 64, 96]))
+    rparts = [np.asarray(v) for v in REF.util.grouped_views_along_axis(x2, max_size)]
+    gparts = [np.asarray(v) for v in OURS.util.grouped_views_along_axis(x2, max_size)]
+    if len(rparts) != len(gparts):
+        raise AssertionError(
+            f'grouped_views_along_axis {params}: {len(rparts)} vs {len(gparts)} views'
+        )
+    for i, (rp, gp) in enumerate(zip(rparts, gparts)):
+        _agree(f'grouped_views_along_axis[{i}]', params, rp, gp, rtol=0, atol=0)
+
+
+def fuzz_fft_wrappers(rng):
+    ndim = int(rng.integers(1, 3))
+    axis = int(rng.integers(0, ndim))
+    shape = [int(rng.integers(1, 4)) for _ in range(ndim)]
+    shape[axis] = int(rng.choice([64, 128, 257]))
+    x = _iq(rng, shape)
+    params = dict(shape=shape, axis=axis)
+    _agree('fft', params, REF.fourier.fft(x.copy(), axis=axis),
+           OURS.fourier.fft(x.copy(), axis=axis), rtol=1e-5)
+    _agree('ifft', params, REF.fourier.ifft(x.copy(), axis=axis),
+           OURS.fourier.ifft(x.copy(), axis=axis), rtol=1e-5)
+    if ndim == 1:
+        Ts = float(rng.choice([1e-6, 2e-6]))
+        r = REF.fourier.time_to_frequency(x.copy(), Ts)
+        g = OURS.fourier.time_to_frequency(x.copy(), Ts)
+        r = r[-1] if isinstance(r, tuple) else r
+        g = g[-1] if isinstance(g, tuple) else g
+        _agree('time_to_frequency', params, r, g, rtol=1e-5)
+
+
+def fuzz_call_by_block(rng):
+    size = int(rng.integers(2, 17))
+    n = size * int(rng.integers(2, 17))
+    x = _iq(rng, n)
+    params = dict(size=size, n=n)
+    fn = lambda v: v * 2.0  # noqa: E731
+    _agree(
+        'call_by_block', params,
+        REF_OFDM.call_by_block(fn, x.copy(), size),
+        OURS_OFDM.call_by_block(fn, x.copy(), size), rtol=0, atol=0,
+    )
+
+
 def _make_cp_waveform(phy, n_slots, rng):
     """synthesize a waveform with the CP structure of ``phy``
     (mirrors tests/test_ofdm.py make_cp_waveform)."""
@@ -881,6 +1035,11 @@ FUZZERS = [
     fuzz_power_histogram_along_axis,
     fuzz_symbol_decoder,
     fuzz_clock_sync_estimate,
+    fuzz_domain_binned_cyclic,
+    fuzz_phy802_16,
+    fuzz_util_helpers,
+    fuzz_fft_wrappers,
+    fuzz_call_by_block,
     fuzz_gamma_qq,
 ]
 
