@@ -152,11 +152,9 @@ def install_stubs():
                 else np.asarray(sample_weight, dtype='float64')
             )
             A = np.concatenate([X, np.ones((X.shape[0], 1))], axis=1)
-            Aw = A * w[:, None]
             beta, *_ = np.linalg.lstsq(
                 np.sqrt(w)[:, None] * A, np.sqrt(w)[:, None] * y, rcond=None
             )
-            del Aw
             self.coef_ = beta[:-1].T  # (n_targets, n_features)
             self.intercept_ = beta[-1]
             return self
