@@ -368,6 +368,147 @@ def fuzz_cyclic_power(rng):
             )
 
 
+_MESH = None
+
+
+def _mesh():
+    global _MESH
+    if _MESH is None:
+        from iqwaveform_tpu import parallel
+
+        _MESH = parallel.time_mesh(8)
+    return _MESH
+
+
+def fuzz_streaming_persistence(rng):
+    """streaming scan fold vs the one-shot spectrogram statistics."""
+    from iqwaveform_tpu import fourier, parallel
+
+    fs = 1e6
+    nfft = int(rng.choice([64, 128, 256]))
+    chunk_frames = int(rng.choice([16, 32]))
+    nchunks = int(rng.integers(2, 5))
+    n = nfft * chunk_frames * nchunks
+    hist_bins = int(rng.choice([1024, 2048]))
+    q = float(rng.choice([0.25, 0.5, 0.9]))
+    window = str(rng.choice(['hann', 'hamming']))
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    params = dict(
+        nfft=nfft, chunk_frames=chunk_frames, nchunks=nchunks,
+        hist_bins=hist_bins, q=q, window=window,
+    )
+    res = parallel.streaming_persistence_spectrum(
+        jnp.asarray(x), fs=fs, window=window, nfft=nfft,
+        chunk_frames=chunk_frames, quantiles=(q,), hist_bins=hist_bins,
+    )
+    _, _, spg = fourier.spectrogram(x, fs=fs, window=window, nperseg=nfft)
+    spg_dB = 10 * np.log10(np.asarray(spg) + 1e-25)
+    _agree('streaming[mean_dB]', params, spg_dB.mean(axis=0), res['mean_dB'], rtol=2e-4)
+    _agree('streaming[max_dB]', params, spg_dB.max(axis=0), res['max_dB'], rtol=2e-5)
+    # histogram inversion picks a bin edge between the bracketing order
+    # statistics; np.quantile interpolates. At low frame counts the gap
+    # between adjacent order statistics dwarfs the bin width, so bound
+    # with the exact lower/higher order-statistic envelope +- one bin.
+    bw = float(res['hist_edges_dB'][1] - res['hist_edges_dB'][0])
+    lo_env = np.quantile(spg_dB, q, axis=0, method='lower') - bw
+    hi_env = np.quantile(spg_dB, q, axis=0, method='higher') + bw
+    got_q = np.asarray(res['quantiles_dB'])[0]
+    bad = (got_q < lo_env) | (got_q > hi_env)
+    if bad.any():
+        worst = np.maximum(lo_env - got_q, got_q - hi_env).max()
+        raise AssertionError(
+            f'streaming[quantile] {params}: {bad.sum()} bins outside the '
+            f'order-statistic envelope (worst {worst:.3f} dB)'
+        )
+
+
+def fuzz_streaming_apd(rng):
+    from iqwaveform_tpu import parallel
+
+    navg = int(rng.choice([1, 4, 16]))
+    chunk = navg * int(rng.choice([256, 512]))
+    n = chunk * int(rng.integers(2, 6)) + navg * int(rng.integers(0, 32))
+    nedges = int(rng.integers(8, 128))
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    p = (np.abs(x) ** 2).astype('float32')
+    p_det = p[: (n // navg) * navg].reshape(-1, navg).mean(axis=1)
+    edges = np.linspace(0, float(p.max()) * 1.01, nedges).astype('float32')
+    params = dict(navg=navg, chunk=chunk, n=n, nedges=nedges)
+    counts = np.asarray(
+        parallel.streaming_apd(
+            jnp.asarray(x), edges=edges, chunk_size=chunk, navg=navg
+        )
+    )
+    expected = np.bincount(
+        np.searchsorted(edges, p_det, side='left'), minlength=nedges + 1
+    )
+    if counts.sum() != expected.sum():
+        raise AssertionError(f'streaming_apd {params}: totals differ')
+    cum = np.abs(np.cumsum(counts) - np.cumsum(expected)).max()
+    if cum > 1:
+        raise AssertionError(f'streaming_apd {params}: cum delta {cum}')
+
+
+def fuzz_sharded_stft(rng):
+    from iqwaveform_tpu import fourier, parallel
+
+    nperseg = int(rng.choice([128, 256]))
+    overlap = bool(rng.integers(0, 2))
+    noverlap = nperseg // 2 if overlap else 0
+    hop = nperseg - noverlap
+    n = 8 * hop * int(rng.integers(8, 33))
+    window = str(rng.choice(['hamming', 'hann']))
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    params = dict(nperseg=nperseg, noverlap=noverlap, n=n, window=window)
+    xs = parallel.shard_time_axis(jnp.asarray(x), _mesh())
+    Ys = parallel.sharded_stft(
+        xs, mesh=_mesh(), window=window, nperseg=nperseg, noverlap=noverlap
+    )
+    x_ext = np.concatenate([x, np.zeros(noverlap, x.dtype)]) if noverlap else x
+    Y = fourier.stft(
+        x_ext, fs=1e6, window=window, nperseg=nperseg, noverlap=noverlap,
+        return_axis_arrays=False,
+    )
+    _agree('sharded_stft', params, np.asarray(Y), np.asarray(Ys), rtol=1e-5)
+
+
+def fuzz_sharded_channelize(rng):
+    from iqwaveform_tpu import fourier, parallel
+
+    fs = 1e6
+    nch = int(rng.choice([2, 4, 8]))
+    fft_per_ch = int(rng.choice([64, 128]))
+    overlap = int(rng.choice([0, fft_per_ch // 2]))
+    bins = fft_per_ch - 2 * int(rng.integers(0, fft_per_ch // 8))
+    hop = (fft_per_ch - overlap) * nch
+    n = 8 * hop * int(rng.integers(4, 9))
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    params = dict(nch=nch, fft_per_ch=fft_per_ch, overlap=overlap, bins=bins, n=n)
+    xs = parallel.shard_time_axis(jnp.asarray(x), _mesh())
+    power_s = parallel.sharded_channelize_power(
+        xs, mesh=_mesh(), Ts=1 / fs, fft_size_per_channel=fft_per_ch,
+        analysis_bins_per_channel=bins, window='hann',
+        fft_overlap_per_channel=overlap, channel_count=nch,
+    )
+    x_ext = (
+        np.concatenate([x, np.zeros(overlap * nch, x.dtype)]) if overlap else x
+    )
+    _, _, power = fourier.channelize_power(
+        x_ext, 1 / fs, fft_per_ch, analysis_bins_per_channel=bins,
+        window='hann', fft_overlap_per_channel=overlap, channel_count=nch,
+    )
+    power = np.asarray(power)[: np.asarray(power_s).shape[0]]
+    _agree('sharded_channelize', params, power, np.asarray(power_s), rtol=1e-4)
+
+
 FUZZERS = [
     fuzz_stft,
     fuzz_resample,
@@ -382,6 +523,10 @@ FUZZERS = [
     fuzz_psd,
     fuzz_channelize,
     fuzz_cyclic_power,
+    fuzz_streaming_persistence,
+    fuzz_streaming_apd,
+    fuzz_sharded_stft,
+    fuzz_sharded_channelize,
 ]
 
 
