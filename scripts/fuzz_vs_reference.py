@@ -940,6 +940,90 @@ def fuzz_clock_sync_estimate(rng):
     _agree('clock_sync[intercept]', params, r_icpt, g_icpt, rtol=1e-3)
 
 
+def fuzz_read_sigmf(rng):
+    """file-level SigMF read parity on synthesized capture sets.
+
+    Capture starts are kept sorted (the reference silently corrupts
+    out-of-order metadata — docs/PARITY.md) and read_sigmf_to_df is
+    checked on our side only (the reference's crashes on every call:
+    3-tuple unpack of a 4-tuple return, io.py:102).
+    """
+    import json
+    import os
+    import tempfile
+
+    n_caps = int(rng.integers(1, 5))
+    seg = int(rng.integers(100, 2000))
+    n = seg * n_caps
+    fs = float(rng.choice([1e6, 10e6, 122.88e6]))
+    gain_dB = float(rng.choice([0.0, 10.0, 23.0]))
+    with_cal = bool(rng.integers(0, 2))
+    x = _iq(rng, n)
+    params = dict(n_caps=n_caps, seg=seg, fs=fs, with_cal=with_cal, gain_dB=gain_dB)
+
+    meta = {
+        'global': {'core:sample_rate': fs},
+        'captures': [
+            {
+                'core:sample_start': i * seg,
+                'core:frequency': 1e9 + i * 1e8,
+                'core:datetime': f't{i}',
+            }
+            for i in range(n_caps)
+        ],
+        'annotations': (
+            [
+                {
+                    'ntia-core:annotation_type': 'CalibrationAnnotation',
+                    'ntia-sensor:temperature': 21.5,
+                    'ntia-sensor:noise_figure_sensor': 7.0,
+                    'ntia-sensor:gain_preselector': gain_dB,
+                }
+            ]
+            if with_cal
+            else []
+        ),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        mp = os.path.join(d, 'cap.sigmf-meta')
+        with open(mp, 'w') as fd:
+            json.dump(meta, fd)
+        np.save(os.path.join(d, 'cap.sigmf-data.npy'), x)
+
+        import contextlib
+        import io as _io
+
+        with contextlib.redirect_stdout(_io.StringIO()):
+            r_split, r_freqs, r_Ts, r_cal = REF.io.read_sigmf(
+                mp, ntia_extensions=with_cal
+            )
+        g_split, g_freqs, g_Ts, g_cal = OURS.io.read_sigmf(
+            mp, ntia_extensions=with_cal
+        )
+        if len(r_split) != len(g_split):
+            raise AssertionError(
+                f'read_sigmf {params}: {len(r_split)} vs {len(g_split)} segments'
+            )
+        for i, (rs, gs) in enumerate(zip(r_split, g_split)):
+            _agree(f'read_sigmf[seg {i}]', params, rs, gs, rtol=1e-7)
+        _agree('read_sigmf[freqs]', params, r_freqs, np.asarray(g_freqs), rtol=0, atol=0)
+        if r_Ts != g_Ts:
+            raise AssertionError(f'read_sigmf[Ts] {params}: {r_Ts} vs {g_Ts}')
+        for key, rv in r_cal.items():
+            gv = g_cal.get(key, '<missing>')
+            if not (rv == gv or (rv is None and gv is None)):
+                raise AssertionError(f'read_sigmf[cal {key}] {params}: {rv} vs {gv}')
+        if not with_cal:
+            # read_sigmf_to_df has no ntia flag (reference signature);
+            # compare only the un-calibrated payload path
+            df = OURS.io.read_sigmf_to_df(mp)
+            _agree(
+                'read_sigmf_to_df[values]', params,
+                np.stack([np.asarray(s) for s in r_split]).T, np.asarray(df),
+                rtol=1e-7,
+            )
+
+
 def fuzz_gamma_qq(rng):
     """contract-level comparison of the (re-derived) GammaQQ tick
     locator + formatter against the reference cluster.
@@ -1040,6 +1124,7 @@ FUZZERS = [
     fuzz_util_helpers,
     fuzz_fft_wrappers,
     fuzz_call_by_block,
+    fuzz_read_sigmf,
     fuzz_gamma_qq,
 ]
 
