@@ -736,7 +736,14 @@ class Phy3GPP(PhyOFDM):
             )
 
         if sample_rate is None:
-            sample_rate = self.BW_TO_SAMPLE_RATE[channel_bandwidth]
+            try:
+                sample_rate = self.BW_TO_SAMPLE_RATE[channel_bandwidth]
+            except KeyError:
+                raise ValueError(
+                    f'channel bandwidth {channel_bandwidth} is not one of '
+                    f'{sorted(self.BW_TO_SAMPLE_RATE)} (pass sample_rate= '
+                    'explicitly for a non-standard bandwidth)'
+                ) from None
         if not isroundmod(sample_rate, subcarrier_spacing):
             raise ValueError(
                 'sample_rate must be an integer multiple of the subcarrier '

@@ -189,6 +189,11 @@ def design_cola_resampler(
     Returns:
         ResamplerDesign kwargs splattable into ola_filter
     """
+    if fs_base <= 0 or fs_target <= 0:
+        raise ValueError(
+            f'sample rates must be positive (fs_base={fs_base}, '
+            f'fs_target={fs_target})'
+        )
     sign = _shift_sign(shift)
     if sign != 0 and bw == INF:
         raise ValueError(
@@ -655,6 +660,11 @@ def resample(
         raise ValueError(
             f"Acceptable domain flags are 'time' or 'freq', not domain={domain}"
         )
+
+    if num < 1:
+        raise ValueError(f'resample size must be a positive integer, not {num}')
+    if x.shape[axis] == 0:
+        raise ValueError('resample input is empty along the resampled axis')
 
     if x.shape[axis] == num:
         return x

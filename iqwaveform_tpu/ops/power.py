@@ -310,6 +310,12 @@ def iq_to_bin_power(
         raise ValueError(
             f'bin period ({Tbin} s) must be multiple of waveform sample period ({Ts})'
         )
+    if N < 1:
+        raise ValueError(
+            f'bin period ({Tbin} s) must cover at least one sample period ({Ts} s)'
+        )
+    if iq.size == 0:
+        raise ValueError('iq_to_bin_power input is empty')
 
     if randomize:
         if axis != 0:

@@ -105,6 +105,18 @@ def _gather_frames(x, nperseg: int, noverlap: int, axis: int):
     return frames.reshape(shape_frames)
 
 
+def _window_dtype_like(w, x, xp):
+    """cast the (possibly fftshift-baked) window toward x's dtype without
+    corrupting it: for odd nfft the baked fftshift ramp is complex, and
+    the reference casts it to a real input's dtype, silently zeroing the
+    shift's imaginary part (reference fourier.py:1026 — docs/PARITY.md).
+    Keep the complex window intact and let the multiply promote; the
+    stft output is complex after the FFT either way."""
+    if xp.iscomplexobj(w) and not xp.iscomplexobj(x):
+        return w
+    return w.astype(x.dtype)
+
+
 def _stack_stft_windows(x, window, nperseg: int, noverlap: int, norm=None, axis=0, out=None):
     """overlapping windowed frames (reference fourier.py:545-581).
 
@@ -126,7 +138,7 @@ def _stack_stft_windows(x, window, nperseg: int, noverlap: int, norm=None, axis=
         )
 
     w = broadcast_onto(window / scale, xstacked, axis=axis + 1)
-    return xstacked * w.astype(xstacked.dtype)
+    return xstacked * _window_dtype_like(w, xstacked, xp)
 
 
 def _unstack_stft_windows(y, noverlap: int, nperseg: int, axis=0, out=None, extra=0):
@@ -206,6 +218,15 @@ def stft(
 
     nfft = nperseg
 
+    if nperseg < 1:
+        raise ValueError(f'nperseg must be a positive integer, not {nperseg}')
+    if x.size == 0:
+        raise ValueError('stft input is empty')
+    if not 0 <= noverlap < nperseg:
+        raise ValueError(
+            f'noverlap ({noverlap}) must be in [0, nperseg) = [0, {nperseg})'
+        )
+
     if norm not in ('power', None):
         raise TypeError('norm must be "power" or None')
 
@@ -243,7 +264,7 @@ def stft(
         # special case for speed (reference fourier.py:1016-1028)
         xstack = to_blocks(x, nfft, axis=axis, truncate=truncate)
         wstack = broadcast_onto(w / nfft, xstack, axis=axis + 1)
-        xstack = xstack * wstack.astype(xstack.dtype)
+        xstack = xstack * _window_dtype_like(wstack, xstack, xp)
     else:
         xstack = _stack_stft_windows(
             x,

@@ -56,6 +56,8 @@ def to_blocks(y, size: int, truncate: bool = False, axis: int = 0):
     """
     if not isinstance(size, (int, np.integer)):
         raise TypeError('block size must be integer')
+    if size < 1:
+        raise ValueError(f'block size must be a positive integer, not {size}')
     if y.size == 0:
         raise IndexError('cannot form blocks on arrays of size 0')
 
@@ -235,6 +237,13 @@ def binned_mean(x, count, *, axis=0, truncate=True, reject_extrema=False, fft=Tr
         fft: if True, bins align with fft bins (centered, instead of left side)
     """
     xp = array_namespace(x)
+    if not isinstance(count, (int, np.integer)) or count < 1:
+        raise ValueError(f'bin count must be a positive integer, not {count}')
+    if x.size == 0 or x.shape[axis] < count:
+        raise ValueError(
+            f'binned_mean needs at least count={count} samples along the '
+            f'axis, got {x.shape[axis] if x.ndim else 0}'
+        )
 
     if not truncate:
         pass
