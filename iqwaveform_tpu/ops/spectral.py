@@ -152,6 +152,12 @@ def power_spectral_density(
         else:
             spg = power_analysis.envtopow(X)
 
+    if spg.shape[axis] == 0:
+        raise ValueError(
+            'no whole FFT frames fit the input (input shorter than '
+            'sample_rate/resolution samples)'
+        )
+
     isquantile = find_float_inds(tuple(statistics))
     quantiles = [float(s) for s, q in zip(statistics, isquantile) if q]
 

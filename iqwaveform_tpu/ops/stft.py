@@ -306,6 +306,18 @@ def istft(
     """reconstruct a waveform from its STFT (reference fourier.py:1060-1104)."""
     xp = array_namespace(y)
 
+    frame_axis = axis if axis >= 0 else axis + y.ndim
+    if y.ndim < frame_axis + 2:
+        raise ValueError(
+            f'istft input must have an fft axis after axis={axis}: '
+            f'expected >= {frame_axis + 2} dims, got shape {y.shape}'
+        )
+    if y.shape[frame_axis + 1] != nfft:
+        raise ValueError(
+            f'istft fft axis has size {y.shape[frame_axis + 1]}, expected '
+            f'nfft={nfft}'
+        )
+
     xstack = ifft(y, axis=axis + 1, backend=fft_backend)
 
     # correct the fft shift in the time domain (host-cached window; see

@@ -81,6 +81,8 @@ def find_float_inds(seq: tuple) -> list[bool]:
 def isroundmod(value, div, atol=1e-6) -> bool:
     """tolerant divisibility test used by every rate-design function
     (reference util.py:136-141). Accepts scalars or arrays."""
+    if np.ndim(div) == 0 and div == 0:
+        raise ValueError('isroundmod divisor must be nonzero')
     ratio = value / div
     try:
         return abs(math.remainder(ratio, 1)) <= atol

@@ -235,6 +235,126 @@ def fuzz_ofdm_ops(rng):
             _call(ofdm.corr_at_indices, inds, x, nfft)
 
 
+def fuzz_istft_ops(rng):
+    x = _adversarial_array(rng)
+    nfft = int(rng.choice([0, 2, 64, 127, 128]))
+    noverlap = int(rng.choice([0, 1, nfft // 2 if nfft else 0]))
+    _call(iqt.fourier.istft, x, nfft=nfft, noverlap=noverlap)
+
+
+def fuzz_spectral_ops(rng):
+    x = _adversarial_array(rng)
+    fs = 1e6
+    _call(
+        iqt.fourier.power_spectral_density,
+        x,
+        fs=fs,
+        window='hann',
+        resolution=float(rng.choice([fs / 64, fs / 127, fs / 3.5, 0.0])),
+        statistics=[s for s in ('mean', 0.5, 'max')][: int(rng.integers(0, 4))],
+    )
+    _call(
+        iqt.fourier.channelize_power,
+        x,
+        1 / fs,
+        int(rng.choice([0, 2, 32, 64])),
+        analysis_bins_per_channel=int(rng.choice([0, 16, 32, 100])),
+        window='hamming',
+        channel_count=int(rng.choice([0, 1, 4])),
+    )
+    f, Y = None, None
+    if x.ndim == 2 and x.size and np.iscomplexobj(x):
+        f = np.linspace(-fs / 2, fs / 2, x.shape[1], endpoint=False)
+        _call(
+            iqt.fourier.downsample_stft,
+            f, x, nfft_out=int(rng.choice([0, 1, x.shape[1] // 2 or 1])),
+            passband=(-fs / 4, fs / 4),
+        )
+
+
+def fuzz_oa_ops(rng):
+    x = _adversarial_array(rng)
+    h = rng.standard_normal(int(rng.choice([0, 1, 9]))).astype('float32')
+    _call(
+        iqt.fourier.oaconvolve, x, h,
+        mode=str(rng.choice(['full', 'same', 'valid', 'bogus'])),
+    )
+    if x.ndim == 2:
+        _call(
+            iqt.fourier.oaresample, x,
+            up=int(rng.integers(0, 4)), down=int(rng.integers(0, 4)),
+            fs=1e6, axis=1,
+        )
+
+
+def fuzz_monitor_design(rng):
+    from iqwaveform_tpu.models import design_wideband_monitor
+
+    _call(
+        design_wideband_monitor,
+        float(rng.choice([122.88e6, 1e6, 0.0])),
+        float(rng.choice([61.44e6, 10e6, -1.0])),
+        bw=float(rng.choice([40e6, 1e5, 0.0])),
+        channel_count=int(rng.choice([0, 1, 16])),
+        fft_size_per_channel=int(rng.choice([0, 8, 256])),
+        window=str(rng.choice(['hamming', 'blackman'])),
+        apd_bins=int(rng.choice([0, 2, 2048])),
+    )
+
+
+def fuzz_streaming_ops(rng):
+    from iqwaveform_tpu import parallel
+
+    x = _adversarial_array(rng)
+    if x.ndim != 1:
+        return
+    edges = np.linspace(0, 1, int(rng.choice([0, 1, 2, 33]))).astype('float32')
+    _call(
+        parallel.streaming_apd,
+        x,
+        edges=edges,
+        chunk_size=int(rng.choice([0, 1, 100, 8192])),
+        navg=int(rng.choice([0, 1, 7])),
+    )
+
+
+def fuzz_io_ops(rng):
+    import json
+    import os
+    import tempfile
+
+    x = _adversarial_array(rng)
+    _call(iqt.io.waveform_to_frame, x, Ts=float(rng.choice([1e-6, 0.0])))
+
+    # malformed metadata: missing keys, empty captures, bad payload size
+    variant = int(rng.integers(0, 4))
+    meta = {
+        'global': {'core:sample_rate': 1e6},
+        'captures': [
+            {'core:sample_start': 0, 'core:frequency': 1e9, 'core:datetime': 't'}
+        ],
+        'annotations': [],
+    }
+    if variant == 1:
+        meta['captures'] = []
+    elif variant == 2:
+        del meta['global']['core:sample_rate']
+    elif variant == 3:
+        del meta['captures'][0]['core:frequency']
+    with tempfile.TemporaryDirectory() as d:
+        mp = os.path.join(d, 'cap.sigmf-meta')
+        with open(mp, 'w') as fd:
+            json.dump(meta, fd)
+        np.save(
+            os.path.join(d, 'cap.sigmf-data.npy'),
+            np.zeros(int(rng.choice([0, 8])), 'complex64'),
+        )
+        # missing keys are metadata-format errors: KeyError is the
+        # documented-enough outcome for malformed files; crashes we
+        # reject are the unbound/zero-division classes
+        _call(iqt.io.read_sigmf, mp, allowed=(KeyError,))
+
+
 FUZZERS = [
     fuzz_db_ops,
     fuzz_framing_ops,
@@ -244,6 +364,12 @@ FUZZERS = [
     fuzz_power_ops,
     fuzz_design_ops,
     fuzz_ofdm_ops,
+    fuzz_istft_ops,
+    fuzz_spectral_ops,
+    fuzz_oa_ops,
+    fuzz_monitor_design,
+    fuzz_streaming_ops,
+    fuzz_io_ops,
 ]
 
 
