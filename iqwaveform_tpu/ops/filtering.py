@@ -509,6 +509,11 @@ def downsample_stft(
     xp = array_namespace(y)
     ax = axis + 1
 
+    if nfft_out < 1:
+        raise ValueError(
+            f'nfft_out must be a positive integer, not {nfft_out}'
+        )
+
     shape_out = list(y.shape)
     shape_out[ax] = nfft_out
 

@@ -330,6 +330,8 @@ def channelize_power(
 
     if analysis_bins_per_channel > fft_size_per_channel:
         raise ValueError('the number of analysis bins cannot be greater than FFT size')
+    if iq.size == 0:
+        raise ValueError('channelize_power input is empty')
 
     # MXU fast path: channel power sums are bin-order independent, so
     # they can be computed straight from the four-step transform's

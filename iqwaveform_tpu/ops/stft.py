@@ -222,6 +222,11 @@ def stft(
         raise ValueError(f'nperseg must be a positive integer, not {nperseg}')
     if x.size == 0:
         raise ValueError('stft input is empty')
+    if x.shape[axis] < nperseg:
+        raise ValueError(
+            f'stft input holds {x.shape[axis]} samples along the axis — '
+            f'shorter than one nperseg={nperseg} frame'
+        )
     if not 0 <= noverlap < nperseg:
         raise ValueError(
             f'noverlap ({noverlap}) must be in [0, nperseg) = [0, {nperseg})'
@@ -305,6 +310,12 @@ def istft(
 ):
     """reconstruct a waveform from its STFT (reference fourier.py:1060-1104)."""
     xp = array_namespace(y)
+
+    if not xp.iscomplexobj(y):
+        # casting the shift-corrected frames back to a real dtype would
+        # silently discard the imaginary parts (same failure class as
+        # the stft real-input odd-nperseg bug, docs/PARITY.md)
+        raise ValueError('istft input must be a complex STFT array')
 
     frame_axis = axis if axis >= 0 else axis + y.ndim
     if y.ndim < frame_axis + 2:

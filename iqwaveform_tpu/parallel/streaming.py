@@ -690,6 +690,8 @@ def streaming_apd(
             'x must be 1-D (complex or power) or (2, n) float planes, '
             f'not shape {x.shape} dtype {x.dtype}'
         )
+    if chunk_size < 1:
+        raise ValueError(f'chunk_size must be a positive integer, not {chunk_size}')
     if navg > 1 and chunk_size % navg:
         raise ValueError(
             f'chunk_size={chunk_size} must be a multiple of navg={navg}'
