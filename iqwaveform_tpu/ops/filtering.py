@@ -513,6 +513,11 @@ def downsample_stft(
         raise ValueError(
             f'nfft_out must be a positive integer, not {nfft_out}'
         )
+    if y.shape[ax] < 2 or np.size(freqs) < 2:
+        raise ValueError(
+            'downsample_stft needs at least 2 frequency bins to infer the '
+            f'bin spacing (stft axis has {y.shape[ax]})'
+        )
 
     shape_out = list(y.shape)
     shape_out[ax] = nfft_out
