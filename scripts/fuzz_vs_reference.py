@@ -940,6 +940,53 @@ def fuzz_clock_sync_estimate(rng):
     _agree('clock_sync[intercept]', params, r_icpt, g_icpt, rtol=1e-3)
 
 
+def fuzz_design_fir_lpf(rng):
+    fs = float(rng.choice([10e6, 61.44e6, 122.88e6]))
+    bw = float(rng.uniform(0.1, 0.7)) * fs
+    numtaps = int(rng.choice([101, 501, 1001]))
+    tbw = float(rng.uniform(0.01, 0.05)) * fs
+    params = dict(fs=fs, bw=bw, numtaps=numtaps, tbw=tbw)
+    r = REF.fourier.design_fir_lpf(
+        bw, fs, numtaps=numtaps, transition_bandwidth=tbw
+    )
+    g = OURS.fourier.design_fir_lpf(
+        bw, fs, numtaps=numtaps, transition_bandwidth=tbw
+    )
+    _agree('design_fir_lpf', params, np.asarray(r), np.asarray(g), rtol=1e-6)
+
+
+def fuzz_unstack_series_to_bins(rng):
+    """ours vs the reference's intended reshape contract.
+
+    The reference entry point crashes on any pandas 2.x
+    (TimedeltaIndex(unit=) removed — docs/PARITY.md), so the oracle is
+    the documented behavior: values reshaped to (bins, samples/bin)
+    with a timedelta row index and an elapsed-seconds column index.
+    """
+    import pandas as pd
+
+    nbin = int(rng.integers(2, 17))
+    n = nbin * int(rng.integers(2, 33))
+    Ts = float(rng.choice([1e-6, 5e-6]))
+    vals = rng.standard_normal(n).astype('float32')
+    ser = pd.Series(vals, index=np.arange(n) * Ts)
+    params = dict(nbin=nbin, n=n, Ts=Ts)
+    out = OURS_PA.unstack_series_to_bins(ser, Tbin=nbin * Ts, truncate=True)
+    _agree(
+        'unstack_series_to_bins', params,
+        vals.reshape(n // nbin, nbin), np.asarray(out), rtol=0, atol=0,
+    )
+    if not isinstance(out.index, pd.TimedeltaIndex):
+        raise AssertionError(
+            f'unstack_series_to_bins index is {type(out.index).__name__}, '
+            'expected TimedeltaIndex (reference power_analysis.py:547 intent)'
+        )
+    _agree(
+        'unstack_series_to_bins[columns]', params,
+        np.arange(nbin) * Ts, out.columns.values.astype(float), rtol=1e-9,
+    )
+
+
 def fuzz_read_sigmf(rng):
     """file-level SigMF read parity on synthesized capture sets.
 
@@ -1125,6 +1172,8 @@ FUZZERS = [
     fuzz_fft_wrappers,
     fuzz_call_by_block,
     fuzz_read_sigmf,
+    fuzz_design_fir_lpf,
+    fuzz_unstack_series_to_bins,
     fuzz_gamma_qq,
 ]
 
