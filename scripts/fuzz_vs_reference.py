@@ -1071,6 +1071,236 @@ def fuzz_read_sigmf(rng):
             )
 
 
+def fuzz_sss_params(rng):
+    """sss_params parity (reference ofdm.py:421-448: pss_params with
+    symbol indexes incremented by 2)."""
+    scs = float(rng.choice([15e3, 30e3]))
+    sample_rate = float(rng.choice([15.36e6, 30.72e6]))
+    shared = bool(rng.integers(0, 2))
+    params = dict(scs=scs, sample_rate=sample_rate, shared=shared)
+    rp = REF_OFDM.sss_params(
+        sample_rate=sample_rate, subcarrier_spacing=scs, shared_spectrum=shared
+    )
+    gp = OURS_OFDM.sss_params(
+        sample_rate=sample_rate, subcarrier_spacing=scs, shared_spectrum=shared
+    )
+    rd = rp._asdict()
+    gd = gp._asdict() if hasattr(gp, '_asdict') else dict(gp)
+    for key, rv in rd.items():
+        gv = gd.get(key, '<missing>')
+        same = (
+            np.allclose(rv, gv)
+            if isinstance(rv, (int, float, np.ndarray))
+            else rv == gv
+        )
+        if not same:
+            raise AssertionError(f'sss_params[{key}] {params}: {rv!r} vs {gv!r}')
+
+
+def fuzz_design_fir_resampler(rng):
+    """design_fir_resampler vs the reference's intended contract.
+
+    The reference entry point crashes as released (fourier.py:542 does
+    `design.fs` attribute access on a TypedDict — docs/PARITY.md), so
+    the oracle is its own working internals: design_cola_resampler with
+    min_fft_size=1, avoid_primes=False, taking fs / (nfft_out, nfft) as
+    the (rate, upfirdn up/down) pair.
+    """
+    fs_base = float(rng.choice([122.88e6, 61.44e6, 30.72e6]))
+    fs_target = float(rng.choice([10e6, 15.36e6, 20e6, 7.68e6]))
+    bw = float(rng.choice([fs_target * 0.8, fs_target * 0.5]))
+    params = dict(fs_base=fs_base, fs_target=fs_target, bw=bw)
+    ref_design = REF.fourier.design_cola_resampler(
+        fs_base, fs_target, bw=bw, min_fft_size=1, avoid_primes=False
+    )
+    g_fs, g_fir = OURS.fourier.design_fir_resampler(fs_base, fs_target, bw=bw)
+    if g_fs != ref_design['fs']:
+        raise AssertionError(
+            f'design_fir_resampler[fs] {params}: {ref_design["fs"]} vs {g_fs}'
+        )
+    want_fir = {'up': ref_design['nfft_out'], 'down': ref_design['nfft']}
+    if dict(g_fir) != want_fir:
+        raise AssertionError(
+            f'design_fir_resampler[fir] {params}: {want_fir} vs {dict(g_fir)}'
+        )
+
+
+def fuzz_util_misc(rng):
+    """find_float_inds / dtype_change_float / sliding_window_output_shape
+    / iter_along_axes / grouped_slices_along_axis parity
+    (reference util.py:121-133, :545-568, :227-268, :571-589, :597-620).
+    """
+    # find_float_inds on a mixed str/number sequence
+    pool = ['a', '1.5', 'nan', 'inf', '1e3', 'x2', '', '-7']
+    seq = tuple(rng.choice(pool, size=int(rng.integers(1, 8)))) + (
+        float(rng.uniform(-5, 5)),
+    )
+    r = REF.util.find_float_inds(seq)
+    g = OURS.util.find_float_inds(seq)
+    if list(r) != list(g):
+        raise AssertionError(f'find_float_inds({seq}): {r} vs {g}')
+
+    # dtype_change_float over the full dtype matrix incl. error cases
+    for dt in ('float16', 'float32', 'float64', 'complex64', 'complex128', 'int16'):
+        for basis in ('float32', 'float64'):
+            try:
+                rv = REF.util.dtype_change_float(dt, basis)
+                r_err = None
+            except ValueError:
+                rv, r_err = None, ValueError
+            try:
+                gv = OURS.util.dtype_change_float(dt, basis)
+                g_err = None
+            except ValueError:
+                gv, g_err = None, ValueError
+            if r_err is not g_err or (
+                r_err is None and np.dtype(rv) != np.dtype(gv)
+            ):
+                raise AssertionError(
+                    f'dtype_change_float({dt}, {basis}): {rv or r_err} vs {gv or g_err}'
+                )
+
+    # sliding_window_output_shape on random shapes
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(rng.integers(4, 20)) for _ in range(ndim))
+    axis = int(rng.integers(0, ndim))
+    win = int(rng.integers(1, shape[axis] + 1))
+    params = dict(shape=shape, win=win, axis=axis)
+    r = REF.util.sliding_window_output_shape(shape, (win,), axis)
+    g = OURS.util.sliding_window_output_shape(shape, (win,), axis)
+    if tuple(r) != tuple(g):
+        raise AssertionError(f'sliding_window_output_shape {params}: {r} vs {g}')
+
+    # iter_along_axes: identical index-tuple streams
+    x = np.zeros(shape)
+    for axes in (None, (axis,), tuple(range(ndim))):
+        r = list(REF.util.iter_along_axes(x, axes))
+        g = list(OURS.util.iter_along_axes(x, axes))
+        if r != g:
+            raise AssertionError(f'iter_along_axes {params} axes={axes}: {r} vs {g}')
+
+    # grouped_slices_along_axis: identical ordered slice grids
+    max_size = int(rng.choice([16, 64, 256]))
+    r = REF.util.grouped_slices_along_axis(shape, max_size, axis)
+    g = OURS.util.grouped_slices_along_axis(shape, max_size, axis)
+    if [tuple(t) for t in r] != [tuple(t) for t in g]:
+        raise AssertionError(
+            f'grouped_slices_along_axis {params} max={max_size}: {r} vs {g}'
+        )
+
+
+def fuzz_figure_helpers(rng):
+    """round_places / is_decade / contiguous_segments parity
+    (reference figures.py:34-44, :284-295)."""
+    import matplotlib
+
+    matplotlib.use('Agg', force=False)
+    import pandas as pd
+
+    import iqwaveform.figures as rfig
+    import iqwaveform_tpu.figures as ofig
+
+    x = float(rng.uniform(0.001, 1e6))
+    digits = int(rng.integers(0, 4))
+    _agree(
+        'round_places', dict(x=x, digits=digits),
+        rfig.round_places(x, digits), ofig.round_places(x, digits), rtol=1e-12,
+    )
+
+    vals = np.concatenate([
+        10.0 ** rng.integers(-6, 6, size=4),
+        rng.uniform(0.1, 100, size=4),
+    ])
+    r = rfig.is_decade(vals)
+    g = ofig.is_decade(vals)
+    if not np.array_equal(np.asarray(r), np.asarray(g)):
+        raise AssertionError(f'is_decade({vals}): {r} vs {g}')
+
+    # contiguous_segments: a monotonic index with injected gaps
+    n = int(rng.integers(10, 60))
+    step = float(rng.choice([0.5, 1.0, 2.0]))
+    idx = np.arange(n) * step
+    for pos in rng.choice(np.arange(1, n), size=int(rng.integers(0, 3)), replace=False):
+        idx[pos:] += step * float(rng.integers(10, 30))
+    df = pd.DataFrame(
+        {'v': rng.standard_normal(n)},
+        index=pd.Index(idx, name='time'),
+    )
+    params = dict(n=n, step=step)
+    rsegs = rfig.contiguous_segments(df, 'time')
+    gsegs = ofig.contiguous_segments(df, 'time')
+    if len(rsegs) != len(gsegs):
+        raise AssertionError(
+            f'contiguous_segments {params}: {len(rsegs)} vs {len(gsegs)} segments'
+        )
+    for i, (rs, gs) in enumerate(zip(rsegs, gsegs)):
+        _agree(f'contiguous_segments[{i}]', params, rs['v'], gs['v'], rtol=0, atol=0)
+
+
+def fuzz_sigmf_metadata(rng):
+    """read_sigmf_metadata / extract_ntia_calibration_metadata /
+    resample_iq parity (reference io.py:13-55, :150-152)."""
+    import json
+    import os
+    import tempfile
+
+    n_caps = int(rng.integers(1, 5))
+    fs = float(rng.choice([1e6, 10e6, 122.88e6]))
+    with_cal = bool(rng.integers(0, 2))
+    params = dict(n_caps=n_caps, fs=fs, with_cal=with_cal)
+    meta = {
+        'global': {'core:sample_rate': fs},
+        'captures': [
+            {
+                'core:sample_start': i * 100,
+                'core:frequency': 1e9 + i * 1e8,
+                'core:datetime': f't{i}',
+            }
+            for i in range(n_caps)
+        ],
+        'annotations': (
+            [
+                {
+                    'ntia-core:annotation_type': 'CalibrationAnnotation',
+                    'ntia-sensor:temperature': 21.5,
+                    'ntia-sensor:noise_figure_sensor': 7.0,
+                    'ntia-sensor:gain_preselector': 11.0,
+                }
+            ]
+            if with_cal
+            else []
+        ),
+    }
+    if with_cal:
+        r_cal = REF.io.extract_ntia_calibration_metadata(meta)
+        g_cal = OURS.io.extract_ntia_calibration_metadata(meta)
+        if r_cal != g_cal:
+            raise AssertionError(f'ntia_calibration {params}: {r_cal} vs {g_cal}')
+    with tempfile.TemporaryDirectory() as d:
+        mp = os.path.join(d, 'cap.sigmf-meta')
+        with open(mp, 'w') as fd:
+            json.dump(meta, fd)
+        r = REF.io.read_sigmf_metadata(mp, ntia=with_cal)
+        g = OURS.io.read_sigmf_metadata(mp, ntia=with_cal)
+        if len(r) != len(g):
+            raise AssertionError(f'read_sigmf_metadata {params}: arity {len(r)} vs {len(g)}')
+        for i, (rv, gv) in enumerate(zip(r, g)):
+            if rv != gv:
+                raise AssertionError(
+                    f'read_sigmf_metadata[{i}] {params}: {rv!r} vs {gv!r}'
+                )
+
+    n = int(rng.integers(32, 257))
+    scale = float(rng.choice([0.5, 2.0, 1.25]))
+    x = _iq(rng, n)
+    Ts = 1e-6
+    r_y, r_Ts = REF.io.resample_iq(x, Ts, scale)
+    g_y, g_Ts = OURS.io.resample_iq(x, Ts, scale)
+    _agree('resample_iq', dict(n=n, scale=scale), r_y, g_y, rtol=1e-4)
+    if r_Ts != g_Ts:
+        raise AssertionError(f'resample_iq[Ts]: {r_Ts} vs {g_Ts}')
+
+
 def fuzz_gamma_qq(rng):
     """contract-level comparison of the (re-derived) GammaQQ tick
     locator + formatter against the reference cluster.
@@ -1174,6 +1404,11 @@ FUZZERS = [
     fuzz_read_sigmf,
     fuzz_design_fir_lpf,
     fuzz_unstack_series_to_bins,
+    fuzz_sss_params,
+    fuzz_design_fir_resampler,
+    fuzz_util_misc,
+    fuzz_figure_helpers,
+    fuzz_sigmf_metadata,
     fuzz_gamma_qq,
 ]
 
