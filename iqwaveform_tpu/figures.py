@@ -29,9 +29,9 @@ if typing.TYPE_CHECKING:
     import pandas as pd
     from scipy import stats
 else:
+    pd = lazy_import('pandas')
     mpl = lazy_import('matplotlib')
     stats = lazy_import('scipy.stats')
-    pd = lazy_import('pandas')
 
 
 def _show_xarray_units_in_parentheses():
@@ -419,12 +419,12 @@ def pcolormesh_df(
         df.columns.values,
         df.index.values,
         df.values,
-        vmin=vmin,
-        vmax=vmax,
-        rasterized=rasterized,
         cmap=cmap,
         norm=norm,
+        vmin=vmin,
+        vmax=vmax,
         edgecolors='none',
+        rasterized=rasterized,
     )
 
     if title is not None:
@@ -585,29 +585,27 @@ def plot_power_histogram_heatmap(
     """
     from matplotlib import pyplot as plt
 
-    if xlim is not None:
-        rolling_histogram = rolling_histogram.loc[:, float(xlim[0]) : float(xlim[1])]
-
-    if ax is None:
-        fig, ax = plt.subplots()
-    else:
-        fig = ax.get_figure()
-
     if rolling_histogram.shape[0] == 0:
         raise EOFError
+
+    if xlim is not None:
+        lo, hi = float(xlim[0]), float(xlim[1])
+        rolling_histogram = rolling_histogram.loc[:, lo:hi]
+
+    fig, ax = (ax.get_figure(), ax) if ax is not None else plt.subplots()
 
     index_type = type(rolling_histogram.index[0])
 
     pc_kws = dict(
+        ax=ax,
         cmap=_quantized_count_cmap(rolling_histogram.shape[1]),
         norm=_count_norm(rolling_histogram, log_counts),
-        rasterized=rasterized,
+        title=title,
         xlabel=xlabel,
         ylabel=ylabel,
-        title=title,
-        ax=ax,
         x_unit=x_unit,
         x_places=x_places,
+        rasterized=rasterized,
     )
 
     # choose time-axis chunks: timestamp captures split at gaps so they
@@ -706,37 +704,43 @@ def plot_power_ccdf(
     (reference figures.py:810-855)."""
     from matplotlib import pyplot as plt
 
-    if ax is None:
-        fig, ax = plt.subplots()
-
-    if Tavg is None:
-        Navg = 1
-        power_dB = envtodB(np.asarray(iq))
-    else:
-        Navg = int(Tavg / Ts)
-        power_dB = powtodB(
-            np.asarray(
-                iq_to_bin_power(
-                    iq, Ts=Ts, Tbin=Tavg, randomize=random_offsets, truncate=True
-                )
-            )
-        )
-
-    if bins is None:
-        bins = np.arange(power_dB.min(), power_dB.max() + 0.01, 0.01)
-    elif np.isscalar(bins):
-        bins = np.linspace(power_dB.min(), power_dB.max(), bins)
-    else:
-        bins = np.array(bins)
-
+    Navg, power_dB = _averaged_power_dB(iq, Ts, Tavg, random_offsets)
+    bins = _ccdf_bin_grid(power_dB, bins)
     ccdf = np.asarray(sample_ccdf(power_dB, bins))
+
+    if ax is None:
+        _, ax = plt.subplots()
     ax.plot(ccdf, bins, label=label)
 
-    if scale == 'gamma-qq':
-        ax.set_xscale(scale, k=Navg, major_ticks=major_ticks, db_ordinal=True)
-    else:
-        ax.set_xscale(scale)
-
+    # the gamma-QQ scale takes the averaging count so its tick transform
+    # linearizes the matching gamma distribution
+    scale_kws = (
+        dict(k=Navg, major_ticks=major_ticks, db_ordinal=True)
+        if scale == 'gamma-qq'
+        else {}
+    )
+    ax.set_xscale(scale, **scale_kws)
     ax.legend()
-
     return ax, ccdf, bins
+
+
+def _averaged_power_dB(iq, Ts, Tavg, random_offsets):
+    """detector-averaged sample power in dB, with the per-point
+    averaging count Navg for the gamma-QQ scale parameter."""
+    if Tavg is None:
+        return 1, envtodB(np.asarray(iq))
+    binned = iq_to_bin_power(
+        iq, Ts=Ts, Tbin=Tavg, randomize=random_offsets, truncate=True
+    )
+    return int(Tavg / Ts), powtodB(np.asarray(binned))
+
+
+def _ccdf_bin_grid(power_dB, bins):
+    """resolve the bins argument: None selects a 0.01 dB grid over the
+    data range; a scalar selects that many linspace points."""
+    if bins is None:
+        lo, hi = float(power_dB.min()), float(power_dB.max())
+        return np.arange(lo, hi + 0.01, 0.01)
+    if np.isscalar(bins):
+        return np.linspace(power_dB.min(), power_dB.max(), bins)
+    return np.array(bins)

@@ -179,25 +179,23 @@ def waveform_to_frame(
     """pack IQ data into a pandas Series or DataFrame with a time index
     (reference io.py:109-147)."""
     waveform = np.asarray(waveform)
-
-    if waveform.ndim == 2:
-        if columns is None:
-            columns = np.arange(waveform.shape[1])
-        obj = pd.DataFrame(waveform, columns=columns)
-
-        if column_name is not None:
-            obj.columns.name = column_name
-    elif waveform.ndim == 1:
-        obj = pd.Series(waveform)
-    else:
+    if waveform.ndim not in (1, 2):
         raise TypeError('iq must have 1 or 2 dimensions')
 
-    obj.index = pd.Index(
-        np.linspace(0, Ts * waveform.shape[0], waveform.shape[0], endpoint=False),
-        name='Time elapsed (s)',
+    n = waveform.shape[0]
+    index = pd.Index(
+        np.linspace(0.0, n * Ts, n, endpoint=False), name='Time elapsed (s)'
     )
 
-    return obj
+    if waveform.ndim == 1:
+        return pd.Series(waveform, index=index)
+
+    if columns is None:
+        columns = np.arange(waveform.shape[1])
+    frame = pd.DataFrame(waveform, index=index, columns=columns)
+    if column_name is not None:
+        frame.columns.name = column_name
+    return frame
 
 
 def resample_iq(iq, Ts, scale, axis=0):

@@ -564,11 +564,13 @@ def power_histogram_along_axis(
     histograms each group over ``(bounds[0], bounds[1])`` dB at
     ``resolution_db`` steps.
 
-    Behavior parity: reference power_analysis.py:583-648, with two intent
-    fixes (see docs/PARITY.md): the reference calls ``.astype`` on the
-    (counts, bins) tuple from histogram_last_axis (an AttributeError at
-    runtime) — unpacked first here — and its column-label math yields
-    n_bins-1 labels for n_bins columns — true bin centers here.
+    Behavior parity: reference power_analysis.py:583-648, with three
+    intent fixes (see docs/PARITY.md): the reference calls ``.astype`` on
+    the (counts, bins) tuple from histogram_last_axis (an AttributeError
+    at runtime) — unpacked first here; its column-label math yields
+    n_bins-1 labels for n_bins columns — true bin centers here; and its
+    documented pd.Series support crashes on ``pvt.shape[1]`` — a Series
+    is treated as a single column here.
 
     Returns a pd.DataFrame indexed on time, columned by dB bin center.
     """
@@ -586,9 +588,8 @@ def power_histogram_along_axis(
         )
     kept = levels_db.iloc[: n_groups * resolution_axis]
 
-    grouped = kept.values.reshape(
-        n_groups, resolution_axis * kept.shape[1]
-    )
+    width = 1 if isinstance(kept, pd.Series) else kept.shape[1]
+    grouped = kept.values.reshape(n_groups, resolution_axis * width)
     n_bins = 1 + int((bounds[1] - bounds[0]) / resolution_db)
     counts, _ = histogram_last_axis(grouped, n_bins, bounds)
 

@@ -718,6 +718,29 @@ def fuzz_power_histogram_along_axis(rng):
         (edges[:-1] + edges[1:]) / 2, g.columns.values, rtol=1e-9,
     )
 
+    # Series input: documented by the reference but crashed there
+    # (pvt.shape[1] IndexError on 1-D input — docs/PARITY.md); treated
+    # as a single column here
+    n = res_axis * int(rng.integers(2, 9)) + int(rng.integers(0, res_axis))
+    s = pd.Series(
+        rng.gamma(2.0, size=n).astype('float32') + 1e-9,
+        index=np.arange(n) * 1e-3,
+    )
+    gs = OURS_PA.power_histogram_along_axis(
+        s, bounds=(lo, hi), resolution_db=res_db, resolution_axis=res_axis
+    )
+    n_groups = n // res_axis
+    reshaped = 10 * np.log10(s.values[: n_groups * res_axis]).reshape(
+        n_groups, res_axis
+    )
+    counts, _ = REF.power_analysis.histogram_last_axis(
+        reshaped.astype('float32'), n_bins, (lo, hi)
+    )
+    _agree(
+        'power_histogram_along_axis[series]', params,
+        counts.astype('uint32'), np.asarray(gs), rtol=0, atol=0,
+    )
+
 
 def fuzz_domain_binned_cyclic(rng):
     """pre-binned-power cyclic statistics vs the TIME-domain result.
