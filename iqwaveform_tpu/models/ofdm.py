@@ -105,17 +105,14 @@ def subsample_shift(x, shift):
 def to_blocks(y, size, truncate=False):
     """last-axis blocking (reference ofdm.py:64-76)."""
     size = int(size)
-    if not truncate and y.shape[-1] % size != 0:
+    n_blocks, remainder = divmod(y.shape[-1], size)
+    if remainder and not truncate:
         raise ValueError(
-            'last axis size {} is not integer multiple of block size {}'.format(
-                y.shape[-1], size
-            )
+            f'last axis size {y.shape[-1]} is not integer multiple '
+            f'of block size {size}'
         )
-
-    new_size = size * (y.shape[-1] // size)
-    new_shape = y.shape[:-1] + (y.shape[-1] // size, size)
-
-    return y[..., :new_size].reshape(new_shape)
+    kept = y[..., : n_blocks * size]
+    return kept.reshape(y.shape[:-1] + (n_blocks, size))
 
 
 def _whole_ratio(value, quantum, message: str) -> int:
@@ -126,21 +123,27 @@ def _whole_ratio(value, quantum, message: str) -> int:
 
 
 def _index_or_all(x, name, size, xp=np):
-    """(reference ofdm.py:79-94)"""
-    if isinstance(x, str) and x == 'all':
+    """normalize an index selector to a flat array, expanding the string
+    'all' to arange(size) and bounds-checking against ±size
+    (reference ofdm.py:79-94)."""
+    if isinstance(x, str):
+        if x != 'all':
+            raise ValueError(
+                f'{name} argument must be a flat array of indices or "all"'
+            )
         if size is None:
             raise ValueError('must set max to allow "all" value')
-        x = xp.arange(size)
-    elif np.ndim(x) in (0, 1):
-        x = xp.array(x)
-    else:
+        return xp.arange(size)
+
+    if np.ndim(x) not in (0, 1):
         raise ValueError(f'{name} argument must be a flat array of indices or "all"')
+    x = xp.array(x)
 
-    if xp.max(x) > size:
+    hi, lo = xp.max(x), xp.min(x)
+    if hi > size:
         raise ValueError(f'{name} value {x} exceeds the maximum {size}')
-    if xp.max(-x) > size:
+    if lo < -size:
         raise ValueError(f'{name} value {x} is below the minimum {-size}')
-
     return x
 
 
@@ -865,32 +868,16 @@ class Phy802_16(PhyOFDM):
         )
         self.sampling_factor = sampling_factor
 
+        # IEEE 802.16 8.4.2.4: rate quantized to 8 kHz steps of n*BW
         std_sample_rate = np.floor(sampling_factor * channel_bandwidth / 8000) * 8000
         cp_size = int(np.rint(cp_ratio * nfft))
-        self.total_symbol_duration = (
-            int(np.rint((1 + cp_ratio) * nfft)) / std_sample_rate
+        symbol_samples = int(np.rint((1 + cp_ratio) * nfft))
+        self.total_symbol_duration = symbol_samples / std_sample_rate
+        self.symbols_per_frame = int(frame_duration // self.total_symbol_duration)
+
+        nfft, cp_size, sample_rate = self._rescaled_rates(
+            nfft, cp_size, std_sample_rate, alt_sample_rate
         )
-        self.symbols_per_frame = int(
-            np.floor(frame_duration / self.total_symbol_duration)
-        )
-
-        if alt_sample_rate is None:
-            sample_rate = std_sample_rate
-        else:
-            scale = alt_sample_rate / std_sample_rate
-
-            if not (isclosetoint(scale) or isclosetoint(1 / scale)):
-                raise ValueError(
-                    'alt_sample_rate must be integer multiple or divisor of ofdm sample_rate'
-                )
-            if not isclosetoint(cp_size * scale):
-                raise ValueError(
-                    'alt_sample_rate is too small to capture any cyclic prefixes'
-                )
-
-            nfft = round(nfft * scale)
-            cp_size = round(cp_size * scale)
-            sample_rate = alt_sample_rate
 
         super().__init__(
             channel_bandwidth=channel_bandwidth,
@@ -900,6 +887,25 @@ class Phy802_16(PhyOFDM):
             cp_sizes=np.full(self.symbols_per_frame, cp_size),
             contiguous_size=round(frame_duration * sample_rate),
         )
+
+    @staticmethod
+    def _rescaled_rates(nfft, cp_size, std_sample_rate, alt_sample_rate):
+        """rescale (nfft, cp_size) onto an alternate capture rate, which
+        must be an integer multiple or divisor of the standard rate
+        (reference ofdm.py:732-748 semantics)."""
+        if alt_sample_rate is None:
+            return nfft, cp_size, std_sample_rate
+        scale = alt_sample_rate / std_sample_rate
+        if not (isclosetoint(scale) or isclosetoint(1 / scale)):
+            raise ValueError(
+                'alt_sample_rate must be integer multiple or divisor of '
+                'ofdm sample_rate'
+            )
+        if not isclosetoint(cp_size * scale):
+            raise ValueError(
+                'alt_sample_rate is too small to capture any cyclic prefixes'
+            )
+        return round(nfft * scale), round(cp_size * scale), alt_sample_rate
 
     @_instance_method_cache(4)
     def index_cyclic_prefix(self, *, frames=(0,), symbols='all'):

@@ -380,19 +380,23 @@ def design_fir_lpf(
     dtype='float32',
     xp=np,
 ):
-    """least-squares FIR low-pass design (reference fourier.py:722-743)."""
-    edges = [
-        0,
-        bandwidth / 2 - transition_bandwidth / 2,
-        bandwidth / 2 + transition_bandwidth / 2,
-        sample_rate / 2,
-    ]
-    bands = list(zip(edges[:-1], edges[1:]))
-    desired = [1, 1, 1, 0, 0, 0]
-
-    b = signal.firls(numtaps, bands=bands, desired=desired, fs=sample_rate)
-
-    return xp.asarray(b.astype(dtype))
+    """least-squares FIR low-pass design (reference fourier.py:722-743):
+    unit gain through the passband, a falling ramp across a
+    transition_bandwidth-wide span centered on bandwidth/2, and zero
+    through Nyquist."""
+    pass_edge = bandwidth / 2 - transition_bandwidth / 2
+    stop_edge = bandwidth / 2 + transition_bandwidth / 2
+    taps = signal.firls(
+        numtaps,
+        bands=[
+            (0, pass_edge),
+            (pass_edge, stop_edge),
+            (stop_edge, sample_rate / 2),
+        ],
+        desired=(1, 1, 1, 0, 0, 0),
+        fs=sample_rate,
+    )
+    return xp.asarray(taps.astype(dtype))
 
 
 @lru_cache()
@@ -651,6 +655,23 @@ def time_fftshift(x, scale=None, overwrite_x=False, axis=0):
 time_ifftshift = time_fftshift
 
 
+def _centered_shift_bounds(nfft_in: int, nfft_out: int, shift: int, *, what='shift'):
+    """bin bounds of a centered nfft_out-wide window offset by ``shift``
+    inside an nfft_in-bin spectrum; (None, None) when unshifted
+    (reference fourier.py:1578-1590 and :1666-1680 share this rule)."""
+    if shift == 0:
+        return None, None
+    if nfft_out > nfft_in:
+        raise ValueError(f'{what} is only supported when downsampling')
+    lo = nfft_in // 2 - nfft_out // 2 + shift
+    hi = lo + nfft_out
+    if lo < 0:
+        raise ValueError(f'{what} is too small')
+    if hi > nfft_in:
+        raise ValueError(f'{what} is too large')
+    return lo, hi
+
+
 def resample(
     x,
     num: int,
@@ -693,18 +714,7 @@ def resample(
     # explicit frequency-domain fftshift
     odd = nfft_in % 2 != 0
 
-    if shift == 0:
-        edge_low = edge_high = None
-    elif nfft_out > nfft_in:
-        raise ValueError('shift is only supported when downsampling')
-    else:
-        edge_low = nfft_in // 2 - nfft_out // 2 + shift
-        edge_high = edge_low + nfft_out
-
-        if edge_low < 0:
-            raise ValueError('shift is too small')
-        if edge_high > nfft_in:
-            raise ValueError('shift is too large')
+    edge_low, edge_high = _centered_shift_bounds(nfft_in, nfft_out, shift)
 
     resample_scale = float(nfft_out) / float(nfft_in) * scale
 
@@ -764,21 +774,13 @@ def oaresample(
         extend=True,
     )
 
-    if frequency_shift == 0:
-        edge_low = edge_high = None
-    elif down < up:
+    if frequency_shift != 0 and down < up:
         raise ValueError('frequency_shift is only supported when downsampling')
-    elif isroundmod(frequency_shift, fs / nfft):
-        shift = round(frequency_shift / (fs / nfft))
-        edge_low = nfft // 2 - nfft_out // 2 + shift
-        edge_high = edge_low + nfft_out
-
-        if edge_low < 0:
-            raise ValueError('frequency_shift is too small')
-        if edge_high > nfft:
-            raise ValueError('frequency_shift is too large')
-    else:
+    if frequency_shift != 0 and not isroundmod(frequency_shift, fs / nfft):
         raise ValueError('frequency_shift must be a multiple of fs/up')
+    edge_low, edge_high = _centered_shift_bounds(
+        nfft, nfft_out, round(frequency_shift / (fs / nfft)), what='frequency_shift'
+    )
 
     y = stft(
         x,

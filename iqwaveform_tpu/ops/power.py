@@ -68,35 +68,41 @@ __all__ = [
 _DB_UNIT_MAPPING = {'dBm': 'mW', 'dBW': 'W', 'dB': 'unitless'}
 
 
+def _rewrite_unit_prefix(s: str, pairs) -> str:
+    """rewrite the first matching (old -> new) unit prefix in a label,
+    trying each pair in turn (reference power_analysis.py:40-70 rules)."""
+    for old, new in pairs:
+        s = re.sub('^' + old, new, s, count=1)
+    return s
+
+
 def unit_dB_to_linear(s: str):
     """(reference power_analysis.py:43-46)"""
-    for db_unit, lin_unit in _DB_UNIT_MAPPING.items():
-        s, _ = re.subn('^' + db_unit, lin_unit, s, count=1)
-    return s
+    return _rewrite_unit_prefix(s, _DB_UNIT_MAPPING.items())
 
 
 def unit_linear_to_dB(s: str):
-    for db_unit, lin_unit in _DB_UNIT_MAPPING.items():
-        s, _ = re.subn('^' + lin_unit, db_unit, s, count=1)
-    return s
+    return _rewrite_unit_prefix(
+        s, ((lin, db) for db, lin in _DB_UNIT_MAPPING.items())
+    )
 
 
 def unit_dB_to_wave(s: str):
-    for db_unit, lin_unit in _DB_UNIT_MAPPING.items():
-        s, _ = re.subn('^' + db_unit, '√' + lin_unit, s, count=1)
-    return s
+    return _rewrite_unit_prefix(
+        s, ((db, '√' + lin) for db, lin in _DB_UNIT_MAPPING.items())
+    )
 
 
 def unit_wave_to_dB(s: str):
-    for db_unit, lin_unit in _DB_UNIT_MAPPING.items():
-        s, _ = re.subn('^√' + lin_unit, db_unit, s, count=1)
-    return s
+    return _rewrite_unit_prefix(
+        s, (('√' + lin, db) for db, lin in _DB_UNIT_MAPPING.items())
+    )
 
 
 def unit_wave_to_linear(s: str):
-    for db_unit, lin_unit in _DB_UNIT_MAPPING.items():
-        s, _ = re.subn('^√' + lin_unit, lin_unit, s, count=1)
-    return s
+    return _rewrite_unit_prefix(
+        s, (('√' + lin, lin) for _, lin in _DB_UNIT_MAPPING.items())
+    )
 
 
 @lru_cache()
@@ -107,36 +113,39 @@ def stat_ufunc_from_shorthand(kind, xp=np, axis=0):
     'min'/'max'/'peak'/'mean'/'rms'/'median' by name, a float for a
     quantile, or a callable.
     """
-    NAMED_UFUNCS = {
-        'min': xp.min,
-        'max': xp.max,
-        'peak': xp.max,
+    named = {
         'mean': xp.mean,
         'rms': xp.mean,
+        'max': xp.max,
+        'peak': xp.max,
+        'min': xp.min,
     }
-
     if hasattr(xp, 'median'):
-        NAMED_UFUNCS['median'] = xp.median
+        named['median'] = xp.median
 
     if isinstance(kind, str):
-        if kind not in NAMED_UFUNCS:
-            valid = NAMED_UFUNCS.keys()
-            raise ValueError(f'kind argument must be one of {valid}')
-        ufunc = partial(NAMED_UFUNCS[kind], axis=axis)
+        try:
+            reducer = named[kind]
+        except KeyError:
+            raise ValueError(
+                f'kind argument must be one of {named.keys()}'
+            ) from None
+        return partial(reducer, axis=axis)
 
-    elif isinstance(kind, Number):
+    if isinstance(kind, Number):
         if xp is jnp:
-            ufunc = partial(lambda a, q, axis: xp.quantile(a, q, axis=axis), q=kind, axis=axis)
-        else:
-            ufunc = partial(xp.quantile, q=kind, axis=axis)
+            # keyword-bound quantile so the traced call site stays static
+            return partial(
+                lambda a, q, axis: xp.quantile(a, q, axis=axis),
+                q=kind,
+                axis=axis,
+            )
+        return partial(xp.quantile, q=kind, axis=axis)
 
-    elif callable(kind):
-        ufunc = partial(kind, axis=axis)
+    if callable(kind):
+        return partial(kind, axis=axis)
 
-    else:
-        raise ValueError(f'invalid statistic ufunc "{kind}"')
-
-    return ufunc
+    raise ValueError(f'invalid statistic ufunc "{kind}"')
 
 
 def _unwrap_arraylike(x):

@@ -43,6 +43,34 @@ __all__ = [
 ]
 
 
+def _domain_stft(x, *, fs, window, nfft, nzero, noverlap, axis):
+    """(domain, freqs, frames) for the active input domain: TIME runs
+    the spectrogram; FREQUENCY treats x as an already-computed complex
+    STFT (reference fourier.py:1266-1287)."""
+    domain = get_input_domain()
+    if domain == Domain.FREQUENCY:
+        freqs, _ = _get_stft_axes(
+            fs,
+            nfft=nfft,
+            time_size=x.shape[axis],
+            overlap_frac=noverlap / nfft,
+            xp=np,
+        )
+        return domain, freqs, x
+    if domain != Domain.TIME:
+        raise ValueError(f'unsupported persistence spectrum domain "{domain}"')
+    freqs, _, X = spectrogram(
+        x,
+        window=window,
+        fs=fs,
+        nperseg=nfft,
+        nzero=nzero,
+        noverlap=noverlap,
+        axis=axis,
+    )
+    return domain, freqs, X
+
+
 def power_spectral_density(
     x,
     *,
@@ -109,48 +137,29 @@ def power_spectral_density(
         )
 
     xp = array_namespace(x)
-    domain = get_input_domain()
-
-    if domain == Domain.TIME:
-        freqs, _, X = spectrogram(
-            x,
-            window=window,
-            fs=fs,
-            nperseg=nfft,
-            nzero=nzero,
-            noverlap=noverlap,
-            axis=axis,
-        )
-    elif domain == Domain.FREQUENCY:
-        X = x
-        freqs, _ = _get_stft_axes(
-            fs,
-            nfft=nfft,
-            time_size=X.shape[axis],
-            overlap_frac=noverlap / nfft,
-            xp=np,
-        )
-    else:
-        raise ValueError(f'unsupported persistence spectrum domain "{domain}"')
+    domain, freqs, X = _domain_stft(
+        x, fs=fs, window=window, nfft=nfft, nzero=nzero,
+        noverlap=noverlap, axis=axis,
+    )
 
     if truncate:
-        if bandwidth == INF:
-            bw_args = (None, None)
-        else:
-            bw_args = (-bandwidth / 2, +bandwidth / 2)
-        ilo, ihi = _freq_band_edges(freqs.size, 1.0 / fs, *bw_args)
+        band = (None, None) if bandwidth == INF else (-bandwidth / 2, bandwidth / 2)
+        ilo, ihi = _freq_band_edges(freqs.size, 1.0 / fs, *band)
         X = axis_slice(X, ilo, ihi, axis=axis + 1)
 
-    if domain == Domain.TIME:
-        if dB:
-            spg = power_analysis.powtodB(X, eps=1e-25)
-        else:
-            spg = X.astype('float32')
-    else:  # Domain.FREQUENCY: X is complex STFT
-        if dB:
-            spg = power_analysis.envtodB(X, eps=1e-25)
-        else:
-            spg = power_analysis.envtopow(X)
+    # TIME-domain frames arrive as linear power; FREQUENCY frames are the
+    # raw complex STFT and need the envelope transform
+    if dB:
+        to_dB = (
+            power_analysis.powtodB
+            if domain == Domain.TIME
+            else power_analysis.envtodB
+        )
+        spg = to_dB(X, eps=1e-25)
+    elif domain == Domain.TIME:
+        spg = X.astype('float32')
+    else:
+        spg = power_analysis.envtopow(X)
 
     if spg.shape[axis] == 0:
         raise ValueError(

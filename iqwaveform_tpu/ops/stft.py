@@ -280,20 +280,15 @@ def stft(
             norm=norm,
         )
 
-    # no fftshift needed since it was baked into the window
+    # the window carries the baked-in alternating-sign delay ramp, so the
+    # spectrum comes out already centered — no fftshift pass here
     y = fft(xstack, axis=axis + 1, backend=fft_backend)
 
     if not return_axis_arrays:
         return y
-
     freqs, times = _get_stft_axes(
-        fs,
-        nfft=nfft,
-        time_size=y.shape[axis],
-        overlap_frac=noverlap / nfft,
-        xp=np,
+        fs, nfft=nfft, time_size=y.shape[axis], overlap_frac=noverlap / nfft, xp=np
     )
-
     return freqs, times, y
 
 

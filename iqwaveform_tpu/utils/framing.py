@@ -245,31 +245,32 @@ def binned_mean(x, count, *, axis=0, truncate=True, reject_extrema=False, fft=Tr
             f'axis, got {x.shape[axis] if x.ndim else 0}'
         )
 
-    if not truncate:
-        pass
-    elif fft:
-        # enforce that index 0 is a center bin
-        center_bin = x.shape[axis] // 2
-        size_left = center_bin - count // 2
-        blocks_left = size_left // count
-        block_count = 2 * blocks_left + 1
-        start = center_bin - (count * block_count) // 2
-        stop = start + count * block_count
-
-        if start > 0 or stop < x.shape[axis]:
+    if truncate:
+        start, stop = _whole_bin_span(x.shape[axis], count, centered=fft)
+        if (start, stop) != (0, x.shape[axis]):
             x = axis_slice(x, start, stop, axis=axis)
-    else:
-        trim = x.shape[axis] % count
-        if trim:
-            dimsize = (x.shape[axis] // count) * count
-            x = axis_slice(x, 0, dimsize, axis=axis)
 
-    x = to_blocks(x, count, axis=axis)
+    frames = to_blocks(x, count, axis=axis)
     stat_axis = axis + 1 if axis >= 0 else axis
     if reject_extrema:
-        x = xp.sort(x, axis=stat_axis)
-        x = axis_slice(x, 1, -1, axis=stat_axis)
-    return xp.nanmean(x, axis=stat_axis)
+        frames = axis_slice(xp.sort(frames, axis=stat_axis), 1, -1, axis=stat_axis)
+    return xp.nanmean(frames, axis=stat_axis)
+
+
+def _whole_bin_span(size: int, count: int, *, centered: bool) -> tuple:
+    """largest whole-bin [start, stop) span of a length-``size`` axis.
+
+    A centered span keeps index size//2 in the middle of a middle bin
+    (fft-bin alignment, reference util.py:83-93); a left-aligned span
+    drops the tail remainder.
+    """
+    if not centered:
+        return 0, (size // count) * count
+    mid = size // 2
+    whole_blocks_left = (mid - count // 2) // count
+    n_blocks = 2 * whole_blocks_left + 1
+    start = mid - (count * n_blocks) // 2
+    return start, start + count * n_blocks
 
 
 def histogram_last_axis(x, bins, range: tuple = None):
