@@ -97,23 +97,19 @@ def set_caption(*args):
     Usage: set_caption(fig, text), or set_caption(text) for the current
     figure (reference env.py:110-124).
     """
-    if len(args) == 1:
-        fig, text = plt.gcf(), args[0]
-    elif len(args) == 2:
-        fig, text = args
-    else:
+    if len(args) not in (1, 2):
         raise ValueError(f'expected 1 or 2 args, but got {len(args)}')
-
+    text = args[-1]
+    fig = args[0] if len(args) == 2 else plt.gcf()
     _captions[id(fig)] = text
 
 
 # concise date formatting by default (reference env.py:106-131)
 convert_datetime = mpl.units.registry.get(np.datetime64)
 
-converter = mpl.dates.ConciseDateConverter()
-mpl.units.registry[np.datetime64] = converter
-mpl.units.registry[datetime.date] = converter
-mpl.units.registry[datetime.datetime] = converter
+_date_converter = mpl.dates.ConciseDateConverter()
+for _date_type in (np.datetime64, datetime.date, datetime.datetime):
+    mpl.units.registry[_date_type] = _date_converter
 
 try:
     set_matplotlib_formats('svg')

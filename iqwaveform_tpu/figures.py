@@ -46,23 +46,28 @@ def _show_xarray_units_in_parentheses():
         return
 
     code = _get_units_from_attrs.__code__
-    consts = tuple(' ({})' if c == ' [{}]' else c for c in code.co_consts)
-    _get_units_from_attrs.__code__ = code.replace(co_consts=consts)
+    patched = []
+    for const in code.co_consts:
+        patched.append(' ({})' if const == ' [{}]' else const)
+    _get_units_from_attrs.__code__ = code.replace(co_consts=tuple(patched))
 
 
 _show_xarray_units_in_parentheses()
 
 
 def round_places(x, digits):
-    """(reference figures.py:34-36)"""
-    scale = 10 ** (np.ceil(np.log10(x)))
-    return np.round(x / scale, digits) * scale
+    """round x to ``digits`` significant places past its leading digit
+    (reference figures.py:34-36)."""
+    decade = np.ceil(np.log10(x))
+    scale = np.power(10.0, decade)
+    return scale * np.round(x / scale, digits)
 
 
 def is_decade(x, **kwargs):
-    """(reference figures.py:39-41)"""
-    y = np.log10(x)
-    return np.isclose(y, np.round(y), **kwargs)
+    """True where x is (approximately) an integer power of 10
+    (reference figures.py:39-41)."""
+    exponent = np.log10(x)
+    return np.isclose(exponent, np.round(exponent), **kwargs)
 
 
 # --- gamma-QQ tick machinery (original derivation) -----------------------

@@ -133,7 +133,11 @@ def fftfreq(n: int, d: float, *, xp=np, dtype='float64'):
     """
     dtype = np.dtype(dtype)
     fnyq = 1 / (2 * dtype.type(d))
+    # even n spans [-fnyq, fnyq); odd n is symmetric about 0 with no
+    # exact-Nyquist endpoint on either side
     if n % 2 == 0:
-        return xp.linspace(-fnyq, fnyq - 2 * fnyq / n, n, dtype=dtype)
+        lo, hi = -fnyq, fnyq - 2 * fnyq / n
     else:
-        return xp.linspace(-fnyq + fnyq / n, fnyq - fnyq / n, n, dtype=dtype)
+        half_step = fnyq / n
+        lo, hi = half_step - fnyq, fnyq - half_step
+    return xp.linspace(lo, hi, n, dtype=dtype)

@@ -123,10 +123,9 @@ get_window = functools.wraps(_get_window_uncached)(
 def _enbw_uncached(window, N, fftbins=True, cached=True, xp=np):
     """equivalent noise bandwidth (ENBW) of a window, in bins
     (reference fourier.py:272-280)."""
-    if cached:
-        w = get_window(window, N, fftbins=fftbins, xp=xp)
-    else:
-        w = _get_window_uncached(window, N, fftbins=fftbins, xp=xp)
+    getter = get_window if cached else _get_window_uncached
+    w = getter(window, N, fftbins=fftbins, xp=xp)
+    # ratio of incoherent to coherent gain, scaled to bins
     return len(w) * xp.sum(w**2) / xp.sum(w) ** 2
 
 
@@ -159,14 +158,15 @@ def find_window_param_from_enbw(
     def err(x):
         return _enbw_uncached((window_name, x), nfft, cached=False, xp=xp) - enbw
 
-    if window_name == 'kaiser':
-        a = np.pi * 1e-2
-        b = min(enbw**2, nfft // 2 - 1) * np.pi
-        cap = (nfft // 2 - 1) * np.pi
-    elif window_name == 'dpss':
-        a = 1e-2
-        b = min(enbw**2, nfft // 2 - 1)
-        cap = nfft // 2 - 1
+    # bracket seeds: kaiser beta ~ pi * NW and dpss NW both scale as
+    # enbw**2 (see the reference's convergence notes), capped by the
+    # half-width the window size can resolve
+    seed_scale = {'kaiser': np.pi, 'dpss': 1.0}
+    if window_name in seed_scale:
+        scale = seed_scale[window_name]
+        a = 1e-2 * scale
+        cap = (nfft // 2 - 1) * scale
+        b = min(enbw**2 * scale, cap)
     elif window_name == 'chebwin':
         # scipy's chebwin floors at ~45 dB attenuation (ENBW ~1.33)
         a = 45

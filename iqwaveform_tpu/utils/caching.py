@@ -34,11 +34,12 @@ def lazy_import(module_name: str):
     The import is not performed until the module is accessed in the code
     (reference util.py:35-56).
     """
-    try:
-        return sys.modules[module_name]
-    except KeyError:
-        pass
+    cached = sys.modules.get(module_name)
+    if cached is not None:
+        return cached
 
+    # stock importlib lazy-loading recipe: wrap the spec's loader in a
+    # LazyLoader so exec is deferred to first attribute access
     spec = importlib.util.find_spec(module_name)
     if spec is None:
         raise ImportError(f'no module found named "{module_name}"')
