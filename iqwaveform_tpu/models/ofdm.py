@@ -399,14 +399,15 @@ def _generate_5g_nr_sync_sequence(
     )
 
     if size_out == SC_COUNT and frequency_offset == 0:
-        pad_lo = 0
-        pad_hi = 0
+        pad_lo = pad_hi = 0
     else:
-        # the sequence occupies subcarriers offset by 56 from the SSB edge
-        pad_lo = size_out // 2 - 120 + 56 + frequency_offset
-        pad_hi = size_out - SC_COUNT - pad_lo
+        # the 127-subcarrier sequence sits 56 bins above the SSB edge,
+        # which itself starts 120 bins below the center subcarrier
+        seq_start = size_out // 2 - (120 - 56) + frequency_offset
+        pad_lo = seq_start
+        pad_hi = size_out - (seq_start + SC_COUNT)
 
-    if pad_lo < 0 or pad_hi < 0:
+    if min(pad_lo, pad_hi) < 0:
         raise ValueError(
             'center_frequency shift pushes M-sequence outside of Nyquist sample rate'
         )
@@ -508,13 +509,12 @@ def pss_params(
     ({4, 8, 16, 20} + 28·n candidate first symbols)."""
     if not isroundmod(subcarrier_spacing, 15e3):
         raise ValueError('subcarrier_spacing must be multiple of 15000')
-
-    if isroundmod(sample_rate, 128 * subcarrier_spacing):
-        frame_size = round(10e-3 * sample_rate)
-    else:
-        raise ValueError(
-            f'sample_rate must be a multiple of {128 * subcarrier_spacing}'
-        )
+    _whole_ratio(
+        sample_rate,
+        128 * subcarrier_spacing,
+        f'sample_rate must be a multiple of {128 * subcarrier_spacing}',
+    )
+    frame_size = round(10e-3 * sample_rate)
 
     # SSB burst patterns per TS 38.213 §4.1: {case: (scs, offsets, stride,
     # n for the L_max=8 FR1 pattern, n with shared spectrum)}. The counts
@@ -895,17 +895,19 @@ class Phy802_16(PhyOFDM):
         (reference ofdm.py:732-748 semantics)."""
         if alt_sample_rate is None:
             return nfft, cp_size, std_sample_rate
-        scale = alt_sample_rate / std_sample_rate
-        if not (isclosetoint(scale) or isclosetoint(1 / scale)):
+        ratio = alt_sample_rate / std_sample_rate
+        whole_multiple = isclosetoint(ratio) or isclosetoint(1.0 / ratio)
+        if not whole_multiple:
             raise ValueError(
                 'alt_sample_rate must be integer multiple or divisor of '
                 'ofdm sample_rate'
             )
-        if not isclosetoint(cp_size * scale):
+        cp_rescaled = cp_size * ratio
+        if not isclosetoint(cp_rescaled):
             raise ValueError(
                 'alt_sample_rate is too small to capture any cyclic prefixes'
             )
-        return round(nfft * scale), round(cp_size * scale), alt_sample_rate
+        return round(nfft * ratio), round(cp_rescaled), alt_sample_rate
 
     @_instance_method_cache(4)
     def index_cyclic_prefix(self, *, frames=(0,), symbols='all'):
@@ -954,14 +956,13 @@ class BasebandClockSynchronizer:
     ):
         self.phy = Phy3GPP(channel_bandwidth, subcarrier_spacing=subcarrier_spacing)
         self.correlation_subframes = correlation_subframes
-        self.sync_size = (
-            sync_window_count * correlation_subframes * self.phy.contiguous_size
-        )
+        window_samples = correlation_subframes * self.phy.contiguous_size
+        self.sync_size = sync_window_count * window_samples
 
-        # index array of cyclic prefix samples, duplicated across slots
-        cp_gate = self.phy.cp_idx  # 1 single slot
-        i_slot_starts = self.phy.contiguous_size * np.arange(correlation_subframes)
-        cp_gate = indexsum2d(i_slot_starts, cp_gate).flatten()
+        # one slot's cyclic-prefix sample offsets, tiled across the
+        # correlation window's slots
+        slot_starts = self.phy.contiguous_size * np.arange(correlation_subframes)
+        cp_gate = indexsum2d(slot_starts, self.phy.cp_idx).flatten()
 
         # coarse grid spanning one slot, at COARSE_CP0_STEP resolution
         coarse_step = int(self.phy.cp_sizes[1] * self.COARSE_CP0_STEP)
@@ -1108,15 +1109,12 @@ class BasebandClockSynchronizer:
         if subsample_offset_correction:
             x = subsample_shift(x, -offset)
         else:
-            int_offset = int(round(float(offset)))
-            x = x[int_offset % self.phy.contiguous_size :]
+            skip = int(round(float(offset))) % self.phy.contiguous_size
+            x = x[skip:]
 
-        # keep only an integer number of slots
-        spare_samples = x.size % (2 * self.phy.contiguous_size)
-        if spare_samples > 0:
-            x = x[:-spare_samples]
-
-        return x
+        # keep only an integer number of slot pairs
+        whole = x.size - x.size % (2 * self.phy.contiguous_size)
+        return x[:whole]
 
 
 def _weighted_least_squares(t, y, w):
@@ -1153,8 +1151,8 @@ class SymbolDecoder:
     def prb_power(symbols):
         """total power in each PRB (reference ofdm.py:1066-1071)."""
         xp = array_namespace(symbols)
-        by_prb = xp.abs(to_blocks(symbols, Phy3GPP.SUBFRAMES_PER_PRB)) ** 2
-        return by_prb.sum(axis=-1)
+        by_prb = to_blocks(symbols, Phy3GPP.SUBFRAMES_PER_PRB)
+        return (xp.abs(by_prb) ** 2).sum(axis=-1)
 
     def _decode_symbols(self, x, only_3gpp_subcarriers=True):
         """(reference ofdm.py:1073-1093)"""
@@ -1172,9 +1170,10 @@ class SymbolDecoder:
         X = X / xp.sqrt(xp.asarray(2 * self.phy.nfft, dtype=X.real.dtype))
 
         if only_3gpp_subcarriers:
-            sc_start = X.shape[-1] // 2 - self.phy.subcarriers // 2
-            sc_stop = X.shape[-1] // 2 + self.phy.subcarriers // 2
-            X = X[:, sc_start:sc_stop]
+            # center window of the bins meant to carry data
+            mid = X.shape[-1] // 2
+            half = self.phy.subcarriers // 2
+            X = X[:, mid - half : mid + half]
 
         return X
 
@@ -1182,12 +1181,11 @@ class SymbolDecoder:
         """(reference ofdm.py:1095-1110)"""
         xp = array_namespace(symbols)
 
-        # strongest power change across all PRBs in each FFT window
+        # fractional power step between consecutive FFT windows, reduced
+        # to the strongest PRB in each window
         power = self.prb_power(symbols)
-        if xp is np:
-            power_diff = np.diff(power, axis=0, append=0) / power
-        else:
-            power_diff = jnp.diff(power, axis=0, append=0) / power
+        diff = np.diff if xp is np else jnp.diff
+        power_diff = diff(power, axis=0, append=0) / power
         diff_peaks = xp.abs(power_diff).max(axis=1)
         diff_peak_by_symbol = to_blocks(diff_peaks, Phy3GPP.FFT_PER_SLOT, truncate=True)
         self._diff_peak_by_symbol = diff_peak_by_symbol

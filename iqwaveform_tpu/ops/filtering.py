@@ -91,14 +91,15 @@ _COLA_OVERLAP_SCALE = {
 
 @lru_cache()
 def _prime_fft_sizes(min=2, max=OLA_MAX_FFT_SIZE):
-    """odd primes in (min, max) via sieve (reference fourier.py:360-368)."""
-    s = np.arange(3, max, 2)
-
-    for m in range(3, int(np.sqrt(max) + 1), 2):
-        if s[(m - 3) // 2]:
-            s[(m * m - 3) // 2 :: m] = 0
-
-    return s[(s > min)]
+    """odd primes in (min, max) via an odd-only Eratosthenes sieve
+    (reference fourier.py:360-368)."""
+    odds = np.arange(3, max, 2)
+    is_prime = np.ones(odds.size, dtype=bool)
+    for p in range(3, int(np.sqrt(max)) + 1, 2):
+        if is_prime[(p - 3) // 2]:
+            # strike every odd multiple from p*p up
+            is_prime[(p * p - 3) // 2 :: p] = False
+    return odds[is_prime & (odds > min)]
 
 
 class ResamplerDesign(typing.TypedDict):
@@ -276,37 +277,30 @@ def _ola_filter_parameters(
 ) -> tuple:
     """validate and derive (nfft_out, noverlap, overlap_scale, pad_out)
     (reference fourier.py:652-694)."""
-    if nfft_out is None:
-        nfft_out = nfft
+    nfft_out = nfft if nfft_out is None else nfft_out
 
-    try:
-        divisor = _COLA_WINDOW_SIZE_DIVISOR[window]
-    except KeyError:
+    divisor = _COLA_WINDOW_SIZE_DIVISOR.get(window)
+    if divisor is None:
         raise TypeError(
             'ola_filter argument "window" must be one of '
             '("hamming", "blackman", or "blackmanharris")'
         )
-
-    if nfft_out % divisor != 0:
+    if nfft_out % divisor:
         raise ValueError(
             f'{window!r} window COLA requires output nfft_out % {divisor} == 0'
         )
 
     overlap_scale = _COLA_OVERLAP_SCALE[window]
-
     noverlap = round(nfft_out * overlap_scale)
 
-    if noverlap > 0 and array_size % noverlap != 0:
-        if extend:
-            pad_out = array_size % noverlap
-        else:
-            raise ValueError(
-                f'x.size ({array_size}) is not an integer multiple of noverlap ({noverlap})'
-            )
-    else:
-        pad_out = 0
+    remainder = array_size % noverlap if noverlap > 0 else 0
+    if remainder and not extend:
+        raise ValueError(
+            f'x.size ({array_size}) is not an integer multiple '
+            f'of noverlap ({noverlap})'
+        )
 
-    return nfft_out, noverlap, overlap_scale, pad_out
+    return nfft_out, noverlap, overlap_scale, remainder
 
 
 def _istft_buffer_size(array_size: int, *, window, nfft_out: int, nfft: int, extend: bool):
@@ -415,15 +409,11 @@ def _fir_lowpass_fft(
     if cutoff == float('inf'):
         h = np.ones(size, dtype=dtype)
     else:
-        freqs = [
-            0,
-            cutoff,
-            cutoff + transition,
-            sample_rate / 2,
-        ]
-        h = signal.firwin2(
-            size, freqs, [1.0, 1, 0.0, 0.0], window=window, fs=sample_rate
-        )
+        # unity gain through the cutoff, falling to zero across the
+        # transition span and held at zero out to Nyquist
+        grid = (0, cutoff, cutoff + transition, sample_rate / 2)
+        gains = (1.0, 1, 0.0, 0.0)
+        h = signal.firwin2(size, grid, gains, window=window, fs=sample_rate)
 
     taps = np.asarray(h).astype(dtype)
     w = get_window('rect', size, xp=np, dtype=dtype, fftshift=True)
@@ -464,28 +454,24 @@ def _find_downsample_copy_range(
 ):
     """frequency-domain copy bounds for rational downsampling
     (reference fourier.py:815-847)."""
-    if edge_in_start is None:
-        edge_in_start = 0
-    if edge_in_end is None:
-        edge_in_end = nfft_in
-    passband_size = edge_in_end - edge_in_start
-    passband_center = (edge_in_end + edge_in_start) // 2
+    lo = 0 if edge_in_start is None else edge_in_start
+    hi = nfft_in if edge_in_end is None else edge_in_end
+    center = (hi + lo) // 2
 
-    max_copy_size = min(passband_size, nfft_out)
-    copy_in_start = max(passband_center - max_copy_size // 2, 0)
-    copy_in_end = min(passband_center - max_copy_size // 2 + max_copy_size, nfft_in)
-    copy_size = copy_in_end - copy_in_start
+    # source window: up to nfft_out bins centered on the passband,
+    # clamped into the input spectrum
+    span = min(hi - lo, nfft_out)
+    src_lo = max(center - span // 2, 0)
+    src_hi = min(center - span // 2 + span, nfft_in)
+    n_copied = src_hi - src_lo
+    assert 0 <= n_copied <= nfft_out, (n_copied, nfft_out)
 
-    assert copy_size <= nfft_out, (copy_size, nfft_out)
-    assert copy_size >= 0, copy_size
+    # destination window: centered in the output spectrum
+    dst_lo = (nfft_out - n_copied) // 2
+    dst_hi = dst_lo + n_copied
+    assert dst_hi <= nfft_out
 
-    output_zeros_size = max(nfft_out - copy_size, 0)
-    copy_out_start = output_zeros_size // 2
-    copy_out_end = copy_out_start + copy_size
-
-    assert copy_out_end <= nfft_out
-
-    return (copy_out_start, copy_out_end), (copy_in_start, copy_in_end), passband_center
+    return (dst_lo, dst_hi), (src_lo, src_hi), center
 
 
 @lru_cache(16)
@@ -523,14 +509,16 @@ def downsample_stft(
             f'bin spacing (stft axis has {y.shape[ax]})'
         )
 
+    nfft_in = y.shape[ax]
     shape_out = list(y.shape)
     shape_out[ax] = nfft_out
 
+    # map the requested passband onto input-bin bounds, then solve the
+    # centered copy windows between the two spectra
     freq_step = float(freqs[1] - freqs[0])
-    fs = y.shape[ax] * freq_step
-    passband_start, passband_end = _freq_band_edges(y.shape[ax], 1 / fs, *passband)
+    band_bins = _freq_band_edges(nfft_in, 1 / (nfft_in * freq_step), *passband)
     bounds_out, bounds_in, _ = _find_downsample_copy_range(
-        y.shape[ax], nfft_out, passband_start, passband_end
+        nfft_in, nfft_out, *band_bins
     )
     freqs_out = _find_downsampled_freqs(nfft_out, freq_step, xp=np)
 
@@ -672,6 +660,22 @@ def _centered_shift_bounds(nfft_in: int, nfft_out: int, shift: int, *, what='shi
     return lo, hi
 
 
+def _fit_spectrum_width(y, nfft_out: int, edge_low, edge_high, *, axis: int):
+    """resize a centered spectrum along ``axis`` to nfft_out bins:
+    slice the (possibly shifted) copy window when narrowing, zero-pad
+    symmetrically when widening (reference fourier.py:1596-1607 and
+    :1690-1700 share this step)."""
+    nfft_in = y.shape[axis]
+    if nfft_out < nfft_in:
+        bounds = _find_downsample_copy_range(nfft_in, nfft_out, edge_low, edge_high)
+        return axis_slice(y, *bounds[1], axis=axis)
+    if nfft_out > nfft_in:
+        grow = nfft_out - nfft_in
+        pads = [[grow // 2, grow - grow // 2]]
+        return pad_along_axis(y, pads, axis=axis)
+    return y
+
+
 def resample(
     x,
     num: int,
@@ -729,13 +733,7 @@ def resample(
     else:  # domain == 'freq'
         y = x * resample_scale
 
-    if nfft_out < nfft_in:
-        bounds = _find_downsample_copy_range(nfft_in, nfft_out, edge_low, edge_high)[1]
-        y = axis_slice(y, *bounds, axis=axis)
-    elif nfft_out > nfft_in:
-        pad_left = (nfft_out - nfft_in) // 2
-        pad_right = pad_left + (nfft_out - nfft_in) % 2
-        y = pad_along_axis(y, [[pad_left, pad_right]], axis=axis)
+    y = _fit_spectrum_width(y, nfft_out, edge_low, edge_high, axis=axis)
 
     if odd or y.shape[axis] % 2 != 0:
         return ifft(xp.fft.ifftshift(y, axes=axis), axis=axis)
@@ -762,6 +760,10 @@ def oaresample(
     (reference fourier.py:1627-1725), with optional STFT-domain FIR lowpass
     and output power rescale.
     """
+    if down < 1 or up < 1:
+        raise ValueError(
+            f'up ({up}) and down ({down}) must be positive integers'
+        )
     nfft = down
     nfft_out = up
     size_in = x.size
@@ -774,12 +776,16 @@ def oaresample(
         extend=True,
     )
 
-    if frequency_shift != 0 and down < up:
+    if frequency_shift == 0:
+        shift_bins = 0
+    elif down < up:
         raise ValueError('frequency_shift is only supported when downsampling')
-    if frequency_shift != 0 and not isroundmod(frequency_shift, fs / nfft):
+    elif not isroundmod(frequency_shift, fs / nfft):
         raise ValueError('frequency_shift must be a multiple of fs/up')
+    else:
+        shift_bins = round(frequency_shift / (fs / nfft))
     edge_low, edge_high = _centered_shift_bounds(
-        nfft, nfft_out, round(frequency_shift / (fs / nfft)), what='frequency_shift'
+        nfft, nfft_out, shift_bins, what='frequency_shift'
     )
 
     y = stft(
@@ -793,13 +799,7 @@ def oaresample(
         return_axis_arrays=False,
     )
 
-    if nfft_out < nfft:
-        bounds = _find_downsample_copy_range(nfft, nfft_out, edge_low, edge_high)[1]
-        y = axis_slice(y, *bounds, axis=axis + 1)
-    elif nfft_out > nfft:
-        pad_left = (nfft_out - nfft) // 2
-        pad_right = pad_left + (nfft_out - nfft) % 2
-        y = pad_along_axis(y, [[pad_left, pad_right]], axis=axis + 1)
+    y = _fit_spectrum_width(y, nfft_out, edge_low, edge_high, axis=axis + 1)
 
     if filter_bandwidth is not None and np.isfinite(filter_bandwidth):
         y = stft_fir_lowpass(

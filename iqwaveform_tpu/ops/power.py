@@ -184,9 +184,8 @@ def _repackage_arraylike(values, obj, *, unit_transform=None):
     xr = optional_import('xarray')
     if xr is not None and isinstance(obj, xr.DataArray):
         ret = obj.copy(deep=False, data=np.asarray(values))
-        units = ret.attrs.get('units', None)
-        if units is not None and unit_transform is not None:
-            ret.attrs['units'] = unit_transform(units)
+        if unit_transform is not None and ret.attrs.get('units') is not None:
+            ret.attrs['units'] = unit_transform(ret.attrs['units'])
         return ret
 
     raise TypeError(f'unrecognized input type {type(obj)}')
@@ -313,12 +312,11 @@ def iq_to_bin_power(
     """
     xp = array_namespace(iq)
 
-    if truncate or isroundmod(Tbin, Ts):
-        N = round(Tbin / Ts)
-    else:
+    if not truncate and not isroundmod(Tbin, Ts):
         raise ValueError(
             f'bin period ({Tbin} s) must be multiple of waveform sample period ({Ts})'
         )
+    N = round(Tbin / Ts)
     if N < 1:
         raise ValueError(
             f'bin period ({Tbin} s) must cover at least one sample period ({Ts} s)'
@@ -372,27 +370,27 @@ def iq_to_cyclic_power(
         xp = array_namespace(x)
         if detectors is None:
             raise ValueError(
-                'supply detectors argument to evaluate binned power from time domain IQ'
+                'supply detectors argument to evaluate binned power from '
+                'time domain IQ'
             )
-
-        power = {
-            d: iq_to_bin_power(
+        power = {}
+        for d in detectors:
+            power[d] = iq_to_bin_power(
                 x, Ts, detector_period, kind=d, truncate=truncate, axis=axis
             )
-            for d in detectors
-        }
 
     elif domain == Domain.TIME_BINNED_POWER:
-        power = x
-        if not isinstance(power, dict):
+        if not isinstance(x, dict):
             raise TypeError(
-                'in time-binned power domain, expected dict input keyed by detector'
+                'in time-binned power domain, expected dict input keyed '
+                'by detector'
             )
+        power = x
         if detectors is None:
-            detectors = tuple(x.keys())
-        elif set(x.keys()) != set(detectors):
+            detectors = tuple(power.keys())
+        elif set(detectors) != set(power.keys()):
             raise ValueError('input data keys do not match supplied detectors')
-        xp = array_namespace(power[tuple(detectors)[0]])
+        xp = array_namespace(next(iter(power.values())))
     else:
         raise ValueError(f'unsupported input domain {domain}')
 
@@ -472,12 +470,14 @@ def unstack_series_to_bins(pvt, Tbin: float, truncate: bool = False):
         )
 
     N = int(np.rint(Tbin / Ts))
+    n_rows = pvt.shape[0] // N
+    pvt = pvt.iloc[: n_rows * N]
 
-    pvt = pvt.iloc[: N * (pvt.shape[0] // N)]
-
-    values = pvt.values.reshape(pvt.shape[0] // N, N)
-
-    df = pd.DataFrame(values, index=pvt.index[::N], columns=pvt.index[:N])
+    df = pd.DataFrame(
+        pvt.values.reshape(n_rows, N),
+        index=pvt.index[::N],
+        columns=pvt.index[:N],
+    )
     df.columns.name = 'Analysis window time elapsed (s)'
     # pandas >= 3 removed TimedeltaIndex(unit=); to_timedelta is equivalent
     df.index = pd.to_timedelta(np.asarray(df.index, dtype='float64'), unit='s')

@@ -402,15 +402,14 @@ def channelize_power(
         freqs = freqs[skip_bins // 2 : -(skip_bins // 2)]
 
     if channel_count == 1:
-        channel_power = power_analysis.envtopow(X).sum(axis=axis + 1)
-        return times, channel_power
-    else:
-        freqs = to_blocks(freqs, analysis_bins_per_channel)
-        X = to_blocks(X, analysis_bins_per_channel, axis=axis + 1)
+        return times, power_analysis.envtopow(X).sum(axis=axis + 1)
 
-        channel_power = power_analysis.envtopow(X).sum(axis=axis + 2)
-
-        return freqs[0], times, channel_power
+    # group the bin axis into (channel, bin-in-channel) and reduce the
+    # per-channel minor axis
+    by_channel = to_blocks(X, analysis_bins_per_channel, axis=axis + 1)
+    channel_power = power_analysis.envtopow(by_channel).sum(axis=axis + 2)
+    channel_freqs = to_blocks(freqs, analysis_bins_per_channel)[0]
+    return channel_freqs, times, channel_power
 
 
 @lru_cache()

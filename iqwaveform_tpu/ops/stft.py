@@ -128,10 +128,11 @@ def _stack_stft_windows(x, window, nperseg: int, noverlap: int, norm=None, axis=
     hop_size = nperseg - noverlap
     xstacked = _gather_frames(x, nperseg, noverlap, axis=axis)
 
-    if norm is None:
-        scale = xp.abs(window[::hop_size]).sum()
-    elif norm == 'power':
+    if norm == 'power':
         scale = 1
+    elif norm is None:
+        # COLA normalization: hop-strided window taps sum to the overlap gain
+        scale = xp.abs(window[::hop_size]).sum()
     else:
         raise ValueError(
             f"invalid normalization argument '{norm}' (should be 'power' or None)"
@@ -235,24 +236,23 @@ def stft(
     if norm not in ('power', None):
         raise TypeError('norm must be "power" or None')
 
-    if window is None:
-        window = 'rect'
+    window = 'rect' if window is None else window
 
     # windows are built and cached in host numpy: a cached device-resident
     # window closed over by a later jit trace would need a device->host
     # copy at lowering (unsupported for complex dtypes on the axon tunnel);
     # numpy constants embed into traces directly
-    if isinstance(window, str) or (
+    named_window = isinstance(window, str) or (
         isinstance(window, tuple) and isinstance(window[0], str)
-    ):
-        should_norm = norm == 'power'
+    )
+    if named_window:
         w = get_window(
             window,
             nfft - nzero,
             nzero=nzero,
             xp=np,
             dtype=x.dtype,
-            norm=should_norm,
+            norm=(norm == 'power'),
             fftshift=True,
         )
     else:
@@ -371,14 +371,8 @@ def spectrogram(
         fft_backend=fft_backend,
     )
 
-    if return_axis_arrays:
-        freqs, times, X = ret
-    else:
-        X = ret
+    if not return_axis_arrays:
+        return power_analysis.envtopow(ret)
 
-    spg = power_analysis.envtopow(X)
-
-    if return_axis_arrays:
-        return freqs, times, spg
-    else:
-        return spg
+    freqs, times, X = ret
+    return freqs, times, power_analysis.envtopow(X)

@@ -126,12 +126,11 @@ def _enbw_uncached(window, N, fftbins=True, cached=True, xp=np):
     getter = get_window if cached else _get_window_uncached
     w = getter(window, N, fftbins=fftbins, xp=xp)
     # ratio of incoherent to coherent gain, scaled to bins
-    return len(w) * xp.sum(w**2) / xp.sum(w) ** 2
+    return w.size * xp.sum(w**2) / xp.sum(w) ** 2
 
 
-equivalent_noise_bandwidth = functools.wraps(_enbw_uncached)(
-    functools.lru_cache()(_enbw_uncached)
-)
+_enbw_cached = functools.lru_cache()(_enbw_uncached)
+equivalent_noise_bandwidth = functools.wraps(_enbw_uncached)(_enbw_cached)
 
 
 @lru_cache()
@@ -156,7 +155,8 @@ def find_window_param_from_enbw(
         raise ValueError('enbw must be greater than 1')
 
     def err(x):
-        return _enbw_uncached((window_name, x), nfft, cached=False, xp=xp) - enbw
+        estimate = _enbw_uncached((window_name, x), nfft, cached=False, xp=xp)
+        return estimate - enbw
 
     # bracket seeds: kaiser beta ~ pi * NW and dpss NW both scale as
     # enbw**2 (see the reference's convergence notes), capped by the

@@ -43,10 +43,11 @@ def lazy_import(module_name: str):
     spec = importlib.util.find_spec(module_name)
     if spec is None:
         raise ImportError(f'no module found named "{module_name}"')
-    spec.loader = importlib.util.LazyLoader(spec.loader)
+    lazy = importlib.util.LazyLoader(spec.loader)
+    spec.loader = lazy
     module = importlib.util.module_from_spec(spec)
     sys.modules[module_name] = module
-    spec.loader.exec_module(module)
+    lazy.exec_module(module)
     return module
 
 

@@ -61,24 +61,19 @@ def to_blocks(y, size: int, truncate: bool = False, axis: int = 0):
     if y.size == 0:
         raise IndexError('cannot form blocks on arrays of size 0')
 
-    ax_size = y.shape[axis]
-    if ax_size % size != 0:
+    pos = axis + y.ndim if axis < 0 else axis
+    n_blocks, remainder = divmod(y.shape[pos], size)
+    if remainder:
         if not truncate:
             raise ValueError(
-                f'axis 0 size {ax_size} is not a factor of block size {size}'
+                f'axis 0 size {y.shape[pos]} is not a factor of block size {size}'
             )
-        slices = len(y.shape) * [slice(None, None)]
-        slices[axis] = slice(None, size * (ax_size // size))
-        y = y[tuple(slices)]
-        ax_size = y.shape[axis]
+        keep = [slice(None)] * y.ndim
+        keep[pos] = slice(0, n_blocks * size)
+        y = y[tuple(keep)]
 
-    if axis == -1:
-        shape_after = ()
-    else:
-        shape_after = y.shape[axis + 1 :]
-    newshape = y.shape[:axis] + (ax_size // size, size) + shape_after
-
-    return y.reshape(newshape)
+    blocked = y.shape[:pos] + (n_blocks, size) + y.shape[pos + 1 :]
+    return y.reshape(blocked)
 
 
 @functools.cache
@@ -87,17 +82,18 @@ def _pad_slices_to_dim(ndim: int, axis: int):
     if not isinstance(axis, int):
         raise TypeError('axis argument must be integer')
 
-    if axis < 0:
-        axis = ndim + axis
-        if axis < 0:
-            raise ValueError(f'axis {axis} exceeds the number of dimensions')
+    pos = axis + ndim if axis < 0 else axis
+    if pos < 0:
+        raise ValueError(f'axis {pos} exceeds the number of dimensions')
 
-    if axis <= ndim // 2:
-        before = (slice(None),) * axis
+    # pick the shorter spelling: explicit leading slices for front-half
+    # axes, an Ellipsis prefix with trailing slices otherwise
+    if pos <= ndim // 2:
+        before = (slice(None),) * pos
         after = ()
     else:
         before = (Ellipsis,)
-        after = (slice(None),) * (ndim - axis - 1)
+        after = (slice(None),) * (ndim - pos - 1)
 
     return before, after
 
@@ -152,30 +148,30 @@ def sliding_window_output_shape(
 
     ndim = len(array_shape)
     if axis is None:
-        axis = tuple(range(ndim))
-        if len(window_shape) != len(axis):
+        if len(window_shape) != ndim:
             raise ValueError(
                 f'Since axis is `None`, must provide window_shape for all '
                 f'dimensions of `x`; got {len(window_shape)} window_shape '
                 f'elements and `x.ndim` is {ndim}.'
             )
+        axis = tuple(range(ndim))
     else:
-        if isinstance(axis, Number):
-            axis = (int(axis),)
+        axis = (int(axis),) if isinstance(axis, Number) else tuple(axis)
         axis = tuple(ax % ndim for ax in axis)
-        if len(window_shape) != len(axis):
+        if len(axis) != len(window_shape):
             raise ValueError(
                 f'Must provide matching length window_shape and axis; got '
                 f'{len(window_shape)} window_shape elements and {len(axis)} '
                 f'axes elements.'
             )
 
-    x_shape_trimmed = list(array_shape)
-    for ax, dim in zip(axis, window_shape):
-        if x_shape_trimmed[ax] < dim:
+    # each windowed axis loses (span - 1) positions; window spans append
+    trimmed = list(array_shape)
+    for ax, span in zip(axis, window_shape):
+        if array_shape[ax] < span:
             raise ValueError('window shape cannot be larger than input array shape')
-        x_shape_trimmed[ax] -= dim - 1
-    return tuple(x_shape_trimmed) + window_shape
+        trimmed[ax] += 1 - span
+    return tuple(trimmed) + window_shape
 
 
 def sliding_window_view(x, window_shape, axis=None, *, subok=False, writeable=False):
@@ -327,23 +323,21 @@ def histogram_last_axis(x, bins, range: tuple = None):
 
 
 def iter_along_axes(x, axes) -> typing.Iterable[tuple]:
-    """(reference util.py:571-589)"""
-    empty_slice = slice(None, None)
+    """iterate index tuples enumerating every position along ``axes``
+    while slicing the remaining dimensions whole
+    (reference util.py:571-589)."""
+    keep_all = slice(None, None)
     if axes is None:
-        return (empty_slice,)
-    elif isinstance(axes, Number):
+        return (keep_all,)
+    if isinstance(axes, Number):
         axes = (axes,)
 
-    axes = [(ax if ax >= 0 else ax + x.ndim) for ax in axes]
-
-    ax_inds = []
-    for i in range(x.ndim):
-        if i in axes:
-            ax_inds.append(tuple((n,) for n in range(x.shape[i])))
-        else:
-            ax_inds.append((empty_slice,))
-
-    return itertools.product(*ax_inds)
+    wanted = {ax % x.ndim for ax in axes}
+    per_axis = [
+        tuple((n,) for n in range(x.shape[dim])) if dim in wanted else (keep_all,)
+        for dim in range(x.ndim)
+    ]
+    return itertools.product(*per_axis)
 
 
 @lru_cache()
@@ -353,43 +347,43 @@ def grouped_slices_along_axis(shape: tuple, max_size: int, axis: int):
     lax.scan chunk sizes for streaming reductions instead of bounding a
     cufft workspace."""
     if axis < 0:
-        axis = len(shape) + axis
+        axis += len(shape)
 
-    size_rest = math.prod(shape)
-    slices_per_ax = []
-    for iax, n in enumerate(shape):
-        if iax == axis or size_rest < max_size:
-            slices_per_ax.append((slice(None, None),))
+    # `remaining` is the element count not yet split by earlier axes;
+    # split each non-spared axis just enough to bring it under max_size
+    remaining = math.prod(shape)
+    per_axis = []
+    for dim, n in enumerate(shape):
+        if dim == axis or remaining < max_size:
+            per_axis.append((slice(None, None),))
             continue
 
-        want_count = max(ceildiv_local(size_rest, max_size), 1)
-        count = min(want_count, n)
+        count = min(n, max(1, ceildiv_local(remaining, max_size)))
         step = n // count
+        per_axis.append(
+            tuple(slice(lo, min(lo + step, n)) for lo in range(0, n, step))
+        )
+        remaining //= count
 
-        new = tuple(slice(i, min(n, i + step)) for i in range(0, n, step))
-        slices_per_ax.append(new)
-        size_rest = size_rest // count
-
-    return slices_per_ax
+    return per_axis
 
 
 def ceildiv_local(a, b):
-    return -(-a // b)
+    return -(a // -b)
 
 
 def grouped_views_along_axis(x, max_size: int, axis: int = 0):
-    """(reference util.py:623-640)"""
+    """yield <= max_size-element views of x, chunked on every axis except
+    ``axis`` (reference util.py:623-640)."""
     if x.size < max_size:
         yield x
         return
 
-    ax_steps = grouped_slices_along_axis(x.shape, max_size, axis)
-    slices = itertools.product(*ax_steps)
+    produced = False
+    chunk_grid = grouped_slices_along_axis(x.shape, max_size, axis)
+    for index in itertools.product(*chunk_grid):
+        produced = True
+        yield x[index]
 
-    empty = True
-    for slice_ in slices:
-        empty = False
-        yield x[slice_]
-
-    if empty:
+    if not produced:
         yield x
