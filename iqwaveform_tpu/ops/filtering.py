@@ -764,14 +764,14 @@ def oaresample(
         raise ValueError(
             f'up ({up}) and down ({down}) must be positive integers'
         )
-    nfft = down
-    nfft_out = up
     size_in = x.size
+    nfft = down
 
+    # COLA-valid overlap for the requested output size
     nfft_out, noverlap, overlap_scale, _ = _ola_filter_parameters(
-        int(x.size),
+        int(size_in),
         window=window,
-        nfft_out=nfft_out,
+        nfft_out=up,
         nfft=nfft,
         extend=True,
     )

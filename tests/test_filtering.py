@@ -259,6 +259,14 @@ def test_oaresample_rate_and_tone(updown):
     )
 
 
+@pytest.mark.parametrize('updown', [(0, 512), (512, 0), (-1, 256)])
+def test_oaresample_rejects_nonpositive_rates(updown):
+    up, down = updown
+    x = make_tone_noise(4096, fs=1e6, f_tone=31.25e3, snr_db=40)
+    with pytest.raises(ValueError, match='positive'):
+        fourier.oaresample(x, up, down, 1e6, axis=0)
+
+
 def test_zero_stft_by_freq():
     fs = 1e6
     x = make_tone_noise(512 * 16, fs=fs)
