@@ -165,7 +165,14 @@ def upfirdn(
     if up < 1 or down < 1:
         raise ValueError('Both up and down must be >= 1')
 
-    if np.asarray(h).ndim != 1 or np.asarray(h).size == 0:
+    # validate via metadata so traced taps (e.g. differentiating a learned
+    # filter with jax.grad) pass through without materialization
+    h_ndim = getattr(h, 'ndim', None)
+    h_size = getattr(h, 'size', None)
+    if h_ndim is None or h_size is None:
+        h = np.asarray(h)
+        h_ndim, h_size = h.ndim, h.size
+    if h_ndim != 1 or h_size == 0:
         raise ValueError('h must be 1D with non-zero length')
 
     xp = array_namespace(x)
