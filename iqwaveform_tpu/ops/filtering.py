@@ -760,10 +760,11 @@ def oaresample(
     (reference fourier.py:1627-1725), with optional STFT-domain FIR lowpass
     and output power rescale.
     """
-    if down < 1 or up < 1:
+    if down < 1 or up < 1 or up != int(up) or down != int(down):
         raise ValueError(
             f'up ({up}) and down ({down}) must be positive integers'
         )
+    up, down = int(up), int(down)
     size_in = x.size
     nfft = down
 

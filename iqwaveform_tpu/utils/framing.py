@@ -332,7 +332,9 @@ def iter_along_axes(x, axes) -> typing.Iterable[tuple]:
     if isinstance(axes, Number):
         axes = (axes,)
 
-    wanted = {ax % x.ndim for ax in axes}
+    # normalize negatives only: out-of-range axes simply match nothing
+    # (reference semantics — every dimension then gets the whole slice)
+    wanted = {ax if ax >= 0 else ax + x.ndim for ax in axes}
     per_axis = [
         tuple((n,) for n in range(x.shape[dim])) if dim in wanted else (keep_all,)
         for dim in range(x.ndim)

@@ -144,6 +144,9 @@ def main():
         src_files = [Path(p).resolve() for p in args.src]
     else:
         src_files = sorted((REPO / 'iqwaveform_tpu').rglob('*.py'))
+        src_files += sorted((REPO / 'scripts').glob('*.py'))
+        src_files += sorted((REPO / 'native').glob('*.py'))
+        src_files += sorted((REPO / 'examples').glob('*.py'))
         src_files += sorted(REPO.glob('*.py'))
 
     found = 0

@@ -259,7 +259,7 @@ def test_oaresample_rate_and_tone(updown):
     )
 
 
-@pytest.mark.parametrize('updown', [(0, 512), (512, 0), (-1, 256)])
+@pytest.mark.parametrize('updown', [(0, 512), (512, 0), (-1, 256), (512, 256.5)])
 def test_oaresample_rejects_nonpositive_rates(updown):
     up, down = updown
     x = make_tone_noise(4096, fs=1e6, f_tone=31.25e3, snr_db=40)

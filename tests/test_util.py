@@ -172,6 +172,17 @@ def test_grouped_views_along_axis():
     assert total == x.size
 
 
+def test_iter_along_axes_out_of_range_axis_ignored():
+    """out-of-range axes match no dimension (reference util.py:571-589
+    semantics): every dimension then gets the whole slice."""
+    from iqwaveform_tpu.utils.framing import iter_along_axes
+
+    x = np.zeros((3, 4))
+    assert list(iter_along_axes(x, (2,))) == [(slice(None), slice(None))]
+    # negative in-range axes normalize; -1 enumerates the last dimension
+    assert len(list(iter_along_axes(x, (-1,)))) == 4
+
+
 def test_counter_fold_exact_beyond_float32():
     """(hi, lo) pair counters accumulate exactly past 2**24, where plain
     float32 addition starts dropping small increments."""
