@@ -36,16 +36,32 @@ from ..ops.filtering import (
     _freq_band_edges,
     _ola_filter_parameters,
 )
+from ..ops.stft import _window_dtype_like
 from ..ops.window_design import equivalent_noise_bandwidth, get_window
 from .mesh import TIME_AXIS, Mesh
 
 __all__ = [
+    'ccdf_from_counts',
+    'columnwise_histogram',
+    'quantile_from_histogram',
+    'sharded_apd_histogram',
     'sharded_channelize_power',
-    'sharded_spectrogram',
     'sharded_ola_filter',
     'sharded_psd_stats',
-    'sharded_apd_histogram',
+    'sharded_spectrogram',
+    'sharded_stft',
 ]
+
+
+def _check_shard_covers_halo(shard_size: int, noverlap: int):
+    """the halo exchange reaches only the immediate right neighbor, so a
+    per-device shard shorter than noverlap cannot supply its neighbor's
+    overlap window — fail loudly instead of framing past the halo."""
+    if noverlap > shard_size:
+        raise ValueError(
+            f'per-device shard size ({shard_size}) must be at least '
+            f'noverlap ({noverlap}); use fewer devices or a longer capture'
+        )
 
 
 def _right_halo(x_local, halo: int, axis_name):
@@ -97,9 +113,12 @@ def _sharded_stft_local(x_local, *, w, nperseg, noverlap, norm, axis_name):
     # framing divide by the COLA sum of |window/nfft| at hop strides —
     # which cancels the 1/nfft (fourier.py:571-580,1019)
     if norm is None and noverlap > 0:
-        wind = (w / jnp.abs(w[::hop]).sum()).astype(frames.dtype)
+        wind = w / jnp.abs(w[::hop]).sum()
     else:
-        wind = (w / nperseg).astype(frames.dtype)
+        wind = w / nperseg
+    # keep a complex baked-fftshift ramp intact for real inputs
+    # (ops.stft._window_dtype_like semantics, docs/PARITY.md)
+    wind = _window_dtype_like(wind, frames, jnp)
     return jnp.fft.fft(frames * wind[None, :], axis=1)
 
 
@@ -119,6 +138,8 @@ def sharded_stft(
     of hop. Output: frames sharded along the frame axis, P(axis_name).
     Tail frames overlapping the capture end use zero padding.
     """
+    if norm not in ('power', None):
+        raise TypeError('norm must be "power" or None')
     hop = nperseg - noverlap
     n_dev = mesh.shape[axis_name]
     if x.shape[0] % (n_dev * hop):
@@ -126,6 +147,7 @@ def sharded_stft(
             f'capture size {x.shape[0]} must be a multiple of '
             f'n_devices*hop = {n_dev * hop}'
         )
+    _check_shard_covers_halo(x.shape[0] // n_dev, noverlap)
 
     w = get_window(
         window,
@@ -280,20 +302,17 @@ def _sharded_ola_body(
         if zero_hi is not None and zero_hi < nfft:
             Y = Y.at[:, zero_hi:].set(0)
 
-        # downsample_stft semantics (fourier.py:866-924): copy the
-        # passband range, zero-fill the rest
+        # downsample_stft semantics (fourier.py:866-924) in BOTH
+        # directions: copy the passband-centered source window into the
+        # centered destination window, zero-fill the rest (the upsample
+        # case must re-center an off-center passband too)
         if nfft_out != nfft:
-            if nfft_out < nfft:
-                ysel = Y[:, bounds_in[0] : bounds_in[1]]
-                if tuple(bounds_out) == (0, nfft_out):
-                    Y = ysel
-                else:
-                    Y = jnp.zeros(Y.shape[:1] + (nfft_out,), dtype=Y.dtype)
-                    Y = Y.at[:, bounds_out[0] : bounds_out[1]].set(ysel)
+            ysel = Y[:, bounds_in[0] : bounds_in[1]]
+            if tuple(bounds_out) == (0, nfft_out):
+                Y = ysel
             else:
-                pad_left = (nfft_out - nfft) // 2
-                pad_right = pad_left + (nfft_out - nfft) % 2
-                Y = jnp.pad(Y, ((0, 0), (pad_left, pad_right)))
+                Y = jnp.zeros(Y.shape[:1] + (nfft_out,), dtype=Y.dtype)
+                Y = Y.at[:, bounds_out[0] : bounds_out[1]].set(ysel)
         return Y
 
     wind = (w_in / jnp.abs(w_in[::hop_in]).sum()).astype(x_local.dtype)
@@ -310,8 +329,8 @@ def _sharded_ola_body(
     if grouped:
         # gather-free path: R contiguous shifted reshapes in, R contiguous
         # slice-adds out
-        xr = jnp.zeros((out_len,), dtype=x_ext.dtype)
         M = n_frames // R_in
+        group_adds = []
         for g in range(R_in):
             frames_g = jax.lax.dynamic_slice(
                 x_ext, (g * hop_in,), (M * nfft,)
@@ -331,7 +350,14 @@ def _sharded_ola_body(
             flat = xg.reshape(-1)  # group frames are output-contiguous
             start = g * hop_out
             length = min(flat.shape[0], out_len - start)
-            xr = xr.at[start : start + length].add(flat[:length])
+            group_adds.append((start, flat[:length]))
+
+        # allocate with the IFFT result dtype: a real input still produces
+        # a complex stream, and a float buffer would silently drop the
+        # imaginary part in the scatter-add
+        xr = jnp.zeros((out_len,), dtype=group_adds[0][1].dtype)
+        for start, flat in group_adds:
+            xr = xr.at[start : start + flat.shape[0]].add(flat)
     else:
         frames = _local_frames(x_ext, nfft, hop_in, n_frames)
         Y = fft_fn(frames * wind[None, :], axis=1)
@@ -393,6 +419,7 @@ def sharded_ola_filter(
             f'capture size {x.shape[0]} must be a multiple of '
             f'n_devices*hop = {n_dev * hop_in}'
         )
+    _check_shard_covers_halo(x.shape[0] // n_dev, noverlap_in)
 
     dtype_name = np.dtype(x.dtype).name
     w_in = get_window(window, nfft, xp=np, dtype=dtype_name, fftshift=True)
@@ -669,7 +696,10 @@ def sharded_apd_histogram(x, *, mesh: Mesh, edges, axis_name: str = TIME_AXIS):
     Feed the result to `ccdf_from_counts` for the APD/CCDF (the sharded
     counterpart of ops.power.sample_ccdf, power_analysis.py:552-580).
     """
-    edges_pow = jnp.asarray(edges)
+    # keep edges host-side: a device-resident constant closed over by the
+    # trace needs a D2H at lowering on the axon tunnel (CLAUDE.md);
+    # histogram_edge_counts promotes inside the trace
+    edges_pow = np.asarray(edges)
     fn = jax.shard_map(
         functools.partial(_apd_body, edges_pow=edges_pow, axis_name=axis_name),
         mesh=mesh,

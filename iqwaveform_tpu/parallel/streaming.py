@@ -53,18 +53,43 @@ def _leaf_to_host(v):
         return np.asarray(v)
     shape, dtype = v.shape, v.dtype
     if jnp.issubdtype(dtype, jnp.integer):
-        hi, lo = jax.jit(
-            lambda a: (
-                (a.reshape(-1) >> 12).astype(jnp.float32),
-                (a.reshape(-1) & 0xFFF).astype(jnp.float32),
+        if jnp.iinfo(dtype).bits <= 32:
+            # two planes: |hi| < 2^20 and lo < 2^12 are exact in float32
+            hi, lo = jax.jit(
+                lambda a: (
+                    (a.reshape(-1) >> 12).astype(jnp.float32),
+                    (a.reshape(-1) & 0xFFF).astype(jnp.float32),
+                )
+            )(v)
+            out = np.asarray(hi).astype('int64') * 4096 + np.asarray(lo).astype(
+                'int64'
             )
-        )(v)
-        out = np.asarray(hi).astype('int64') * 4096 + np.asarray(lo).astype(
-            'int64'
-        )
+        else:
+            # int64 (jax_enable_x64): three 20-bit planes keep every
+            # plane's magnitude under 2^24 so float32 carries it exactly
+            hi, mid, lo = jax.jit(
+                lambda a: (
+                    (a.reshape(-1) >> 40).astype(jnp.float32),
+                    ((a.reshape(-1) >> 20) & 0xFFFFF).astype(jnp.float32),
+                    (a.reshape(-1) & 0xFFFFF).astype(jnp.float32),
+                )
+            )(v)
+            out = (
+                np.asarray(hi).astype('int64') * (1 << 40)
+                + np.asarray(mid).astype('int64') * (1 << 20)
+                + np.asarray(lo).astype('int64')
+            )
         return out.reshape(shape).astype(np.dtype(dtype.name))
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        if dtype != jnp.complex64:
+            return np.asarray(v)
+        re, im = jax.jit(
+            lambda a: (a.reshape(-1).real, a.reshape(-1).imag)
+        )(v)
+        out = np.asarray(re) + 1j * np.asarray(im)
+        return out.reshape(shape).astype('complex64')
     if jnp.issubdtype(dtype, jnp.floating) and dtype != jnp.float32:
-        # carries are f32/int32; anything else takes the direct path
+        # float64 etc. take the direct path (exactness over axon-safety)
         return np.asarray(v)
     flat = jax.jit(lambda a: a.reshape(-1).astype(jnp.float32))(v)
     return np.asarray(flat).reshape(shape).astype(np.dtype(dtype.name))
@@ -118,8 +143,16 @@ def load_carry(path: str, like):
             f'{stored_treedef!r}) does not match `like` '
             f'({len(leaves)} leaves, {str(treedef)!r})'
         )
+    # mirror each `like` leaf's placement: host numpy leaves restore as
+    # host numpy (jnp.asarray would silently wrap int64 to int32 with
+    # jax_enable_x64 off); device leaves go back to the device
+    from ..utils.dispatch import is_jax_array
+
     restored = [
-        jnp.asarray(data[f'leaf_{i}']) for i in range(len(leaves))
+        jnp.asarray(data[f'leaf_{i}'])
+        if is_jax_array(leaf)
+        else data[f'leaf_{i}']
+        for i, leaf in enumerate(leaves)
     ]
     return jax.tree_util.tree_unflatten(treedef, restored)
 
@@ -570,6 +603,22 @@ def streaming_persistence_spectrum(
     n_chunks = x.shape[0] // chunk
     if n_chunks == 0:
         raise ValueError(f'capture shorter than one chunk ({chunk} samples)')
+
+    # fold whole trailing frames beyond the last full chunk rather than
+    # silently dropping up to chunk-1 samples; the pallas kernels need
+    # 131072-sample slabs, so that backend keeps only slab multiples
+    tail_keep = (x.shape[0] - n_chunks * chunk) // nfft * nfft
+    if fft_backend == 'pallas':
+        tail_keep -= tail_keep % (1024 * 128)
+    dropped = x.shape[0] - n_chunks * chunk - tail_keep
+    if dropped >= nfft:
+        import warnings
+
+        warnings.warn(
+            f'dropping {dropped} trailing samples '
+            f'(shorter than one {"pallas slab" if fft_backend == "pallas" else "frame"})'
+        )
+    tail = x[n_chunks * chunk : n_chunks * chunk + tail_keep]
     x = x[: n_chunks * chunk].reshape(n_chunks, chunk)
 
     design = design_persistence(
@@ -597,6 +646,8 @@ def streaming_persistence_spectrum(
     final, _ = jax.lax.scan(
         lambda c, cx: (persistence_fold(c, cx, design), None), init, x
     )
+    if tail_keep:
+        final = persistence_fold(final, tail, design)
 
     out = persistence_finalize(final, design, fs=fs, quantiles=quantiles)
     out['_carry'] = final
@@ -621,8 +672,12 @@ def apd_fold(counts, chunk, *, edges, navg: int = 1, kernel: str = 'auto'):
     """
     from ..utils.dispatch import is_jax_array
 
-    xr, xi = _chunk_planes(chunk)
-    p = xr * xr + xi * xi
+    if chunk.ndim == 1 and not jnp.iscomplexobj(chunk):
+        # already a real power series (sample_ccdf semantics): bin as-is
+        p = chunk
+    else:
+        xr, xi = _chunk_planes(chunk)
+        p = xr * xr + xi * xi
     if navg > 1:
         from ..ops.power import binned_mean_matmul
 

@@ -823,3 +823,130 @@ def test_carry_checkpoint_path_and_structure_guards(tmp_path):
     # a different pytree structure must be rejected
     with pytest.raises(ValueError, match='structure'):
         streaming.load_carry(path, {'a': jnp.zeros(3), 'b': jnp.zeros(3)})
+
+
+def test_sharded_stft_rejects_shard_smaller_than_noverlap(mesh):
+    """the halo reaches only the immediate right neighbor: a shard
+    shorter than noverlap must fail loudly, not frame past the halo."""
+    nperseg, noverlap = 256, 192
+    hop = nperseg - noverlap
+    x = make_tone_noise(8 * hop)  # shard = 64 < noverlap = 192
+    with pytest.raises(ValueError, match='noverlap'):
+        parallel.sharded_stft(
+            jnp.asarray(x), mesh=mesh, window='hamming',
+            nperseg=nperseg, noverlap=noverlap,
+        )
+
+
+def test_sharded_stft_rejects_invalid_norm(mesh):
+    x = make_tone_noise(8 * 256)
+    with pytest.raises(TypeError, match='norm'):
+        parallel.sharded_stft(
+            jnp.asarray(x), mesh=mesh, window='hamming', nperseg=256,
+            norm='spectrum',
+        )
+
+
+def test_sharded_ola_filter_real_input_keeps_imag(mesh):
+    """a real float32 input still produces a complex OLA stream; the
+    overlap-add buffer must not silently truncate the imaginary part."""
+    fs = 1e6
+    nfft = 512
+    n = 8 * (nfft // 2) * 16
+    x = np.asarray(make_tone_noise(n, fs=fs).real, dtype='float32')
+
+    ys = parallel.sharded_ola_filter(
+        jnp.asarray(x), mesh=mesh, fs=fs, nfft=nfft, window='hamming',
+        passband=(10e3, 2e5),  # asymmetric band -> complex output
+    )
+    assert np.iscomplexobj(np.asarray(ys))
+    y = np.asarray(
+        fourier.ola_filter(
+            x, fs=fs, nfft=nfft, window='hamming', passband=(10e3, 2e5),
+            extend=True,
+        )
+    )
+    m = min(ys.shape[0], y.shape[0]) - nfft // 2
+    np.testing.assert_allclose(np.asarray(ys)[:m], y[:m], atol=1e-4)
+    assert np.abs(np.asarray(ys)[:m].imag).max() > 0
+
+
+def test_sharded_ola_filter_upsample_offcenter_passband(mesh):
+    """upsampling must re-center an off-center passband exactly like the
+    single-device downsample_stft copy-range path."""
+    fs = 1e6
+    nfft, nfft_out = 256, 512
+    n = 8 * (nfft // 2) * 16
+    x = make_tone_noise(n, fs=fs, f_tone=200e3, snr_db=60)
+
+    kws = dict(fs=fs, nfft=nfft, nfft_out=nfft_out, window='hamming',
+               passband=(50e3, 450e3))
+    ys = np.asarray(
+        parallel.sharded_ola_filter(jnp.asarray(x), mesh=mesh, **kws)
+    )
+    y = np.asarray(fourier.ola_filter(x, extend=True, **kws))
+    m = min(ys.shape[0], y.shape[0]) - nfft_out
+    np.testing.assert_allclose(ys[:m], y[:m], atol=1e-4)
+
+
+def test_streaming_apd_real_power_input():
+    """1-D real input is already a power series (sample_ccdf semantics)
+    and must be binned as-is, not squared."""
+    rng = np.random.default_rng(0)
+    p = rng.uniform(0, 2.0, 50000).astype('float32')
+    edges = np.linspace(0, 2.1, 64).astype('float32')
+
+    counts = parallel.streaming_apd(jnp.asarray(p), edges=edges, chunk_size=8192)
+    ccdf = parallel.ccdf_from_counts(counts, p.shape[0])
+
+    from iqwaveform_tpu import sample_ccdf
+
+    expected = sample_ccdf(p, edges)
+    np.testing.assert_allclose(np.asarray(ccdf), expected, atol=1e-6)
+
+
+def test_streaming_persistence_folds_tail_frames():
+    """whole frames beyond the last full chunk fold into the statistics
+    instead of being silently dropped."""
+    fs = 1e6
+    nfft = 128
+    chunk_frames = 64
+    # 2 full chunks + 40 tail frames + a 17-sample sub-frame remainder
+    n = nfft * (chunk_frames * 2 + 40) + 17
+    x = make_tone_noise(n, fs=fs)
+
+    res = parallel.streaming_persistence_spectrum(
+        jnp.asarray(x), fs=fs, window='hann', nfft=nfft,
+        chunk_frames=chunk_frames, quantiles=(0.5,),
+    )
+
+    n_frames = n // nfft
+    freqs, times, spg = fourier.spectrogram(
+        x[: n_frames * nfft], fs=fs, window='hann', nperseg=nfft
+    )
+    spg_dB = 10 * np.log10(np.asarray(spg) + 1e-25)
+    assert spg_dB.shape[0] == n_frames
+    np.testing.assert_allclose(
+        np.asarray(res['mean_dB']), spg_dB.mean(axis=0), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res['max_dB']), spg_dB.max(axis=0), atol=1e-4
+    )
+
+
+def test_carry_checkpoint_wide_int_and_complex_leaves(tmp_path):
+    """int64 leaves past 2^36 and complex64 leaves roundtrip exactly
+    through the axon-safe float32 checkpoint channel."""
+    from iqwaveform_tpu.parallel.streaming import load_carry, save_carry
+
+    big = np.array([(1 << 45) + 12345, -(1 << 41) - 7, 3], dtype='int64')
+    cplx = (np.arange(6, dtype='float32') - 2.5 + 1j * np.arange(6, dtype='float32')).astype('complex64')
+    carry = {'counts': jnp.asarray(np.array([5, 1 << 20], 'int32')),
+             'big': big,  # host leaf passes straight through
+             'wave': jnp.asarray(cplx)}
+    path = str(tmp_path / 'carry')
+    save_carry(path, carry)
+    back = load_carry(path, carry)
+    np.testing.assert_array_equal(np.asarray(back['counts']), [5, 1 << 20])
+    np.testing.assert_array_equal(np.asarray(back['big']), big)
+    np.testing.assert_array_equal(np.asarray(back['wave']), cplx)
