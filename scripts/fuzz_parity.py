@@ -453,6 +453,108 @@ def fuzz_streaming_apd(rng):
         raise AssertionError(f'streaming_apd {params}: cum delta {cum}')
 
 
+def fuzz_streaming_tail(rng):
+    """non-chunk-multiple captures: whole tail frames past the last full
+    chunk must fold into the statistics (only the sub-frame remainder is
+    dropped)."""
+    from iqwaveform_tpu import fourier, parallel
+
+    fs = 1e6
+    nfft = int(rng.choice([64, 128]))
+    chunk_frames = int(rng.choice([16, 32]))
+    nchunks = int(rng.integers(1, 4))
+    tail_frames = int(rng.integers(1, chunk_frames))
+    sub_frame = int(rng.integers(0, nfft))
+    n = nfft * (chunk_frames * nchunks + tail_frames) + sub_frame
+    window = str(rng.choice(['hann', 'hamming']))
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    params = dict(
+        nfft=nfft, chunk_frames=chunk_frames, nchunks=nchunks,
+        tail_frames=tail_frames, sub_frame=sub_frame, window=window,
+    )
+    res = parallel.streaming_persistence_spectrum(
+        jnp.asarray(x), fs=fs, window=window, nfft=nfft,
+        chunk_frames=chunk_frames, quantiles=(0.5,),
+    )
+    n_frames = n // nfft
+    _, _, spg = fourier.spectrogram(
+        x[: n_frames * nfft], fs=fs, window=window, nperseg=nfft
+    )
+    spg_dB = 10 * np.log10(np.asarray(spg) + 1e-25)
+    if spg_dB.shape[0] != n_frames:
+        raise AssertionError(f'streaming_tail {params}: oracle framing')
+    _agree(
+        'streaming_tail[mean_dB]', params, spg_dB.mean(axis=0),
+        res['mean_dB'], rtol=2e-4,
+    )
+    _agree(
+        'streaming_tail[max_dB]', params, spg_dB.max(axis=0),
+        res['max_dB'], rtol=2e-5,
+    )
+
+
+def fuzz_carry_checkpoint(rng):
+    """save_carry/load_carry roundtrip random pytrees exactly through the
+    axon-safe float32 channel, mirroring each leaf's host/device placement."""
+    import tempfile
+
+    from iqwaveform_tpu import parallel
+
+    def _leaf(kind):
+        shape = tuple(rng.integers(1, 5, size=int(rng.integers(1, 3))))
+        if kind == 'int32':
+            v = rng.integers(-(2**31), 2**31, size=shape, dtype='int64')
+            return v.astype('int32')
+        if kind == 'int64':
+            return rng.integers(-(2**62), 2**62, size=shape, dtype='int64')
+        if kind == 'float32':
+            return rng.standard_normal(shape).astype('float32') * 10.0 ** int(
+                rng.integers(-20, 20)
+            )
+        if kind == 'float64':
+            return rng.standard_normal(shape)
+        re = rng.standard_normal(shape).astype('float32')
+        im = rng.standard_normal(shape).astype('float32')
+        return (re + 1j * im).astype('complex64')
+
+    # int64/float64 leaves stay host-side (device placement would narrow
+    # them under default x64-off before save_carry ever sees the values)
+    device_ok = {'int32', 'float32', 'complex64'}
+    kinds = ['int32', 'int64', 'float32', 'float64', 'complex64']
+    carry = {}
+    placements = {}
+    for i in range(int(rng.integers(2, 6))):
+        kind = str(rng.choice(kinds))
+        host = kind not in device_ok or bool(rng.integers(0, 2))
+        v = _leaf(kind)
+        carry[f'leaf{i}_{kind}'] = v if host else jnp.asarray(v)
+        placements[f'leaf{i}_{kind}'] = 'host' if host else 'device'
+    params = dict(placements=placements)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = d + '/carry'
+        parallel.save_carry(path, carry)
+        back = parallel.load_carry(path, carry)
+    for name, v in carry.items():
+        got = back[name]
+        want_jax = placements[name] == 'device'
+        if isinstance(got, np.ndarray) == want_jax:
+            raise AssertionError(
+                f'carry_checkpoint {params}: {name} placement not mirrored'
+            )
+        if np.asarray(got).dtype != np.asarray(v).dtype:
+            raise AssertionError(
+                f'carry_checkpoint {params}: {name} dtype '
+                f'{np.asarray(got).dtype} != {np.asarray(v).dtype}'
+            )
+        if not np.array_equal(np.asarray(got), np.asarray(v)):
+            raise AssertionError(
+                f'carry_checkpoint {params}: {name} values differ'
+            )
+
+
 def fuzz_sharded_stft(rng):
     from iqwaveform_tpu import fourier, parallel
 
@@ -525,6 +627,8 @@ FUZZERS = [
     fuzz_cyclic_power,
     fuzz_streaming_persistence,
     fuzz_streaming_apd,
+    fuzz_streaming_tail,
+    fuzz_carry_checkpoint,
     fuzz_sharded_stft,
     fuzz_sharded_channelize,
 ]
