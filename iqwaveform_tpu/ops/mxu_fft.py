@@ -25,6 +25,7 @@ VPU-bound XLA FFT by an order of magnitude at these sizes.
 from __future__ import annotations
 
 import math
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -308,7 +309,7 @@ def fused_ola_mxu(
     bounds_in,
     bounds_out=(0, None),
     precision=jax.lax.Precision.HIGHEST,
-    fold: bool = True,
+    fold: typing.Union[bool, str] = True,
 ):
     """forward FFT -> passband zero -> frequency trim -> inverse FFT of a
     frame batch, entirely in factored (k1, k2) coordinates.
@@ -334,7 +335,10 @@ def fused_ola_mxu(
     faster without corrections — scripts/probe_fold_xla.py; the Pallas
     kernels keep their folded path, where the corrections are cheap VPU
     lane reductions). fold=False keeps the literal four-matmul chain
-    (cross-validation path).
+    (cross-validation path). fold='force' folds even when boundary
+    corrections are required (n_corr > 0), keeping the
+    corrections-as-einsums variant measurable — a probe/test sentinel,
+    never the production choice.
     """
     in_lo, in_hi = bounds_in
     M = frames.shape[0]

@@ -66,7 +66,7 @@ def to_blocks(y, size: int, truncate: bool = False, axis: int = 0):
     if remainder:
         if not truncate:
             raise ValueError(
-                f'axis 0 size {y.shape[pos]} is not a factor of block size {size}'
+                f'axis {pos} size {y.shape[pos]} is not a factor of block size {size}'
             )
         keep = [slice(None)] * y.ndim
         keep[pos] = slice(0, n_blocks * size)
@@ -266,6 +266,15 @@ def _whole_bin_span(size: int, count: int, *, centered: bool) -> tuple:
     whole_blocks_left = (mid - count // 2) // count
     n_blocks = 2 * whole_blocks_left + 1
     start = mid - (count * n_blocks) // 2
+    # the symmetric block count can overrun the right edge when the
+    # center bin sits left of the axis midpoint (e.g. size=26, count=3
+    # gives stop=27): shrink by whole block pairs, which preserves the
+    # center-bin alignment. The reference (util.py:83-93) slices past
+    # the end here and fails inside to_blocks; not reproduced
+    # (docs/PARITY.md).
+    while n_blocks > 1 and start + count * n_blocks > size:
+        n_blocks -= 2
+        start = mid - (count * n_blocks) // 2
     return start, start + count * n_blocks
 
 

@@ -12,6 +12,14 @@ provides.
 Used by scripts/fuzz_vs_reference.py and tests/test_numeric_parity.py.
 PUBLIC UNTRUSTED CONTENT caveat: the reference is imported to compare
 *behavior* only.
+
+SECURITY SCOPE: the numexpr emulation below ``eval``s expression
+strings taken from the untrusted reference source with caller-frame
+locals — trust-wise equivalent to importing the reference (which
+already executes its module code on import), but still arbitrary code
+execution from /root/reference. This module must stay test/script-only
+(under scripts/, imported by the fuzz harnesses and their CI smoke
+wrappers); never import it from the iqwaveform_tpu package.
 """
 
 import sys

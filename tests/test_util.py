@@ -151,6 +151,26 @@ def test_binned_mean():
     np.testing.assert_allclose(np.asarray(outj), out)
 
 
+def test_binned_mean_fft_centered_clamp():
+    # size=26, count=3: the naive symmetric span is [0, 27) which
+    # overruns the axis (ADVICE r3); the clamp shrinks by a block pair
+    # to [3, 24) keeping index 13 centered in a middle bin
+    from iqwaveform_tpu.utils.framing import _whole_bin_span
+
+    start, stop = _whole_bin_span(26, 3, centered=True)
+    assert (start, stop) == (3, 24)
+    mid_rel = 13 - start
+    assert mid_rel % 3 == 1  # mid index is the center of its bin
+
+    x = np.arange(26, dtype='float32')
+    out = util.binned_mean(x, 3, fft=True)
+    np.testing.assert_allclose(out, np.arange(4.0, 24.0, 3.0))
+
+    # spans that already fit are untouched (center bin [5, 8) holds
+    # the mid index 6)
+    assert _whole_bin_span(12, 3, centered=True) == (2, 11)
+
+
 def test_ceildiv():
     assert util.ceildiv(7, 2) == 4
     assert util.ceildiv(8, 2) == 4
