@@ -133,6 +133,45 @@ def bench_monitor(nfft_hint: int, ola_kernel: str = 'matmul', fft_precision: str
     return f'monitor_pipeline_nfft{design.nfft}{tag}_1chip', n / dt / 1e6
 
 
+def bench_monitor_default():
+    """the OUT-OF-BOX monitor: design_wideband_monitor with no kernel or
+    backend arguments. All five knobs default to 'auto' and resolve at
+    WidebandMonitor construction (models.resolve_monitor_design), so
+    this must land within noise of the tuned monitor8192p config — the
+    proof that the benched speed is the default, not an opt-in
+    (VERDICT r3 #1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
+    from iqwaveform_tpu.utils import unpack_iq
+
+    design = design_wideband_monitor(
+        122.88e6, 61.44e6, bw=40e6, fs_sdr=122.88e6, channel_count=16,
+        fft_size_per_channel=256, window='hamming', apd_bins=2048,
+        apd_navg=16, min_fft_size=8191,
+    )
+    mon = WidebandMonitor(design)
+    d = mon.design
+    _log(
+        f'bench: default design resolved fft_backend={d.fft_backend} '
+        f'precision={d.fft_precision} ola={d.ola_kernel} '
+        f'apd={d.apd_kernel} chan={d.chan_kernel}'
+    )
+
+    quantum = mon.min_input_multiple()
+    n = int(np.ceil(2**24 / quantum)) * quantum
+    rng = np.random.default_rng(0)
+    ri = jnp.asarray(
+        np.stack([rng.standard_normal(n), rng.standard_normal(n)]).astype(
+            'float32'
+        )
+    )
+    step = jax.jit(lambda planes: mon.step(unpack_iq(planes)))
+    dt = _measure(step, ri, fence_key='psd_mean')
+    return 'monitor_pipeline_default_1chip', n / dt / 1e6
+
+
 def bench_monitor_i16():
     """fft_precision='i16': int16 frame planes (the native SigMF ci16
     capture format) with the ADC scale folded into the kernel window —
@@ -350,7 +389,9 @@ def bench_streaming():
 def bench_psd():
     """one-shot persistence PSD with quantiles (the reference's flagship
     entry point, fourier.py:1236-1327): the factored fast path with
-    histogram quantiles (VERDICT r2 #4) vs the exact XLA sort path."""
+    histogram quantiles (VERDICT r2 #4), the DEFAULT call (fft_backend
+    'auto' -> fused factored spectrogram, quantiles exact), and the
+    forced-XLA sort path."""
     import jax
     import jax.numpy as jnp
 
@@ -375,15 +416,23 @@ def bench_psd():
             **kw,
         )
     )
-    xla = jax.jit(lambda p: power_spectral_density(unpack_iq(p), **kw))
+    # no backend argument: fft_backend='auto' resolves on-platform (the
+    # fused factored spectrogram here), quantiles stay EXACT
+    default = jax.jit(lambda p: power_spectral_density(unpack_iq(p), **kw))
+    xla = jax.jit(
+        lambda p: power_spectral_density(unpack_iq(p), fft_backend='xla', **kw)
+    )
 
     dt_fast = _measure(fast, ri)
+    dt_default = _measure(default, ri)
     dt_xla = _measure(xla, ri)
     _log(
-        f'psd: fast {n / dt_fast / 1e6:.0f} MS/s vs xla '
+        f'psd: fast {n / dt_fast / 1e6:.0f} MS/s vs default '
+        f'{n / dt_default / 1e6:.0f} MS/s vs xla '
         f'{n / dt_xla / 1e6:.0f} MS/s ({dt_xla / dt_fast:.2f}x)'
     )
     extras = [
+        ('psd_quantiles_default_1chip', n / dt_default / 1e6, 'MS/s'),
         ('psd_quantiles_xla_1chip', n / dt_xla / 1e6, 'MS/s'),
         ('psd_fast_vs_xla_speedup', dt_xla / dt_fast, 'x'),
     ]
@@ -437,6 +486,7 @@ def bench_channelize64():
 
 CONFIGS = {
     'monitor8192p': lambda: bench_monitor(8192, ola_kernel='pallas', fft_precision='high', apd_kernel='pallas', chan_kernel='pallas'),
+    'monitor_default': bench_monitor_default,
     # opt-in bf16 frame-storage tier (~4e-3 rel; see MonitorDesign)
     'monitor8192bf16': lambda: bench_monitor(8192, ola_kernel='pallas', fft_precision='bf16', apd_kernel='pallas', chan_kernel='pallas'),
     'monitor8192i16': bench_monitor_i16,
@@ -474,9 +524,10 @@ def run_matrix():
     # reach ~8 min when recent clients died holding chip grants, and
     # remote compiles take 2-4 min per config
     budgets = {
-        'monitor8192p': 1800, 'monitor8192': 1500, 'spectrogram': 1200,
-        'monitorRx4': 1500, 'streaming1gs': 1600, 'channelize64': 1500,
-        'monitor8192bf16': 1500, 'monitor8192i16': 1500, 'psd': 1500,
+        'monitor8192p': 1800, 'monitor_default': 1500, 'monitor8192': 1500,
+        'spectrogram': 1200, 'monitorRx4': 1500, 'streaming1gs': 1600,
+        'channelize64': 1500, 'monitor8192bf16': 1500,
+        'monitor8192i16': 1500, 'psd': 1800,
     }
     lines = []
     for name, budget in budgets.items():

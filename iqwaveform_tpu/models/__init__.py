@@ -2,7 +2,12 @@
 
 from . import ofdm
 from .cellsearch import CellSearch, CellSearchResult
-from .monitor import MonitorDesign, WidebandMonitor, design_wideband_monitor
+from .monitor import (
+    MonitorDesign,
+    WidebandMonitor,
+    design_wideband_monitor,
+    resolve_monitor_design,
+)
 
 __all__ = [
     'CellSearch',
@@ -11,4 +16,5 @@ __all__ = [
     'WidebandMonitor',
     'design_wideband_monitor',
     'ofdm',
+    'resolve_monitor_design',
 ]

@@ -35,7 +35,12 @@ from ..parallel.sharded import _local_frames, _sharded_ola_body
 
 BATCH_AXIS = 'rx_batch'
 
-__all__ = ['MonitorDesign', 'WidebandMonitor', 'design_wideband_monitor']
+__all__ = [
+    'MonitorDesign',
+    'WidebandMonitor',
+    'design_wideband_monitor',
+    'resolve_monitor_design',
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,8 +66,11 @@ class MonitorDesign:
     # 1 = per-sample APD
     apd_navg: int = 1
     # 'xla' = jnp.fft; 'mxu' = four-step DFT matmuls (ops.mxu_fft) — much
-    # faster on TPU for composite sizes, identical to float32 roundoff
-    fft_backend: str = 'xla'
+    # faster on TPU for composite sizes, identical to float32 roundoff.
+    # 'auto' (default) resolves per platform/shape at WidebandMonitor
+    # construction (resolve_monitor_design): 'mxu' on TPU targets with
+    # composite FFT sizes, 'xla' elsewhere
+    fft_backend: str = 'auto'
     # matmul precision for the mxu backend: 'highest' (6-pass bf16,
     # ~3e-7 rel), 'high' (3-pass, ~2e-5 max rel / ~1e-6 RMS, ~2x faster),
     # 'bf16' (1-pass + bf16 frame storage in the pallas OLA kernels:
@@ -72,7 +80,10 @@ class MonitorDesign:
     # for natively integer captures — feed step_planes() int16 planes
     # straight from a SigMF ci16 payload with input_scale set to the ADC
     # scale; accuracy matches 'high'. Requires ola_kernel='pallas'.)
-    fft_precision: str = 'highest'
+    # 'auto' (default) resolves to 'high' — the production tier, within
+    # the 1e-5 RMS budget (scripts/rms_error_tpu.py gates it) — when the
+    # MXU backend resolves on, 'highest' otherwise.
+    fft_precision: str = 'auto'
     # multiplicative raw-sample -> physical-units scale applied inside
     # the OLA kernels (folded into the analysis window, so it is free).
     # For ci16 captures the SigMF convention is 1/32768. Non-unity
@@ -81,8 +92,10 @@ class MonitorDesign:
     # fused OLA spectral-transform implementation when the factored path
     # applies: 'matmul' = XLA einsums (ops.mxu_fft.fused_ola_mxu);
     # 'pallas' = VMEM-resident kernel (ops.pallas.fused_ola_pallas) — the
-    # whole per-frame chain in one kernel, ~no HBM intermediates
-    ola_kernel: str = 'matmul'
+    # whole per-frame chain in one kernel, ~no HBM intermediates.
+    # 'auto' (default) resolves to 'pallas' on TPU targets when the
+    # fused kernel supports the design, 'matmul' otherwise
+    ola_kernel: str = 'auto'
     # APD histogram implementation: 'sort' = sort + searchsorted
     # (ops.power.histogram_edge_counts); 'pallas' = direct edge-compare
     # kernel (ops.pallas.hist_pallas) — identical counts, ~3x faster;
@@ -93,14 +106,17 @@ class MonitorDesign:
     # samples) edge-compare wins (v5e: 5020 vs 4362 MS/s flagship);
     # at apd_navg=1 (8.4M samples, 2048 bins) 'packed' counts 6.2x
     # faster (13.4 -> 2.2 ms, scripts/probe_apd_kernels.py).
-    # 'auto' = resolve 'pallas' vs 'packed' from the trace-time binned
-    # sample count (crossover ~2M; docs/BENCH_notes.md)
-    apd_kernel: str = 'sort'
+    # 'auto' (default) = resolve 'pallas' vs 'packed' from the
+    # trace-time binned sample count (crossover ~2M; docs/BENCH_notes.md)
+    # on TPU targets, 'sort' elsewhere
+    apd_kernel: str = 'auto'
     # channelizer-statistics implementation: 'xla' = framed FFT +
     # reductions; 'pallas' = single-pass fused kernel
     # (ops.pallas.chan_stats_pallas) — FFT, spectrogram stats, channel
-    # power, and detector binning in one read of the resampled stream
-    chan_kernel: str = 'xla'
+    # power, and detector binning in one read of the resampled stream.
+    # 'auto' (default) resolves to 'pallas' on TPU targets when the
+    # kernel supports the channel layout, 'xla' otherwise
+    chan_kernel: str = 'auto'
 
 
 def design_wideband_monitor(
@@ -116,17 +132,22 @@ def design_wideband_monitor(
     apd_range_dB=(-120.0, 30.0),
     apd_bins: int = 2048,
     apd_navg: int = 1,
-    fft_backend: str = 'xla',
-    fft_precision: str = 'highest',
-    ola_kernel: str = 'matmul',
-    apd_kernel: str = 'sort',
-    chan_kernel: str = 'xla',
+    fft_backend: str = 'auto',
+    fft_precision: str = 'auto',
+    ola_kernel: str = 'auto',
+    apd_kernel: str = 'auto',
+    chan_kernel: str = 'auto',
     input_scale: float = 1.0,
     **resampler_kws,
 ) -> MonitorDesign:
     """derive a MonitorDesign from radio rates (host-side design math,
     built on ops.filtering.design_cola_resampler; extra keywords pass
-    through, e.g. fs_sdr= to force the input rate)."""
+    through, e.g. fs_sdr= to force the input rate).
+
+    Kernel/backend fields default to 'auto': WidebandMonitor resolves
+    them to the fastest implementation the platform and design support
+    (resolve_monitor_design), so the out-of-box design runs the benched
+    fast path on TPU and plain XLA elsewhere."""
     from ..ops.filtering import design_cola_resampler
 
     d = design_cola_resampler(fs_base, fs_target, bw=bw, window=window, **resampler_kws)
@@ -154,6 +175,111 @@ def design_wideband_monitor(
         chan_kernel=chan_kernel,
         input_scale=input_scale,
     )
+
+
+def _monitor_passband_bounds(d: MonitorDesign):
+    """host-side passband bin geometry shared by the design resolver and
+    WidebandMonitor: (zero_lo, zero_hi, bounds_in, bounds_out)."""
+    enbw = float(equivalent_noise_bandwidth(d.window, d.nfft_out, fftbins=False))
+    pb_lo = None if d.passband[0] is None else d.passband[0] + enbw
+    pb_hi = None if d.passband[1] is None else d.passband[1] - enbw
+    zero_lo, zero_hi = _freq_band_edges(d.nfft, 1.0 / d.fs_in, pb_lo, pb_hi)
+
+    pb_start, pb_end = _freq_band_edges(d.nfft, 1.0 / d.fs_in, *d.passband)
+    bounds_out, bounds_in, _ = _find_downsample_copy_range(
+        d.nfft, d.nfft_out, pb_start, pb_end
+    )
+    return (0 if zero_lo is None else zero_lo), zero_hi, bounds_in, bounds_out
+
+
+def resolve_monitor_design(design: MonitorDesign, *, tpu: bool = None) -> MonitorDesign:
+    """resolve a design's 'auto' kernel/backend fields to the fastest
+    concrete implementation whose platform and shape constraints hold,
+    falling back to the XLA paths otherwise.
+
+    The reference auto-picks its fastest backend the same way (the
+    upfirdn CUDA dispatch heuristic, fourier.py:1476-1495, and the
+    numexpr fast paths, power_analysis.py:183-196); here the decision is
+    host-side and explicit so the resolved design is inspectable.
+    Explicit (non-'auto') fields pass through unchanged — opting into a
+    specific kernel still errors loudly when unsupported, which is what
+    CI's strict mode relies on.
+
+    ``tpu`` overrides platform detection (ops.pallas._common.on_tpu_like)
+    for tests; resolution is idempotent, so a resolved design can be
+    passed to WidebandMonitor on any platform (CPU runs the Pallas
+    kernels in interpret mode).
+    """
+    d = design
+    auto = {
+        name
+        for name in (
+            'fft_backend', 'fft_precision', 'ola_kernel', 'apd_kernel',
+            'chan_kernel',
+        )
+        if getattr(d, name) == 'auto'
+    }
+    if not auto:
+        return d
+    if tpu is None:
+        from ..ops.pallas._common import on_tpu_like
+
+        tpu = on_tpu_like()
+
+    from ..ops.mxu_fft import fused_ola_supported, plan_factors
+
+    nfft_big = d.fft_size_per_channel * d.channel_count
+    skip_bins = d.channel_count * (
+        d.fft_size_per_channel - d.analysis_bins_per_channel
+    )
+
+    def composite(n):
+        try:
+            plan_factors(n)
+            return True
+        except ValueError:
+            return False
+
+    kw = {}
+    fft_backend = d.fft_backend
+    if fft_backend == 'auto':
+        fft_backend = (
+            'mxu'
+            if tpu
+            and composite(d.nfft)
+            and composite(d.nfft_out)
+            and composite(nfft_big)
+            else 'xla'
+        )
+        kw['fft_backend'] = fft_backend
+    if d.fft_precision == 'auto':
+        # 'high' (3-pass hi/lo bf16 dots) is the production MXU tier:
+        # ~1e-6 RMS, inside the 1e-5 budget and RMS-gate validated at
+        # round close. Off-TPU the bf16 split only costs accuracy (no
+        # MXU pass savings), so explicit-mxu designs on CPU stay f32.
+        kw['fft_precision'] = (
+            'high' if (fft_backend == 'mxu' and tpu) else 'highest'
+        )
+    if d.ola_kernel == 'auto':
+        armed = False
+        if tpu and fft_backend == 'mxu' and d.nfft_out != d.nfft:
+            _, _, bounds_in, bounds_out = _monitor_passband_bounds(d)
+            armed = fused_ola_supported(
+                d.nfft, d.nfft_out, bounds_in, bounds_out
+            )
+        kw['ola_kernel'] = 'pallas' if armed else 'matmul'
+    if d.chan_kernel == 'auto':
+        from ..ops.pallas.chan_stats_pallas import chan_stats_supported
+
+        armed = tpu and chan_stats_supported(
+            nfft_big, d.channel_count, skip_bins, d.apd_navg
+        )
+        kw['chan_kernel'] = 'pallas' if armed else 'xla'
+    if d.apd_kernel == 'auto' and not tpu:
+        # on TPU, 'auto' stays: _hist resolves 'packed' vs 'pallas' per
+        # program from the trace-time binned sample count
+        kw['apd_kernel'] = 'sort'
+    return dataclasses.replace(d, **kw) if kw else d
 
 
 class WidebandMonitor:
@@ -184,6 +310,10 @@ class WidebandMonitor:
         time_axis: str = TIME_AXIS,
         batch_axis: str = BATCH_AXIS,
     ):
+        # resolve 'auto' kernel/backend fields for this platform; the
+        # as-requested design stays inspectable on requested_design
+        self.requested_design = design
+        design = resolve_monitor_design(design)
         self.design = design
         self.mesh = mesh
         self.time_axis = time_axis
@@ -213,17 +343,12 @@ class WidebandMonitor:
         )
 
         # static passband bin bounds
-        enbw = float(equivalent_noise_bandwidth(d.window, d.nfft_out, fftbins=False))
-        pb_lo = None if d.passband[0] is None else d.passband[0] + enbw
-        pb_hi = None if d.passband[1] is None else d.passband[1] - enbw
-        zero_lo, zero_hi = _freq_band_edges(d.nfft, 1.0 / d.fs_in, pb_lo, pb_hi)
-        self._zero_lo = 0 if zero_lo is None else zero_lo
-        self._zero_hi = zero_hi
-
-        pb_start, pb_end = _freq_band_edges(d.nfft, 1.0 / d.fs_in, *d.passband)
-        self._bounds_out, self._bounds_in, _ = _find_downsample_copy_range(
-            d.nfft, d.nfft_out, pb_start, pb_end
-        )
+        (
+            self._zero_lo,
+            self._zero_hi,
+            self._bounds_in,
+            self._bounds_out,
+        ) = _monitor_passband_bounds(d)
 
         # APD power-bin edges from dB range
         edges_dB = np.linspace(d.apd_range_dB[0], d.apd_range_dB[1], d.apd_bins)

@@ -46,3 +46,28 @@ def on_tpu_like() -> bool:
 
 def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def grad_fallback(pallas_fn, xla_fn):
+    """define differentiation semantics for a Pallas dispatch point
+    (VERDICT r3 #5): the returned callable runs ``pallas_fn`` on the
+    primal path, but under jvp/grad tracing dispatches BOTH the primal
+    and the tangent to ``xla_fn`` — the XLA twin computing the same
+    function (the Pallas kernels define no JVP/VJP rules, and their
+    hand-tiled bodies are not worth differentiating through).
+
+    ``xla_fn`` must accept the same array arguments and return the same
+    pytree structure/shapes/dtypes; under differentiation its values
+    (typically full-f32 XLA math) replace the kernel's, so gradients are
+    self-consistent with the forward values they linearize. Integer
+    outputs (histogram counts) get symbolic-zero tangents from the twin
+    automatically. Static configuration must be closed over by both
+    callables.
+    """
+    wrapped = jax.custom_jvp(lambda *args: pallas_fn(*args))
+
+    @wrapped.defjvp
+    def _jvp(primals, tangents):
+        return jax.jvp(lambda *args: xla_fn(*args), primals, tangents)
+
+    return wrapped

@@ -84,7 +84,7 @@ def power_spectral_density(
     truncate=True,
     dB=True,
     axis=0,
-    fft_backend: str = 'xla',
+    fft_backend: str = 'auto',
     quantile_method: str = 'exact',
     hist_bins: int = 1024,
     hist_range_dB=(-150.0, 50.0),
@@ -95,13 +95,17 @@ def power_spectral_density(
     Args:
         statistics: list of quantiles (floats) and/or named detectors
             ('min','max','peak','mean','rms', callable)
-        fft_backend: 'xla' (default), or 'mxu'/'pallas' — the factored
+        fft_backend: 'xla', or 'mxu'/'pallas' — the factored
             four-step MXU transform (per-frequency statistics are
             bin-order independent, so the transform's transposed readout
             is skipped and the stack unscrambles once at the end; the
             same machinery as parallel.streaming's persistence fold).
             Device (jax) 1-D TIME-domain input with no overlap/zeroing
-            only.
+            only. 'auto' (default) picks the fastest backend whose
+            constraints hold on this platform — the factored paths on
+            TPU targets for qualifying inputs, 'xla' otherwise — without
+            changing results beyond float32 rounding (quantiles stay
+            exact unless quantile_method='histogram' is requested).
         quantile_method: 'exact' (full per-bin order statistics via
             xp.quantile) or 'histogram' — quantiles inverted from a
             per-frequency dB histogram (accuracy = hist range /
@@ -118,6 +122,12 @@ def power_spectral_density(
         noverlap = round(fractional_overlap * nfft)
     else:
         raise ValueError('sample_rate_Hz/resolution must be a counting number')
+
+    if fft_backend == 'auto':
+        fft_backend = _resolve_psd_backend(
+            x, nfft=nfft, noverlap=noverlap,
+            fractional_window=fractional_window, dB=dB, axis=axis,
+        )
 
     if fft_backend != 'xla' or quantile_method == 'histogram':
         return _psd_factored_fast(
@@ -188,6 +198,47 @@ def power_spectral_density(
     return out.astype('float32')
 
 
+def _resolve_psd_backend(
+    x, *, nfft, noverlap, fractional_window, dB, axis, tpu: bool = None
+):
+    """fft_backend='auto' resolution for power_spectral_density: the
+    factored fast paths when every _psd_factored_fast constraint holds
+    on a TPU target ('pallas' when the fused spectrogram kernel covers
+    the shape, else 'mxu' for composite sizes), 'xla' otherwise.
+    Unlike an explicit 'mxu'/'pallas' request, 'auto' never raises —
+    unsupported inputs quietly take the XLA path."""
+    import jax.numpy as jnp
+
+    if tpu is None:
+        from .pallas._common import on_tpu_like
+
+        tpu = on_tpu_like()
+    if (
+        not tpu
+        or array_namespace(x) is not jnp
+        or get_input_domain() != Domain.TIME
+        or x.ndim != 1
+        or axis != 0
+        or noverlap
+        or fractional_window != 1
+        or not dB
+        or x.shape[0] < nfft
+    ):
+        return 'xla'
+    from .mxu_fft import plan_factors
+
+    try:
+        plan_factors(nfft)
+    except ValueError:
+        return 'xla'
+    from .pallas.spectrogram_pallas import spectrogram_pallas_supported
+
+    n_trunc = (x.shape[0] // nfft) * nfft
+    if spectrogram_pallas_supported(nfft, n_trunc):
+        return 'pallas'
+    return 'mxu'
+
+
 def _psd_factored_fast(
     x, *, fs, bandwidth, window, nfft, noverlap, fractional_window,
     statistics, truncate, dB, axis, fft_backend, quantile_method,
@@ -250,6 +301,10 @@ def _psd_factored_fast(
             hist_range_dB=tuple(float(v) for v in hist_range_dB),
             hist_bins=int(hist_bins),
             fft_backend=backend,
+            # one-shot PSD keeps full f32 kernel dots: its deliverable
+            # is gated at the 1e-5 RMS budget, unlike the long-capture
+            # streaming fold whose histogram bin dominates
+            fft_precision='highest',
         )
         carry = _streaming.persistence_fold(
             _streaming.persistence_init(design), x_trunc, design
@@ -278,6 +333,7 @@ def _psd_factored_fast(
             dtype=dtype_name,
             hist_bins=0,
             fft_backend=backend,
+            fft_precision='highest',
         )
         spg_dB = _streaming._spectrogram_dB_chunk(x_trunc, design)
         # one batched quantile call -> one sort, shared by all quantiles
@@ -316,10 +372,15 @@ def channelize_power(
     fft_overlap_per_channel=0,
     channel_count: int = 1,
     axis=0,
-    fft_backend: str = 'xla',
+    fft_backend: str = 'auto',
 ):
     """channelize the waveform into a per-channel power time series
     (reference fourier.py:1330-1415).
+
+    fft_backend: 'xla', 'mxu' (factored four-step channel sums), or
+    'pallas' (the fused single-pass kernel). 'auto' (default) picks the
+    fastest of those whose shape/platform constraints hold — results
+    identical across backends to float32 rounding.
 
     One STFT of size fft_size_per_channel*channel_count is trimmed to the
     analysis bandwidth, reshaped to (time, channel, bin), and power-summed
@@ -354,6 +415,15 @@ def channelize_power(
     window_is_spec = isinstance(window, str) or (
         isinstance(window, tuple) and window and isinstance(window[0], str)
     )
+    if fft_backend == 'auto':
+        fft_backend = _resolve_channelize_backend(
+            iq,
+            fft_size_per_channel=fft_size_per_channel,
+            channel_count=channel_count,
+            analysis_bins_per_channel=analysis_bins_per_channel,
+            fft_overlap_per_channel=fft_overlap_per_channel,
+            window_is_spec=window_is_spec,
+        )
     if fft_backend == 'pallas':
         return _channelize_power_pallas(
             iq,
@@ -410,6 +480,62 @@ def channelize_power(
     channel_power = power_analysis.envtopow(by_channel).sum(axis=axis + 2)
     channel_freqs = to_blocks(freqs, analysis_bins_per_channel)[0]
     return channel_freqs, times, channel_power
+
+
+def _resolve_channelize_backend(
+    iq,
+    *,
+    fft_size_per_channel: int,
+    channel_count: int,
+    analysis_bins_per_channel: int,
+    fft_overlap_per_channel: int,
+    window_is_spec: bool,
+    tpu: bool = None,
+):
+    """fft_backend='auto' resolution for channelize_power: the fused
+    Pallas kernel when its layout constraints hold on a TPU target, the
+    factored MXU channel sums when only the kernel's extra constraints
+    fail, 'xla' otherwise. Mirrors the dispatch conditions of
+    _channelize_power_pallas / _channelize_power_factored; 'auto' never
+    raises where an explicit backend request would."""
+    import jax.numpy as jnp
+
+    if tpu is None:
+        from .pallas._common import on_tpu_like
+
+        tpu = on_tpu_like()
+    if (
+        not tpu
+        or array_namespace(iq) is not jnp
+        or iq.ndim != 1
+        or not window_is_spec
+        or fft_overlap_per_channel != 0
+    ):
+        return 'xla'
+    nperseg = fft_size_per_channel * channel_count
+    skip_bins = channel_count * (
+        fft_size_per_channel - analysis_bins_per_channel
+    )
+    if skip_bins % 2:
+        return 'xla'
+    from .pallas.chan_stats_pallas import chan_stats_supported
+
+    M = iq.shape[0] // nperseg
+    if (
+        M > 0
+        and M % 8 == 0
+        and chan_stats_supported(nperseg, channel_count, skip_bins, 1)
+    ):
+        return 'pallas'
+    if channel_count > 1:
+        from .mxu_fft import plan_factors
+
+        try:
+            plan_factors(nperseg)
+            return 'mxu'
+        except ValueError:
+            pass
+    return 'xla'
 
 
 @lru_cache()

@@ -167,6 +167,36 @@ class PersistenceCarry(NamedTuple):
     count: jax.Array  # () frame count
 
 
+def _resolve_persistence_backend(
+    nfft: int, *, chunk_samples: int = None, tpu: bool = None
+) -> str:
+    """fft_backend='auto' resolution for the persistence machinery: the
+    fused Pallas spectrogram kernel when it covers nfft (and, if known,
+    the chunk length) on a TPU target; else the factored MXU transform
+    for composite sizes; else 'xla'. Never raises — unsupported designs
+    quietly take the XLA path (an explicit backend request still errors
+    loudly)."""
+    if tpu is None:
+        from ..ops.pallas._common import on_tpu_like
+
+        tpu = on_tpu_like()
+    if not tpu:
+        return 'xla'
+    from ..ops.pallas.spectrogram_pallas import spectrogram_pallas_supported
+
+    if spectrogram_pallas_supported(nfft, 0) and (
+        chunk_samples is None or chunk_samples % (1024 * 128) == 0
+    ):
+        return 'pallas'
+    from ..ops.mxu_fft import plan_factors
+
+    try:
+        plan_factors(nfft)
+        return 'mxu'
+    except ValueError:
+        return 'xla'
+
+
 def design_persistence(
     *,
     nfft: int,
@@ -174,14 +204,16 @@ def design_persistence(
     dtype='complex64',
     hist_range_dB=(-150.0, 50.0),
     hist_bins: int = 1024,
-    fft_backend: str = 'xla',
-    fft_precision: str = 'highest',
+    fft_backend: str = 'auto',
+    fft_precision: str = 'auto',
 ) -> dict:
     """host-side design for the persistence fold (the repo's
     design-dict -> apply pattern): window, histogram edges, and — for
     the factored backends — the bin permutation.
 
     fft_backend:
+        'auto'   (default) the fastest backend whose constraints hold
+                 on this platform (_resolve_persistence_backend)
         'xla'    jnp.fft, natural bin order
         'mxu'    four-step DFT matmuls; every per-frequency statistic
                  stays in the transform's factored (k1, k2) bin order,
@@ -198,8 +230,22 @@ def design_persistence(
     fft_precision ('pallas' backend only): 'highest' (f32 dots, ~3e-6
     relative of the dB spectrogram), 'high' (hi/lo bf16 3-pass,
     ~0.02 dB worst-case on low-power bins — below the default 0.2 dB
-    histogram bin width), 'bf16' (~0.05 dB).
+    histogram bin width), 'bf16' (~0.05 dB). 'auto' (default) resolves
+    to 'high' — the production tier bench.py measures — when the
+    pallas backend resolves on, 'highest' otherwise.
     """
+    if fft_backend == 'auto' or fft_precision == 'auto':
+        from ..ops.pallas._common import on_tpu_like
+
+        _tpu = on_tpu_like()
+        if fft_backend == 'auto':
+            fft_backend = _resolve_persistence_backend(nfft, tpu=_tpu)
+        if fft_precision == 'auto':
+            # the 3-pass tier only pays off on the MXU; interpret-mode
+            # (CPU) kernels keep full f32
+            fft_precision = (
+                'high' if (fft_backend == 'pallas' and _tpu) else 'highest'
+            )
     if fft_backend not in ('xla', 'mxu', 'pallas'):
         raise ValueError("fft_backend must be 'xla', 'mxu' or 'pallas'")
     passes = {'highest': 6, 'high': 3, 'bf16': 1}.get(fft_precision)
@@ -561,8 +607,8 @@ def streaming_persistence_spectrum(
     hist_range_dB=(-150.0, 50.0),
     hist_bins: int = 1024,
     quantiles=(0.5, 0.95, 0.99),
-    fft_backend: str = 'xla',
-    fft_precision: str = 'highest',
+    fft_backend: str = 'auto',
+    fft_precision: str = 'auto',
     init_carry: PersistenceCarry = None,
 ):
     """persistence spectrum of a long capture via lax.scan chunking.
@@ -595,6 +641,10 @@ def streaming_persistence_spectrum(
     """
     x = jnp.asarray(x)
     chunk = chunk_frames * nfft
+    if fft_backend == 'auto':
+        # resolve with the chunk length in hand so 'auto' never trips
+        # the pallas chunk-multiple requirement below
+        fft_backend = _resolve_persistence_backend(nfft, chunk_samples=chunk)
     if fft_backend == 'pallas' and chunk % (1024 * 128):
         raise ValueError(
             f"fft_backend='pallas' needs chunk_frames*nfft "
