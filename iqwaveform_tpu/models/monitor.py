@@ -567,7 +567,7 @@ class WidebandMonitor:
                 'resampling nfft -> nfft_out the fused kernel supports)'
             )
 
-    def _hist(self, p):
+    def _hist(self, p, force_xla: bool = False):
         """APD histogram counts per design.apd_kernel: sort+searchsorted,
         the direct edge-compare Pallas kernel (identical counts,
         1.9 -> 0.6 ms at bench shapes), or the factored two-level
@@ -576,10 +576,12 @@ class WidebandMonitor:
         quantize of 10*log10(p) — O(2*sqrt(B)) one-hot cells per sample
         instead of B edge compares; totals exact, a sample within f32
         rounding of an edge may land one bin over, same envelope as the
-        other packed counters)."""
+        other packed counters).
+
+        force_xla=True pins the sort path (the grad_fallback twin)."""
         from ..ops.power import histogram_edge_counts
 
-        kernel = self.design.apd_kernel
+        kernel = 'sort' if force_xla else self.design.apd_kernel
         if kernel == 'auto':
             # the packed counter's fixed quadrant-dot + readout overhead
             # dominates below ~1M samples while edge-compare scales with
@@ -619,7 +621,7 @@ class WidebandMonitor:
             return histogram_edge_counts_pallas(p, self._apd_edges_pow)
         return histogram_edge_counts(p, self._apd_edges_pow)
 
-    def _apd_counts(self, y):
+    def _apd_counts(self, y, force_xla: bool = False):
         """detector-binned power histogram of the resampled stream
         (reference binned-power CCDF workflow, figures.py:827-836).
 
@@ -632,9 +634,9 @@ class WidebandMonitor:
         if d.apd_navg > 1:
             navg_total = (p.shape[0] // d.apd_navg) * d.apd_navg
             p = binned_mean_matmul(p[:navg_total], d.apd_navg)
-        return self._hist(p)
+        return self._hist(p, force_xla=force_xla)
 
-    def _chan_apd(self, y):
+    def _chan_apd(self, y, force_xla: bool = False):
         """channelizer + statistics + APD of a resampled chunk.
 
         Returns (channel_power, psd_dB_sum, psd_dB_max, apd_counts,
@@ -642,18 +644,42 @@ class WidebandMonitor:
         paths consume the same pieces. With chan_kernel='pallas' the
         whole stage is one pass over ``y``
         (ops.pallas.chan_stats_pallas); mean-of-dB accumulates as
-        sum-of-logs and max commutes with log."""
+        sum-of-logs and max commutes with log.
+
+        Differentiation dispatches the kernel paths to the XLA
+        formulation (grad_fallback; force_xla=True is that twin)."""
+        n_frames = y.shape[0] // self._nfft_big
+        chan_kernel_armed = self._chan_stats is not None and n_frames % 8 == 0
+        hist_kernel_armed = self.design.apd_kernel != 'sort'
+        if force_xla or not (chan_kernel_armed or hist_kernel_armed):
+            out = self._chan_apd_impl(y, n_frames, force_xla)
+        else:
+            from ..ops.pallas._common import grad_fallback
+
+            out = grad_fallback(
+                lambda v: self._chan_apd_impl(v, n_frames, False),
+                lambda v: self._chan_apd_impl(v, n_frames, True),
+            )(y)
+        return (*out, n_frames)
+
+    def _chan_apd_impl(self, y, n_frames: int, force_xla: bool):
         d = self.design
         nfft_big = self._nfft_big
-        n_frames = y.shape[0] // nfft_big
 
-        if self._chan_stats is not None and n_frames % 8 == 0:
+        if (
+            not force_xla
+            and self._chan_stats is not None
+            and n_frames % 8 == 0
+        ):
             cs = self._chan_stats(y[: n_frames * nfft_big])
             channel_power = cs['channel_power']
             psd_dB_sum = (10.0 / float(np.log(10.0))) * cs['psd_log_sum']
             psd_dB_max = 10.0 * jnp.log10(cs['psd_max'] + 1e-25)
-            apd = self._hist(cs['p_binned'])
-            return channel_power, psd_dB_sum, psd_dB_max, apd, n_frames
+            # int32 normalization: the kernel counters return exact
+            # integer-valued f32, the sort path int32 — the grad twin's
+            # output dtypes must match the primal's
+            apd = self._hist(cs['p_binned']).astype(jnp.int32)
+            return channel_power, psd_dB_sum, psd_dB_max, apd
 
         frames = y[: n_frames * nfft_big].reshape(n_frames, nfft_big)
         wind = (self._w_ch / nfft_big).astype(frames.dtype)
@@ -668,8 +694,10 @@ class WidebandMonitor:
         psd_dB = 10.0 * jnp.log10(spg + 1e-25)
         # bin the same whole-frame sample set as the chan_kernel='pallas'
         # branch so APD counts are identical across backends
-        apd = self._apd_counts(y[: n_frames * nfft_big])
-        return channel_power, psd_dB.sum(axis=0), psd_dB.max(axis=0), apd, n_frames
+        apd = self._apd_counts(
+            y[: n_frames * nfft_big], force_xla=force_xla
+        ).astype(jnp.int32)
+        return channel_power, psd_dB.sum(axis=0), psd_dB.max(axis=0), apd
 
     # ---- core single-signal body (traceable; axis_name=None -> 1 chip) ----
 
@@ -776,6 +804,24 @@ class WidebandMonitor:
         )
 
     def _body_packed_planes(self, planes, axis_name):
+        """packed-kernel body with defined grad semantics: the packed
+        Pallas kernels have no JVP rules (and no same-layout XLA twins),
+        so differentiation dispatches the WHOLE body to the unpacked
+        XLA formulation (grad_fallback) — same outputs up to kernel
+        precision, tested equal by test_monitor."""
+        from ..ops.pallas._common import grad_fallback
+        from ..utils.dispatch import unpack_iq
+
+        def _twin(p):
+            return self._body_unpacked(
+                unpack_iq(p), axis_name, force_xla=True
+            )
+
+        return grad_fallback(
+            lambda p: self._body_packed_planes_impl(p, axis_name), _twin
+        )(planes)
+
+    def _body_packed_planes_impl(self, planes, axis_name):
         y_packed = self._packed_resample(planes, axis_name)
 
         # channelizer + statistics + APD, packed all the way
@@ -809,6 +855,13 @@ class WidebandMonitor:
     def _body_1d(self, x, axis_name):
         if self._packed_applies(x.shape[0]):
             return self._body_packed(x, axis_name)
+        return self._body_unpacked(x, axis_name)
+
+    def _body_unpacked(self, x, axis_name, force_xla: bool = False):
+        """the unpacked monitor body. force_xla=True bypasses every
+        Pallas kernel (the grad_fallback twin for the packed body; the
+        unpacked body's own kernels carry their twins at their dispatch
+        sites)."""
         d = self.design
 
         # stage 1: OLA bandpass + rational resample
@@ -828,11 +881,17 @@ class WidebandMonitor:
             fft_fn=self._fft,
             ifft_fn=self._ifft,
             fused_fn=self._fused_ola,
-            fused_raw_fn=self._fused_ola_raw,
+            fused_raw_fn=None if force_xla else self._fused_ola_raw,
+            input_scale=d.input_scale,
         )
+        if force_xla and d.input_scale != 1.0:
+            # the scale the pallas kernels fold into the analysis window
+            y = y * d.input_scale
 
         # stages 2-5: channelizer STFT, channel power, statistics, APD
-        channel_power, psd_dB_sum, psd_dB_max, apd, n_frames = self._chan_apd(y)
+        channel_power, psd_dB_sum, psd_dB_max, apd, n_frames = self._chan_apd(
+            y, force_xla=force_xla
+        )
         psd_mean = psd_dB_sum / n_frames
         psd_max = psd_dB_max
         ch_mean = channel_power.mean(axis=0)
@@ -999,6 +1058,7 @@ class WidebandMonitor:
                     ifft_fn=self._ifft,
                     fused_fn=self._fused_ola,
                     fused_raw_fn=self._fused_ola_raw,
+                    input_scale=d.input_scale,
                 )
             return _reduce(y)
 

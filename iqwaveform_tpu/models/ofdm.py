@@ -271,12 +271,20 @@ def corr_at_indices(inds, x, nfft: int, norm: bool = True, out=None, *, backend:
     if backend == 'pallas':
         if not structured:
             raise ValueError('the pallas backend requires contiguous index rows')
+        from ..ops.pallas._common import grad_fallback
         from ..ops.pallas.corr_pallas import corr_at_indices_pallas
 
         try:
-            result = corr_at_indices_pallas(
-                starts, jnp.asarray(x), int(nfft), int(ncp), bool(norm)
-            )
+            # differentiation dispatches to the XLA formulation
+            # (grad_fallback; the kernel has no JVP rule)
+            result = grad_fallback(
+                lambda v: corr_at_indices_pallas(
+                    starts, v, int(nfft), int(ncp), bool(norm)
+                ),
+                lambda v: _corr_at_indices_structured(
+                    starts, v, int(nfft), int(ncp), bool(norm)
+                ),
+            )(jnp.asarray(x))
         except Exception as err:  # pragma: no cover - backend-specific
             import warnings
 

@@ -360,19 +360,30 @@ def columnwise_histogram_packed(
 def columnwise_histogram_fast(vals, edges):
     """auto dispatch: the packed one-hot-matmul kernel on a real TPU
     target with uniform edges (<=1024 bins; the unpacked kernel above
-    that), the sort+searchsorted XLA path otherwise."""
+    that), the sort+searchsorted XLA path otherwise. Differentiation
+    always dispatches to the XLA path (grad_fallback): counts have zero
+    tangents, but the kernels define no JVP rules."""
     edges_np = np.asarray(edges, dtype='float64')
     widths = np.diff(edges_np)
     uniform = np.allclose(widths, widths[0], rtol=1e-6)
+
+    from ...parallel.sharded import columnwise_histogram
+
     if uniform and _on_tpu_like():
         B = edges_np.shape[0] - 1
         # the packed kernel is measured/validated on-chip to 1024 bins;
         # beyond that its unrolled quadrant dots and VMEM output block
         # grow linearly in B (16 MB at 4096), so use the unpacked kernel
-        if B <= 1024:
-            return columnwise_histogram_packed(vals, edges)
-        return columnwise_histogram_pallas(vals, edges)
+        kernel = (
+            columnwise_histogram_packed
+            if B <= 1024
+            else columnwise_histogram_pallas
+        )
+        from ._common import grad_fallback
 
-    from ...parallel.sharded import columnwise_histogram
+        return grad_fallback(
+            lambda v: kernel(v, edges),
+            lambda v: columnwise_histogram(v, edges),
+        )(vals)
 
     return columnwise_histogram(vals, edges)

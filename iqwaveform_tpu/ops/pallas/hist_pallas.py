@@ -21,6 +21,8 @@ underneath the APD workflow).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,11 +54,33 @@ def histogram_edge_counts_pallas(a, edges, *, interpret: bool = None):
 
     ``edges`` must be a host numpy array (sorted); values are compared
     exactly (same counts as the sort+searchsorted path).
+
+    Differentiation dispatches to the sort+searchsorted XLA path
+    (grad_fallback): counts are piecewise-constant in the samples, so
+    tangents are symbolic zeros either way, but the kernel itself has no
+    JVP rule.
     """
     if interpret is None:
         interpret = not _on_tpu_like()
 
     edges = np.asarray(edges, dtype='float32')
+
+    from ._common import grad_fallback
+
+    def _twin(a):
+        from ..power import histogram_edge_counts
+
+        return histogram_edge_counts(a, jnp.asarray(edges)).astype(
+            jnp.float32
+        )
+
+    return grad_fallback(
+        functools.partial(_hist_impl, interpret=interpret, edges=edges),
+        _twin,
+    )(a)
+
+
+def _hist_impl(a, *, interpret: bool, edges: np.ndarray):
     n_edges = edges.shape[0]
     e_pad = -(-n_edges // _LANES) * _LANES
     edges_p = np.full((e_pad,), np.inf, 'float32')

@@ -242,6 +242,19 @@ def _spg_kernel(
         out_ref[rows, :] = dB
 
 
+def _spectrogram_dB_xla(xr, xi, w_scaled: np.ndarray, nfft: int):
+    """XLA twin of the fused dB-spectrogram kernels (the grad_fallback
+    target): factored four-step transform in the SAME flat bin order
+    (position k1*128 + k2), f32 HIGHEST dots."""
+    from ..mxu_fft import four_step_factored
+
+    frames = (xr + 1j * xi).astype(jnp.complex64).reshape(-1, nfft)
+    frames = frames * jnp.asarray(w_scaled)[None, :]
+    D = four_step_factored(frames, nfft)
+    p = (D.real * D.real + D.imag * D.imag).reshape(frames.shape[0], nfft)
+    return 10.0 * jnp.log10(p + 1e-25)
+
+
 def spectrogram_dB_pallas(
     xr,
     xi,
@@ -268,6 +281,9 @@ def spectrogram_dB_pallas(
         (n // nfft, nfft) float32 dB spectrogram; flat bin position
         k1*128 + k2 holds natural bin k2*a + k1 (a = nfft // 128) —
         undo with design_persistence's unscramble.
+
+    Differentiation dispatches both primal and tangent to the XLA
+    four-step twin (_spectrogram_dB_xla) via grad_fallback.
     """
     if interpret is None:
         interpret = not _on_tpu_like()
@@ -279,7 +295,8 @@ def spectrogram_dB_pallas(
         )
     a = nfft // _LANES
 
-    w_key = np.ascontiguousarray((w / nfft).astype('complex64')).tobytes()
+    w_scaled = np.ascontiguousarray((w / nfft).astype('complex64'))
+    w_key = w_scaled.tobytes()
     consts = _spg_constants(nfft, w_key)
 
     n_steps = n // (_ROWS * _LANES)
@@ -287,29 +304,37 @@ def spectrogram_dB_pallas(
     def vec_spec(c):
         return pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _spg_kernel, a=a, passes=passes, interpret=interpret
-        ),
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
-            *[vec_spec(c) for c in consts],
-        ],
-        out_specs=pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel',),
-        ),
-        interpret=interpret,
-    )(
-        xr.reshape(n // _LANES, _LANES),
-        xi.reshape(n // _LANES, _LANES),
-        *[jnp.asarray(c) for c in consts],
-    )
+    def _impl(xr, xi):
+        out = pl.pallas_call(
+            functools.partial(
+                _spg_kernel, a=a, passes=passes, interpret=interpret
+            ),
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
+                pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
+                *[vec_spec(c) for c in consts],
+            ],
+            out_specs=pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (n // _LANES, _LANES), jnp.float32
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('parallel',),
+            ),
+            interpret=interpret,
+        )(
+            xr.reshape(n // _LANES, _LANES),
+            xi.reshape(n // _LANES, _LANES),
+            *[jnp.asarray(c) for c in consts],
+        )
+        return out.reshape(n // nfft, nfft)
 
-    return out.reshape(n // nfft, nfft)
+    from ._common import grad_fallback
+
+    return grad_fallback(
+        _impl, lambda xr, xi: _spectrogram_dB_xla(xr, xi, w_scaled, nfft)
+    )(xr, xi)
 
 
 def spectrogram_levels_supported(nfft: int, n_samples: int) -> bool:
@@ -446,7 +471,8 @@ def spectrogram_levels_pallas(
     else:
         n_bins, q_lo, q_scale = 1, 0.0, 1.0
 
-    w_key = np.ascontiguousarray((w / nfft).astype('complex64')).tobytes()
+    w_scaled = np.ascontiguousarray((w / nfft).astype('complex64'))
+    w_key = w_scaled.tobytes()
     consts = _spg_constants(nfft, w_key)
     if apd_navg:
         from .chan_stats_pallas import _group_matrix
@@ -476,41 +502,63 @@ def spectrogram_levels_pallas(
             jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.float32)
         )
 
-    outs = pl.pallas_call(
-        functools.partial(
-            _spg_levels_kernel, a=a, passes=passes, interpret=interpret,
-            q_lo=q_lo, q_scale=q_scale, n_bins=n_bins, apd_navg=apd_navg,
-            emit_levels=emit_levels,
-        ),
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
-            *[vec_spec(c) for c in consts],
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',),
-        ),
-        interpret=interpret,
-    )(
-        xr.reshape(n // _LANES, _LANES),
-        xi.reshape(n // _LANES, _LANES),
-        *[jnp.asarray(c) for c in consts],
-    )
-
-    i = 0
-    result = ()
-    if emit_levels:
-        result = (outs[0].reshape(n // nfft, nfft),)
-        i = 1
-    psum, pmax, pmin = outs[i : i + 3]
-    result = result + (
-        psum.reshape(-1), pmax.reshape(-1), pmin.reshape(-1)
-    )
-    if apd_navg:
-        result = result + (
-            outs[i + 3][:, : _LANES // apd_navg].reshape(-1),
+    def _impl(xr, xi):
+        outs = pl.pallas_call(
+            functools.partial(
+                _spg_levels_kernel, a=a, passes=passes, interpret=interpret,
+                q_lo=q_lo, q_scale=q_scale, n_bins=n_bins, apd_navg=apd_navg,
+                emit_levels=emit_levels,
+            ),
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
+                pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
+                *[vec_spec(c) for c in consts],
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary',),
+            ),
+            interpret=interpret,
+        )(
+            xr.reshape(n // _LANES, _LANES),
+            xi.reshape(n // _LANES, _LANES),
+            *[jnp.asarray(c) for c in consts],
         )
-    return result
+
+        i = 0
+        result = ()
+        if emit_levels:
+            result = (outs[0].reshape(n // nfft, nfft),)
+            i = 1
+        psum, pmax, pmin = outs[i : i + 3]
+        result = result + (
+            psum.reshape(-1), pmax.reshape(-1), pmin.reshape(-1)
+        )
+        if apd_navg:
+            result = result + (
+                outs[i + 3][:, : _LANES // apd_navg].reshape(-1),
+            )
+        return result
+
+    def _twin(xr, xi):
+        # XLA equivalent (differentiation target, grad_fallback): the
+        # factored-order dB spectrogram + the same level quantization
+        # and reductions, full f32
+        dB = _spectrogram_dB_xla(xr, xi, w_scaled, nfft)
+        result = ()
+        if emit_levels:
+            idx = jnp.clip(
+                jnp.floor((dB - q_lo) * q_scale), 0, n_bins - 1
+            ).astype(jnp.int32)
+            result = (idx,)
+        result = result + (dB.sum(axis=0), dB.max(axis=0), dB.min(axis=0))
+        if apd_navg:
+            p = xr * xr + xi * xi
+            result = result + (p.reshape(-1, apd_navg).mean(axis=1),)
+        return result
+
+    from ._common import grad_fallback
+
+    return grad_fallback(_impl, _twin)(xr, xi)

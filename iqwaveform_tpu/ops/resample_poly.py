@@ -180,14 +180,25 @@ def upfirdn(
         return signal.upfirdn(np.asarray(h), x, up=up, down=down, axis=axis)
 
     if backend == 'pallas':
+        from .pallas._common import grad_fallback
         from .pallas.upfirdn_pallas import upfirdn_pallas
+
+        # differentiation in x dispatches to the XLA conv path
+        # (grad_fallback; the kernel has no JVP rule). h stays closed
+        # over: the kernel builds its polyphase operator from h on the
+        # host, so this backend needs a concrete (non-differentiated)
+        # filter — use the default XLA backend to differentiate in h.
+        _up = grad_fallback(
+            lambda xx: upfirdn_pallas(h, xx, up, down),
+            lambda xx: _upfirdn_jax(h, xx, up, down, -1, precision),
+        )
 
         try:
             if axis not in (-1, x.ndim - 1):
                 x_moved = jnp.moveaxis(x, axis, -1)
-                y = upfirdn_pallas(h, x_moved, up, down)
+                y = _up(x_moved)
                 return jnp.moveaxis(y, -1, axis)
-            return upfirdn_pallas(h, x, up, down)
+            return _up(x)
         except Exception as err:  # pragma: no cover - backend-specific
             # some TPU attachments (e.g. remote-compile tunnels) support
             # only a Mosaic subset; production path is the XLA conv anyway

@@ -606,18 +606,42 @@ def _channelize_power_pallas(
     w = get_window(
         window, nperseg, xp=np, dtype='complex64', norm=True, fftshift=True
     )
-    out = chan_stats_pallas(
-        iq[: M * nperseg],
-        nfft_big=nperseg,
-        channel_count=channel_count,
-        window=w / nperseg,
-        navg=1,
-        skip_bins=skip_bins,
-        precision='high',
-        emit_psd=False,
-        emit_pbin=False,
-    )
-    channel_power = out['channel_power']
+
+    def _impl(v):
+        return chan_stats_pallas(
+            v,
+            nfft_big=nperseg,
+            channel_count=channel_count,
+            window=w / nperseg,
+            navg=1,
+            skip_bins=skip_bins,
+            precision='high',
+            emit_psd=False,
+            emit_pbin=False,
+        )['channel_power']
+
+    def _twin(v):
+        # XLA equivalent under differentiation (grad_fallback): the
+        # factored four-step channel sums, full f32
+        import jax
+
+        from .mxu_fft import four_step_factored
+
+        xstack = v.reshape(M, nperseg) * jnp.asarray(w / nperseg)[None, :]
+        D = four_step_factored(xstack, nperseg)
+        P = D.real * D.real + D.imag * D.imag
+        m = _channel_membership_map(
+            nperseg, skip_bins, analysis_bins_per_channel, channel_count
+        )
+        return jnp.matmul(
+            P.reshape(M, -1),
+            jnp.asarray(m.reshape(-1, channel_count)),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    from .pallas._common import grad_fallback
+
+    channel_power = grad_fallback(_impl, _twin)(iq[: M * nperseg])
 
     freqs, times = _get_stft_axes(
         1.0 / Ts, nfft=nperseg, time_size=M, overlap_frac=0.0, xp=np

@@ -267,9 +267,15 @@ def _sharded_ola_body(
     ifft_fn=jnp.fft.ifft,
     fused_fn=None,
     fused_raw_fn=None,
+    input_scale: float = 1.0,
 ):
     """stft -> zero passband -> frequency trim/pad -> istft, all local
     except the two noverlap-sized ppermutes.
+
+    ``input_scale`` records the raw-sample scale the caller folded into
+    ``fused_raw_fn``'s analysis window, so the XLA twin that replaces
+    the Pallas kernel under differentiation (grad_fallback) reproduces
+    the same output scale.
 
     Frames stay *group-separated* end to end when shapes allow: group g
     holds frames starting at offsets (g + k*R)*hop, which are (a)
@@ -337,8 +343,18 @@ def _sharded_ola_body(
             ).reshape(M, nfft)
             if fused_raw_fn is not None:
                 # VMEM-resident pallas kernel with both windows folded in
-                # (ops.pallas.fused_ola_pallas)
-                xg = fused_raw_fn(frames_g)
+                # (ops.pallas.fused_ola_pallas); under differentiation the
+                # XLA einsum twin runs instead (the kernel has no JVP rule)
+                if fused_fn is not None:
+                    from ..ops.pallas._common import grad_fallback
+
+                    def _twin(fg):
+                        y = fused_fn(fg * wind[None, :]) * w_shift_out[None, :]
+                        return y * input_scale if input_scale != 1.0 else y
+
+                    xg = grad_fallback(fused_raw_fn, _twin)(frames_g)
+                else:
+                    xg = fused_raw_fn(frames_g)
             elif fused_fn is not None:
                 # transpose-free fft->zero->trim->ifft in factored
                 # coordinates (ops.mxu_fft.fused_ola_mxu)
