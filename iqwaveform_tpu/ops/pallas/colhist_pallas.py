@@ -56,6 +56,9 @@ __all__ = [
     'columnwise_histogram_fast',
     'columnwise_histogram_pallas',
     'columnwise_histogram_packed',
+    'columnwise_histogram_packed_raw',
+    'packed_plan',
+    'unpack_packed_counts',
 ]
 
 _LANES = 128
@@ -79,7 +82,11 @@ def _colhist_kernel(idx_ref, out_ref, *, Tb, G, G_hi, factor_dtype):
     H = (hi[:, :, None] == iota_hi).astype(factor_dtype)  # (128, Tb, G_hi)
     L = (lo[:, :, None] == iota_lo).astype(factor_dtype)  # (128, Tb, G)
 
-    acc_dtype = jnp.int32 if factor_dtype == jnp.int8 else jnp.float32
+    acc_dtype = (
+        jnp.int32
+        if jnp.issubdtype(jnp.dtype(factor_dtype), jnp.integer)
+        else jnp.float32
+    )
     # counts[f, i, j] = sum_t H[f, t, i] L[f, t, j]
     tile = jax.lax.dot_general(
         H,
@@ -213,7 +220,11 @@ def _colhist_packed_kernel(
 
     # copy index c in [0, copies) of each factor row
     code = jax.lax.broadcasted_iota(jnp.int32, (_LANES, Tb), 0) // slab_size
-    acc_dtype = jnp.int32 if factor_dtype == jnp.int8 else jnp.float32
+    acc_dtype = (
+        jnp.int32
+        if jnp.issubdtype(jnp.dtype(factor_dtype), jnp.integer)
+        else jnp.float32
+    )
 
     for s in range(n_slabs):
         slab = idx_ref[s * slab_size : (s + 1) * slab_size, :]  # (slab, Tb)
@@ -257,6 +268,169 @@ def _pick_slab(B: int):
     return best[1], best[2], best[3]
 
 
+def packed_plan(B: int, F: int, slab_size: int = None) -> dict:
+    """host-side plan for the packed counting kernel's raw tile layout:
+    quadrant factoring (slab, QI, QJ, copies, G_hi, G) and the raw
+    accumulator shape for ``F`` columns. The raw representation is what
+    a streaming fold should CARRY (raw tiles add elementwise across
+    chunks); unpack_packed_counts extracts counts once at readout —
+    the per-chunk diagonal extraction otherwise dominates the kernel
+    ~2.5:1 (XLA lowers the strided diagonal gather far slower than the
+    32 MXU counting passes; measured round 4)."""
+    slab = slab_size
+    if slab is None:
+        slab, QI, QJ = _pick_slab(B)
+    else:
+        copies = _LANES // slab
+        QI = QJ = 1
+        while QI * QJ * copies * copies < B:
+            if QJ <= QI:
+                QJ *= 2
+            else:
+                QI *= 2
+    copies = _LANES // slab
+    F_p = _round_up(F, _LANES)
+    rows_per_fblock = (_LANES // slab) * QI * QJ * _LANES
+    return {
+        'B': B,
+        'F': F,
+        'F_p': F_p,
+        'slab': slab,
+        'QI': QI,
+        'QJ': QJ,
+        'copies': copies,
+        'G_hi': QI * copies,
+        'G': QJ * copies,
+        'raw_shape': (F_p // _LANES * rows_per_fblock, _LANES),
+    }
+
+
+def columnwise_histogram_packed_raw(
+    vals=None,
+    edges=None,
+    *,
+    time_block: int = 128,
+    factor_dtype=jnp.bfloat16,
+    interpret: bool = None,
+    levels: tuple = None,
+    plan: dict = None,
+):
+    """packed counting kernel WITHOUT the diagonal readout: returns the
+    raw float32 quadrant tile stack of shape ``plan['raw_shape']``. Raw
+    tiles are exact integer-valued counts and add elementwise across
+    calls, so a streaming fold can accumulate them directly and extract
+    (unpack_packed_counts) once at readout. Exact to 2**24 counts per
+    cell (f32 integer range) — flush before any cell can exceed it.
+    """
+    if interpret is None:
+        interpret = not _on_tpu_like()
+
+    if levels is not None:
+        idx, B = levels
+    else:
+        idx, B = _quantize_uniform(vals, edges)
+
+    T, F = idx.shape
+    if plan is None:
+        plan = packed_plan(B, F)
+    assert plan['B'] == B and plan['F'] == F
+    slab, QI, QJ = plan['slab'], plan['QI'], plan['QJ']
+    G_hi, G, F_p = plan['G_hi'], plan['G'], plan['F_p']
+    T_p = _round_up(T, time_block)
+    rows_per_fblock = (_LANES // slab) * QI * QJ * _LANES
+
+    def _impl(idx2):
+        sentinel = G_hi * G  # hi == G_hi matches no quadrant row
+        padded = jnp.pad(
+            idx2.T, ((0, F_p - F), (0, T_p - T)), constant_values=sentinel
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _colhist_packed_kernel,
+                Tb=time_block,
+                G=G,
+                G_hi=G_hi,
+                QI=QI,
+                QJ=QJ,
+                slab_size=slab,
+                factor_dtype=factor_dtype,
+                interpret=interpret,
+            ),
+            grid=(F_p // _LANES, T_p // time_block),
+            in_specs=[
+                pl.BlockSpec((_LANES, time_block), lambda f, t: (f, t)),
+            ],
+            out_specs=pl.BlockSpec(
+                (rows_per_fblock, _LANES), lambda f, t: (f, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(plan['raw_shape'], jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('parallel', 'arbitrary'),
+            ),
+            interpret=interpret,
+        )(padded)
+
+    def _twin(idx2):
+        # XLA twin under differentiation (grad_fallback): sort-path
+        # counts of the (already clipped) levels, embedded into the raw
+        # tile layout. Counts have zero tangents either way.
+        s = jnp.sort(idx2, axis=0)
+        bounds = jnp.arange(B + 1, dtype=idx2.dtype)
+        cum = jax.vmap(
+            lambda col: jnp.searchsorted(col, bounds, side='left'),
+            in_axes=1,
+        )(s)
+        counts = jnp.diff(cum, axis=1).astype(jnp.int32)  # (F, B)
+        return embed_counts_raw(counts, plan)
+
+    from ._common import grad_fallback
+
+    return grad_fallback(_impl, _twin)(idx)
+
+
+def embed_counts_raw(counts, plan: dict):
+    """(F, B) counts -> the raw quadrant tile layout (diagonal cells
+    filled, cross-frequency cells zero); the exact right inverse of
+    unpack_packed_counts. Serves as the XLA twin of the raw kernel
+    under differentiation (grad_fallback): same output layout, counts
+    from the sort path."""
+    slab, QI, QJ = plan['slab'], plan['QI'], plan['QJ']
+    copies, F_p = plan['copies'], plan['F_p']
+    c_pad = (
+        jnp.zeros((F_p, plan['G_hi'] * plan['G']), jnp.float32)
+        .at[: plan['F'], : plan['B']]
+        .set(counts.astype(jnp.float32))
+    )
+    d7 = c_pad.reshape(
+        F_p // _LANES, _LANES // slab, slab, QI, copies, QJ, copies
+    )  # dims f, s, p, i, c, j, d — inverse of unpack's diag reshape
+    raw8 = jnp.einsum(
+        'fspicjd,pq->fsijcpdq', d7, jnp.eye(slab, dtype=jnp.float32)
+    )
+    return raw8.reshape(plan['raw_shape'])
+
+
+def unpack_packed_counts(raw, plan: dict):
+    """raw quadrant tiles -> (F, B) int32 counts: tile
+    [c*slab+p, d*slab+p'] is only meaningful on the frequency diagonal
+    p == p'; run ONCE at readout, not per chunk."""
+    slab, QI, QJ = plan['slab'], plan['QI'], plan['QJ']
+    copies, F_p = plan['copies'], plan['F_p']
+    o = raw.reshape(
+        F_p // _LANES,
+        _LANES // slab,
+        QI,
+        QJ,
+        copies,
+        slab,
+        copies,
+        slab,
+    )
+    diag = jnp.einsum('fsijcpdp->fspicjd', o)
+    counts = diag.reshape(F_p, plan['G_hi'] * plan['G'])
+    return counts[: plan['F'], : plan['B']].astype(jnp.int32)
+
+
 def columnwise_histogram_packed(
     vals=None,
     edges=None,
@@ -279,82 +453,28 @@ def columnwise_histogram_packed(
     indices (e.g. emitted by the fused spectrogram kernel) instead of
     quantizing ``vals`` here; ``vals``/``edges`` are then ignored for
     values and only ``idx`` (rows, cols) is read.
+
+    Streaming folds should prefer columnwise_histogram_packed_raw and
+    carry the raw tiles (unpack once at readout): the diagonal
+    extraction here costs ~2.5x the counting kernel itself per call.
     """
-    if interpret is None:
-        interpret = not _on_tpu_like()
-
     if levels is not None:
-        idx, B = levels
+        _, B = levels
+        F = levels[0].shape[1]
     else:
-        idx, B = _quantize_uniform(vals, edges)
-
-    slab = slab_size
-    if slab is None:
-        slab, QI, QJ = _pick_slab(B)
-    else:
-        copies = _LANES // slab
-        QI = QJ = 1
-        while QI * QJ * copies * copies < B:
-            if QJ <= QI:
-                QJ *= 2
-            else:
-                QI *= 2
-    copies = _LANES // slab
-    G_hi, G = QI * copies, QJ * copies
-
-    T, F = idx.shape
-    F_p = _round_up(F, _LANES)
-    T_p = _round_up(T, time_block)
-
-    sentinel = G_hi * G  # hi == G_hi matches no quadrant row
-    idx = jnp.pad(
-        idx.T, ((0, F_p - F), (0, T_p - T)), constant_values=sentinel
-    )
-
-    rows_per_fblock = (_LANES // slab) * QI * QJ * _LANES
-    out = pl.pallas_call(
-        functools.partial(
-            _colhist_packed_kernel,
-            Tb=time_block,
-            G=G,
-            G_hi=G_hi,
-            QI=QI,
-            QJ=QJ,
-            slab_size=slab,
-            factor_dtype=factor_dtype,
-            interpret=interpret,
-        ),
-        grid=(F_p // _LANES, T_p // time_block),
-        in_specs=[
-            pl.BlockSpec((_LANES, time_block), lambda f, t: (f, t)),
-        ],
-        out_specs=pl.BlockSpec(
-            (rows_per_fblock, _LANES), lambda f, t: (f, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (F_p // _LANES * rows_per_fblock, _LANES), jnp.float32
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'arbitrary'),
-        ),
+        B = np.asarray(edges).shape[0] - 1
+        F = vals.shape[1]
+    plan = packed_plan(B, F, slab_size)
+    raw = columnwise_histogram_packed_raw(
+        vals,
+        edges,
+        time_block=time_block,
+        factor_dtype=factor_dtype,
         interpret=interpret,
-    )(idx)
-
-    # raw tiles -> counts: tile[c*slab+p, d*slab+p'] is only meaningful
-    # on the frequency diagonal p == p'
-    o = out.reshape(
-        F_p // _LANES,
-        _LANES // slab,
-        QI,
-        QJ,
-        copies,
-        slab,
-        copies,
-        slab,
+        levels=levels,
+        plan=plan,
     )
-    diag = jnp.einsum('fsijcpdp->fspicjd', o)
-    counts = diag.reshape(F_p, G_hi * G)[:F, :B]
-    return counts.astype(jnp.int32)
+    return unpack_packed_counts(raw, plan)
 
 
 def columnwise_histogram_fast(vals, edges):

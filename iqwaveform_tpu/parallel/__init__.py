@@ -20,6 +20,7 @@ from .streaming import (
     load_carry,
     persistence_apd_fold,
     persistence_finalize,
+    persistence_flush,
     persistence_fold,
     persistence_init,
     save_carry,
@@ -33,6 +34,7 @@ __all__ = [
     'design_persistence',
     'persistence_apd_fold',
     'persistence_finalize',
+    'persistence_flush',
     'persistence_fold',
     'persistence_init',
     'load_carry',

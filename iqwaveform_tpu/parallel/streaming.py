@@ -157,14 +157,31 @@ def load_carry(path: str, like):
     return jax.tree_util.tree_unflatten(treedef, restored)
 
 
-class PersistenceCarry(NamedTuple):
-    """sufficient statistics carried across chunks, per frequency bin."""
+# raw packed count tiles are exact-integer float32; flush them into the
+# int32 histogram before any cell can reach 2**24 (half for margin)
+_FLUSH_FRAMES = 1 << 23
 
-    hist: jax.Array  # (nfreq, n_bins) dB histogram counts
+
+class PersistenceCarry(NamedTuple):
+    """sufficient statistics carried across chunks, per frequency bin.
+
+    When the design enables the packed counting kernel
+    (design['hist_raw_plan'] is not None), per-chunk counts accumulate
+    in ``hist_raw`` — the kernel's raw quadrant tile layout, which adds
+    elementwise — and ``hist`` holds only counts already flushed from
+    it (persistence_flush). Extracting counts from the raw tiles costs
+    ~2.5x the counting kernel itself (the diagonal gather), so it runs
+    once at readout/flush instead of per chunk. ``hist_raw`` cells are
+    exact integer-valued float32: flush at least every 2**23 frames
+    (streaming_persistence_spectrum does so automatically; readout
+    folds any pending raw counts in without mutating the carry)."""
+
+    hist: jax.Array  # (nfreq, n_bins) dB histogram counts (flushed)
     psum: jax.Array  # (nfreq,) power sum
     pmax: jax.Array  # (nfreq,) max power
     pmin: jax.Array  # (nfreq,) min power
     count: jax.Array  # () frame count
+    hist_raw: jax.Array = None  # packed raw count tiles (or None)
 
 
 def _resolve_persistence_backend(
@@ -279,6 +296,18 @@ def design_persistence(
         edges = np.linspace(
             hist_range_dB[0], hist_range_dB[1], hist_bins + 1
         ).astype('float32')
+    # packed-counter raw carry (see PersistenceCarry): engaged whenever
+    # the fold would use the packed one-hot-matmul kernel — the pallas
+    # backend always counts through it, and on a TPU target the unfused
+    # paths dispatch to it too (columnwise_histogram_fast)
+    hist_raw_plan = None
+    if hist_bins and hist_bins <= 1024:
+        from ..ops.pallas._common import on_tpu_like
+
+        if fft_backend == 'pallas' or on_tpu_like():
+            from ..ops.pallas.colhist_pallas import packed_plan
+
+            hist_raw_plan = packed_plan(hist_bins, nfft)
     unscramble = None
     if fft_backend in ('mxu', 'pallas'):
         if fft_backend == 'pallas':
@@ -305,6 +334,7 @@ def design_persistence(
         'fft_backend': fft_backend,
         'fft_passes': passes,
         'unscramble': unscramble,
+        'hist_raw_plan': hist_raw_plan,
         # resume-safety tag: carries accumulated under one design must
         # not continue under another (e.g. factored vs natural bin
         # order would silently corrupt every per-bin statistic)
@@ -329,12 +359,36 @@ def persistence_init(design: dict) -> PersistenceCarry:
     else:
         hist_bins = design['edges_dB'].shape[0] - 1
         hist = jnp.zeros((nfft, hist_bins), dtype=jnp.int32)
+    plan = design.get('hist_raw_plan')
     return PersistenceCarry(
         hist=hist,
         psum=jnp.zeros((nfft,), dtype=jnp.float32),
         pmax=jnp.full((nfft,), -jnp.inf, dtype=jnp.float32),
         pmin=jnp.full((nfft,), jnp.inf, dtype=jnp.float32),
         count=jnp.zeros((), dtype=jnp.int32),
+        hist_raw=(
+            None
+            if plan is None
+            else jnp.zeros(plan['raw_shape'], dtype=jnp.float32)
+        ),
+    )
+
+
+def persistence_flush(carry: PersistenceCarry, design: dict) -> PersistenceCarry:
+    """fold the pending packed raw count tiles into the int32 histogram
+    (no-op for designs without the raw representation). Traceable. Call
+    at least every 2**23 accumulated frames to stay inside the raw
+    tiles' exact-integer float32 range — streaming_persistence_spectrum
+    does this automatically, and readout folds pending raw counts in
+    without mutating the carry."""
+    plan = design.get('hist_raw_plan')
+    if plan is None or carry.hist_raw is None:
+        return carry
+    from ..ops.pallas.colhist_pallas import unpack_packed_counts
+
+    return carry._replace(
+        hist=carry.hist + unpack_packed_counts(carry.hist_raw, plan),
+        hist_raw=jnp.zeros_like(carry.hist_raw),
     )
 
 
@@ -396,14 +450,28 @@ def persistence_fold(carry: PersistenceCarry, chunk, design: dict):
 
     spg_dB = _spectrogram_dB_chunk(chunk, design)
 
+    hist = carry.hist
+    hist_raw = carry.hist_raw
+    plan = design.get('hist_raw_plan')
     if design['edges_dB'] is None:
-        hist = None
+        pass
+    elif plan is not None:
+        # packed one-hot-matmul kernel, RAW tile accumulation: counts
+        # extract once at flush/readout instead of per chunk (the
+        # diagonal gather costs ~2.5x the counting kernel)
+        from ..ops.pallas.colhist_pallas import (
+            columnwise_histogram_packed_raw,
+        )
+
+        hist_raw = hist_raw + columnwise_histogram_packed_raw(
+            spg_dB, design['edges_dB'], plan=plan
+        )
     else:
         # one-hot-matmul kernel on TPU (~70x the XLA sort path), sort
         # elsewhere
         from ..ops.pallas.colhist_pallas import columnwise_histogram_fast
 
-        hist = carry.hist + columnwise_histogram_fast(
+        hist = hist + columnwise_histogram_fast(
             spg_dB, design['edges_dB']
         )
 
@@ -413,6 +481,7 @@ def persistence_fold(carry: PersistenceCarry, chunk, design: dict):
         pmax=jnp.maximum(carry.pmax, spg_dB.max(axis=0)),
         pmin=jnp.minimum(carry.pmin, spg_dB.min(axis=0)),
         count=carry.count + spg_dB.shape[0],
+        hist_raw=hist_raw,
     )
 
 
@@ -456,23 +525,38 @@ def _fused_levels_fold(carry, chunk, design, apd_navg: int = 0):
         apd_navg=apd_navg,
     )
     n_frames = xr.shape[0] // design['nfft']
+    hist = carry.hist
+    hist_raw = carry.hist_raw
     if stats_only:
-        counts = None
         psum, pmax, pmin = outs[:3]
         pbin_i = 3
     else:
-        from ..ops.pallas.colhist_pallas import columnwise_histogram_packed
-
         idx, psum, pmax, pmin = outs[:4]
         pbin_i = 4
         B = design['edges_dB'].shape[0] - 1
-        counts = columnwise_histogram_packed(levels=(idx, B))
+        plan = design.get('hist_raw_plan')
+        if plan is not None:
+            # raw tile accumulation; extraction deferred to flush/readout
+            from ..ops.pallas.colhist_pallas import (
+                columnwise_histogram_packed_raw,
+            )
+
+            hist_raw = hist_raw + columnwise_histogram_packed_raw(
+                levels=(idx, B), plan=plan
+            )
+        else:
+            from ..ops.pallas.colhist_pallas import (
+                columnwise_histogram_packed,
+            )
+
+            hist = hist + columnwise_histogram_packed(levels=(idx, B))
     new_carry = PersistenceCarry(
-        hist=None if counts is None else carry.hist + counts,
+        hist=hist,
         psum=carry.psum + psum,
         pmax=jnp.maximum(carry.pmax, pmax),
         pmin=jnp.minimum(carry.pmin, pmin),
         count=carry.count + n_frames,
+        hist_raw=hist_raw,
     )
     if apd_navg:
         return new_carry, outs[pbin_i]
@@ -555,7 +639,21 @@ def _readout_program(fingerprint, quantiles):
 
     @jax.jit
     def _readout(c):
-        hist = None if c.hist is None else (c.hist if u is None else c.hist[u])
+        hist = c.hist
+        if hist is not None and c.hist_raw is not None:
+            # fold pending packed raw counts in (structure-derived plan:
+            # the carry self-describes its representation, so a carry
+            # saved on one platform reads out on any other)
+            from ..ops.pallas.colhist_pallas import (
+                packed_plan,
+                unpack_packed_counts,
+            )
+
+            hist = hist + unpack_packed_counts(
+                c.hist_raw, packed_plan(hist.shape[1], nfft)
+            )
+        if hist is not None and u is not None:
+            hist = hist[u]
         psum = c.psum if u is None else c.psum[u]
         pmax = c.pmax if u is None else c.pmax[u]
         pmin = c.pmin if u is None else c.pmin[u]
@@ -702,11 +800,39 @@ def streaming_persistence_spectrum(
     else:
         init = init_carry
 
-    final, _ = jax.lax.scan(
-        lambda c, cx: (persistence_fold(c, cx, design), None), init, x
-    )
+    plan = design.get('hist_raw_plan')
+    # raw-tile counts are exact-integer f32: flush into the int32
+    # histogram before any cell can approach 2**24 (a resumed carry may
+    # already hold pending raw counts, so flush it up front)
+    flush_every = max(1, _FLUSH_FRAMES // chunk_frames)
+    if plan is not None and init_carry is not None:
+        init = persistence_flush(init, design)
+    if plan is None or n_chunks <= flush_every:
+        final, _ = jax.lax.scan(
+            lambda c, cx: (persistence_fold(c, cx, design), None), init, x
+        )
+    else:
+
+        def _body(c, icx):
+            i, cx = icx
+            c = persistence_fold(c, cx, design)
+            c = jax.lax.cond(
+                (i + 1) % flush_every == 0,
+                lambda cc: persistence_flush(cc, design),
+                lambda cc: cc,
+                c,
+            )
+            return c, None
+
+        final, _ = jax.lax.scan(
+            _body, init, (jnp.arange(n_chunks, dtype=jnp.int32), x)
+        )
     if tail_keep:
         final = persistence_fold(final, tail, design)
+    if plan is not None:
+        # hand downstream consumers (finalize, the exact-quantile
+        # refinement, the returned resume carry) a flushed carry
+        final = persistence_flush(final, design)
 
     out = persistence_finalize(final, design, fs=fs, quantiles=quantiles)
     out['_carry'] = final

@@ -33,13 +33,24 @@ def main():
         vals = jnp.asarray(vals_np)
 
         oracle = None
-        for factor_dtype in (jnp.int32, jnp.bfloat16):
-            name = f'{T}x{F} B={B} factor={jnp.dtype(factor_dtype).name}'
+        # int32 factors are unsupported by this Mosaic target ("Bad
+        # lhs/rhs type" for i32 x i32 matmul) — only bf16 and int8 dots
+        # compile; int8 re-tested under the slab-4 packing (VERDICT r3 #6)
+        for factor_dtype, time_block in (
+            (jnp.bfloat16, 128),
+            (jnp.int8, 128),
+            (jnp.int8, 256),
+            (jnp.bfloat16, 256),
+        ):
+            name = (
+                f'{T}x{F} B={B} factor={jnp.dtype(factor_dtype).name} '
+                f'tb={time_block}'
+            )
 
             @jax.jit
-            def step(v, _fd=factor_dtype):
+            def step(v, _fd=factor_dtype, _tb=time_block):
                 c = columnwise_histogram_packed(
-                    v, edges, factor_dtype=_fd
+                    v, edges, factor_dtype=_fd, time_block=_tb
                 )
                 return c.astype(jnp.float32)
 

@@ -1,14 +1,18 @@
 """Weak-scaling check of the sharded monitor on a virtual CPU mesh.
 
-Runs the full sharded step at 1/2/4/8 devices with FIXED PER-DEVICE work
-(weak scaling): per-device time should stay ~flat if the collectives are
-O(noverlap + bins) as designed (no capture-sized all-gather). Virtual CPU
-devices share one host's memory bandwidth, so this bounds collective
-*overhead structure*, not real ICI bandwidth — see
-tests/test_parallel.py::test_sharded_monitor_collective_budget for the
-matching HLO-level assertion.
+Runs the full sharded step at 1..64 devices, on 1-D time meshes and
+asymmetric 2-D receiver-batch x time meshes (batch-major included), with
+FIXED PER-DEVICE work (weak scaling): per-device time should stay ~flat
+if the collectives are O(noverlap + bins) as designed (no capture-sized
+all-gather). Each run also counts the collectives in the compiled HLO
+and asserts the budget is INVARIANT in device count and mesh shape
+(VERDICT r3 #7) — the same bound
+tests/test_parallel.py::test_sharded_monitor_collective_budget pins on
+the 8-device CI mesh. Virtual CPU devices share one host's memory
+bandwidth, so this bounds collective *overhead structure*, not real ICI
+bandwidth.
 
-Usage: python scripts/weak_scaling.py   (re-execs itself per device count)
+Usage: python scripts/weak_scaling.py   (re-execs itself per mesh)
 """
 
 import json
@@ -17,10 +21,28 @@ import subprocess
 import sys
 import time
 
-DEVICE_COUNTS = (1, 2, 4, 8)
+# 1-D time meshes plus asymmetric 2-D batch x time meshes (batch-major
+# and time-major); a v5e pod slice is bigger than 8, so stretch to 64
+MESHES = ('1', '2', '4', '8', '16', '32', '64', '2x16', '4x8', '8x4')
+
+BUDGET = {
+    'all-gather': 0,
+    'all-to-all': 0,
+    'collective-permute': 2,  # halo in + OLA tail out
+    'all-reduce': 4,  # psum/pmean/pmax statistic merges
+}
 
 
-def run_one(n_dev: int) -> dict:
+def _parse_mesh(spec: str):
+    if 'x' in spec:
+        b, t = spec.split('x')
+        return int(b), int(t)
+    return 1, int(spec)
+
+
+def run_one(spec: str) -> dict:
+    import re
+
     import numpy as np
 
     import jax
@@ -30,33 +52,57 @@ def run_one(n_dev: int) -> dict:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
+    from iqwaveform_tpu.models.monitor import BATCH_AXIS
     from iqwaveform_tpu.parallel.mesh import TIME_AXIS
+
+    n_batch, n_time = _parse_mesh(spec)
 
     design = design_wideband_monitor(
         61.44e6, 30.72e6, bw=20e6, channel_count=8,
         fft_size_per_channel=128, window='hamming', apd_bins=512,
     )
+    if n_batch > 1:
+        mesh_shape, axis_names = (n_batch, n_time), (BATCH_AXIS, TIME_AXIS)
+    else:
+        mesh_shape, axis_names = (n_time,), (TIME_AXIS,)
     mesh = jax.make_mesh(
-        (n_dev,), (TIME_AXIS,), axis_types=(jax.sharding.AxisType.Auto,)
+        mesh_shape,
+        axis_names,
+        axis_types=tuple(jax.sharding.AxisType.Auto for _ in axis_names),
     )
     mon = WidebandMonitor(design, mesh=mesh)
 
-    # weak scaling: per-device work fixed at 8 per-shard quanta, so the
-    # total grows with the device count
-    quantum = mon.min_input_multiple(n_dev)
+    # weak scaling: per-device work fixed at 8 per-time-shard quanta and
+    # one batch row per batch shard, so the total grows with the mesh
+    quantum = mon.min_input_multiple(n_time)
     n = 8 * quantum
+    b = n_batch
 
     rng = np.random.default_rng(0)
-    iq = (rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))).astype(
+    iq = (rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n))).astype(
         'complex64'
     )
     iq = jax.device_put(
-        jnp.asarray(iq), NamedSharding(mesh, P(None, TIME_AXIS))
+        jnp.asarray(iq),
+        NamedSharding(
+            mesh, P(BATCH_AXIS if n_batch > 1 else None, TIME_AXIS)
+        ),
     )
 
     step = jax.jit(mon.sharded_step)
+    compiled = step.lower(iq).compile()
+    hlo = compiled.as_text()
+    counts = {
+        op: len(re.findall(rf'{op}\(|{op}-start', hlo)) for op in BUDGET
+    }
+    for op, lim in BUDGET.items():
+        assert counts[op] <= lim, (
+            f'mesh {spec}: {op} count {counts[op]} exceeds the '
+            f'shape-invariant budget {lim}'
+        )
+
     out = step(iq)
-    jax.block_until_ready(out)  # compile + warm
+    jax.block_until_ready(out)  # warm
 
     reps = 5
     t0 = time.perf_counter()
@@ -65,22 +111,28 @@ def run_one(n_dev: int) -> dict:
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
 
+    n_dev = n_batch * n_time
     return {
+        'mesh': spec,
         'devices': n_dev,
-        'samples': n,
-        'samples_per_device': n // n_dev,
+        'samples': b * n,
+        'samples_per_device': b * n // n_dev,
         'step_ms': round(dt * 1e3, 2),
-        'ms_per_Msample_per_device': round(dt * 1e3 / (n / n_dev / 1e6), 2),
+        'ms_per_Msample_per_device': round(
+            dt * 1e3 / (b * n / n_dev / 1e6), 2
+        ),
+        'collectives': counts,
     }
 
 
 def main():
     if len(sys.argv) > 1:
-        print(json.dumps(run_one(int(sys.argv[1]))))
+        print(json.dumps(run_one(sys.argv[1])))
         return
 
     rows = []
-    for n_dev in DEVICE_COUNTS:
+    for spec in MESHES:
+        n_dev = (lambda b_t: b_t[0] * b_t[1])(_parse_mesh(spec))
         env = dict(os.environ)
         env['XLA_FLAGS'] = (
             ' '.join(
@@ -90,11 +142,11 @@ def main():
             + f' --xla_force_host_platform_device_count={n_dev}'
         ).strip()
         res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), str(n_dev)],
-            env=env, capture_output=True, text=True, timeout=600,
+            [sys.executable, os.path.abspath(__file__), spec],
+            env=env, capture_output=True, text=True, timeout=1200,
         )
         if res.returncode != 0:
-            print(f'devices={n_dev} FAILED:', res.stderr[-500:], file=sys.stderr)
+            print(f'mesh={spec} FAILED:', res.stderr[-500:], file=sys.stderr)
             continue
         row = json.loads(res.stdout.strip().splitlines()[-1])
         rows.append(row)
@@ -105,10 +157,13 @@ def main():
         print('\nweak scaling (per-device time, 1-device = 1.0):')
         for r in rows:
             rel = r['ms_per_Msample_per_device'] / base
+            c = r['collectives']
             print(
-                f"  {r['devices']} devices: {r['step_ms']:8.2f} ms/step, "
+                f"  {r['mesh']:>5} ({r['devices']:2d} dev): "
+                f"{r['step_ms']:8.2f} ms/step, "
                 f"{r['ms_per_Msample_per_device']:6.2f} ms/MS/dev "
-                f"({rel:.2f}x)"
+                f"({rel:.2f}x)  permutes={c['collective-permute']} "
+                f"reduces={c['all-reduce']}"
             )
 
 

@@ -211,6 +211,78 @@ def test_streaming_persistence_matches_direct():
     assert np.abs(np.asarray(res['quantiles_dB'])[0] - exact_median).max() <= 5 * bw
 
 
+def test_persistence_raw_carry_matches_per_chunk_extraction():
+    """the packed-counter RAW tile carry (counts extracted once at
+    flush/readout instead of per chunk — the round-4 streaming fold
+    optimization) is bit-identical to per-chunk extraction."""
+    from iqwaveform_tpu.parallel import streaming as S
+
+    fs = 1e6
+    nfft = 1024
+    n = 131072 * 4
+    x = jnp.asarray(make_tone_noise(n, fs=fs))
+    kws = dict(
+        fs=fs, window='hann', nfft=nfft, chunk_frames=128, hist_bins=512,
+        fft_backend='pallas', fft_precision='highest',
+    )
+    out_raw = S.streaming_persistence_spectrum(x, **kws)
+    # the raw representation must actually be engaged, and the returned
+    # resume carry must be flushed
+    assert out_raw['_carry'].hist_raw is not None
+    assert (np.asarray(out_raw['_carry'].hist_raw) == 0).all()
+
+    orig = S.design_persistence
+
+    def no_raw(**k):
+        d = orig(**k)
+        d['hist_raw_plan'] = None
+        return d
+
+    S.design_persistence = no_raw
+    try:
+        out_old = S.streaming_persistence_spectrum(x, **kws)
+    finally:
+        S.design_persistence = orig
+    assert out_old['_carry'].hist_raw is None
+
+    np.testing.assert_array_equal(
+        np.asarray(out_raw['hist']), np.asarray(out_old['hist'])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_raw['quantiles_dB']), np.asarray(out_old['quantiles_dB'])
+    )
+
+
+def test_persistence_raw_carry_flush_period(monkeypatch):
+    """forcing a flush after every chunk (the f32 exact-integer
+    overflow guard) must not change any count, and resume through a
+    raw-carrying result dict must match the one-shot fold."""
+    from iqwaveform_tpu.parallel import streaming as S
+
+    fs = 1e6
+    nfft = 1024
+    n = 131072 * 4
+    x = jnp.asarray(make_tone_noise(n, fs=fs))
+    kws = dict(
+        fs=fs, window='hann', nfft=nfft, chunk_frames=128, hist_bins=512,
+        fft_backend='pallas', fft_precision='highest',
+    )
+    base = S.streaming_persistence_spectrum(x, **kws)
+    monkeypatch.setattr(S, '_FLUSH_FRAMES', 128)  # flush every chunk
+    every = S.streaming_persistence_spectrum(x, **kws)
+    np.testing.assert_array_equal(
+        np.asarray(base['hist']), np.asarray(every['hist'])
+    )
+    monkeypatch.undo()
+
+    half = n // 2
+    o1 = S.streaming_persistence_spectrum(x[:half], **kws)
+    o2 = S.streaming_persistence_spectrum(x[half:], init_carry=o1, **kws)
+    np.testing.assert_array_equal(
+        np.asarray(o2['hist']), np.asarray(base['hist'])
+    )
+
+
 def test_streaming_apd_matches_sample_ccdf():
     x = make_tone_noise(100000)
     p = np.abs(x) ** 2
@@ -620,10 +692,17 @@ def test_quantile_from_histogram_error_bound(n_bins):
     assert np.abs(got - exact).max() <= bin_width, (got, exact)
 
 
-def test_sharded_monitor_collective_budget():
+@pytest.mark.parametrize(
+    'mesh_shape',
+    [(8,), (2, 4), (4, 2)],
+    ids=['time8', 'batch2xtime4', 'batch4xtime2'],
+)
+def test_sharded_monitor_collective_budget(mesh_shape):
     """the sharded monitor step must scale: no all-gather or all-to-all
     of the capture may appear, only the O(noverlap) halo permutes and the
-    O(bins) statistic reductions (VERDICT r1 item 8)."""
+    O(bins) statistic reductions (VERDICT r1 item 8). The budget must be
+    INVARIANT across mesh shapes — 1-D time meshes and asymmetric 2-D
+    receiver-batch x time meshes, batch-major included (VERDICT r3 #7)."""
     import re
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -632,23 +711,36 @@ def test_sharded_monitor_collective_budget():
         WidebandMonitor,
         design_wideband_monitor,
     )
+    from iqwaveform_tpu.models.monitor import BATCH_AXIS
     from iqwaveform_tpu.parallel.mesh import TIME_AXIS
 
     design = design_wideband_monitor(
         61.44e6, 30.72e6, bw=20e6, channel_count=8,
         fft_size_per_channel=128, window='hamming', apd_bins=512,
     )
+    if len(mesh_shape) == 1:
+        axis_names = (TIME_AXIS,)
+        n_batch, n_time = 1, mesh_shape[0]
+    else:
+        axis_names = (BATCH_AXIS, TIME_AXIS)
+        n_batch, n_time = mesh_shape
     mesh = jax.make_mesh(
-        (8,), (TIME_AXIS,), axis_types=(jax.sharding.AxisType.Auto,)
+        mesh_shape,
+        axis_names,
+        axis_types=tuple(jax.sharding.AxisType.Auto for _ in axis_names),
     )
     mon = WidebandMonitor(design, mesh=mesh)
-    n = mon.min_input_multiple(8)
+    n = mon.min_input_multiple(n_time)
+    b = 2 * n_batch
     rng = np.random.default_rng(0)
-    iq = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))).astype(
+    iq = (rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n))).astype(
         'complex64'
     )
     iq = jax.device_put(
-        jnp.asarray(iq), NamedSharding(mesh, P(None, TIME_AXIS))
+        jnp.asarray(iq),
+        NamedSharding(
+            mesh, P(BATCH_AXIS if n_batch > 1 else None, TIME_AXIS)
+        ),
     )
 
     hlo = jax.jit(mon.sharded_step).lower(iq).compile().as_text()
