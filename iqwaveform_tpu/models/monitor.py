@@ -583,14 +583,23 @@ class WidebandMonitor:
 
         kernel = 'sort' if force_xla else self.design.apd_kernel
         if kernel == 'auto':
-            # the packed counter's fixed quadrant-dot + readout overhead
-            # dominates below ~1M samples while edge-compare scales with
-            # bins x samples (crossover measured in docs/BENCH_notes.md
-            # "APD kernel choice by sample count"); the binned sample
-            # count is static at trace time, so resolve per program
-            kernel = 'packed' if p.shape[0] >= (1 << 21) else 'pallas'
+            # edge-compare costs O(samples x bins) while the packed-raw
+            # counter is ~flat in bins with a fixed quadrant-dot floor,
+            # so the crossover scales inversely with the bin count
+            # (round-4 probe, docs/BENCH_notes.md "APD kernel choice");
+            # the binned sample count is static at trace time, so
+            # resolve per program
+            kernel = (
+                'packed'
+                if p.shape[0] * (self.design.apd_bins + 1) >= (1 << 30)
+                else 'pallas'
+            )
         if kernel == 'packed':
-            from ..ops.pallas.colhist_pallas import columnwise_histogram_packed
+            from ..ops.pallas.colhist_pallas import (
+                columnwise_histogram_packed_raw,
+                packed_plan,
+                unpack_packed_counts_total,
+            )
 
             d = self.design
             lo, hi = d.apd_range_dB
@@ -611,10 +620,14 @@ class WidebandMonitor:
                 idx = jnp.concatenate(
                     [idx, jnp.full((pad,), d.apd_bins + 1, jnp.int32)]
                 )
-            counts2d = columnwise_histogram_packed(
-                levels=(idx.reshape(-1, cols), d.apd_bins + 1)
+            # raw tiles + the fused diagonal-trace column-sum readout:
+            # ~10x cheaper than extracting per-column counts and
+            # summing (the strided diagonal gather; round-4 finding)
+            plan = packed_plan(d.apd_bins + 1, cols)
+            raw = columnwise_histogram_packed_raw(
+                levels=(idx.reshape(-1, cols), d.apd_bins + 1), plan=plan
             )
-            return counts2d.sum(axis=0)
+            return unpack_packed_counts_total(raw, plan)
         if kernel == 'pallas':
             from ..ops.pallas.hist_pallas import histogram_edge_counts_pallas
 

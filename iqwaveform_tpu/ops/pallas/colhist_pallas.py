@@ -59,6 +59,7 @@ __all__ = [
     'columnwise_histogram_packed_raw',
     'packed_plan',
     'unpack_packed_counts',
+    'unpack_packed_counts_total',
 ]
 
 _LANES = 128
@@ -429,6 +430,33 @@ def unpack_packed_counts(raw, plan: dict):
     diag = jnp.einsum('fsijcpdp->fspicjd', o)
     counts = diag.reshape(F_p, plan['G_hi'] * plan['G'])
     return counts[: plan['F'], : plan['B']].astype(jnp.int32)
+
+
+def unpack_packed_counts_total(raw, plan: dict):
+    """raw quadrant tiles -> (B,) int32 COLUMN-SUMMED counts (the 1-D
+    histogram of all columns together). Algebraically collapses the
+    diagonal extraction and the column sum into one tiny contraction
+    against an identity matrix — XLA lowers this as a dense reduce
+    instead of the strided diagonal gather, ~an order of magnitude
+    cheaper than unpack_packed_counts(...).sum(axis=0). Padding columns
+    must carry the sentinel level (they then count into no real bin)."""
+    slab, QI, QJ = plan['slab'], plan['QI'], plan['QJ']
+    copies, F_p = plan['copies'], plan['F_p']
+    o = raw.reshape(
+        F_p // _LANES,
+        _LANES // slab,
+        QI,
+        QJ,
+        copies,
+        slab,
+        copies,
+        slab,
+    )
+    eye = jnp.eye(slab, dtype=raw.dtype)
+    tot = jnp.einsum('fsijcpdq,pq->icjd', o, eye)
+    return tot.reshape(plan['G_hi'] * plan['G'])[: plan['B']].astype(
+        jnp.int32
+    )
 
 
 def columnwise_histogram_packed(

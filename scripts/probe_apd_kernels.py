@@ -51,6 +51,30 @@ def probe_apd():
 
         return packed
 
+    def make_packed_raw(slab):
+        # the round-4 monitor pattern: raw tiles + fused diagonal-trace
+        # column-sum readout (no strided diagonal gather)
+        from iqwaveform_tpu.ops.pallas.colhist_pallas import (
+            columnwise_histogram_packed_raw,
+            packed_plan,
+            unpack_packed_counts_total,
+        )
+
+        plan = packed_plan(apd_bins + 1, 128, slab)
+
+        @jax.jit
+        def packed(p):
+            v = 10.0 * jnp.log10(p)
+            idx = jnp.clip(jnp.ceil((v - lo) / w), 0, apd_bins).astype(
+                jnp.int32
+            )
+            raw = columnwise_histogram_packed_raw(
+                levels=(idx.reshape(-1, 128), apd_bins + 1), plan=plan
+            )
+            return unpack_packed_counts_total(raw, plan).astype(jnp.float32)
+
+        return packed
+
     @jax.jit
     def edge(p):
         return histogram_edge_counts_pallas(p, edges_pow).astype(jnp.float32)
@@ -59,9 +83,11 @@ def probe_apd():
     # navg=16 (0.5M binned samples)
     for n in (1 << 23, 1 << 19):
         p = jnp.asarray((rng.standard_normal(n) ** 2).astype('float32'))
-        cases = [('edge-compare', edge)] + [
-            (f'packed slab{s}', make_packed(s)) for s in (None, 4, 8, 16)
-        ]
+        cases = (
+            [('edge-compare', edge)]
+            + [(f'packed slab{s}', make_packed(s)) for s in (None, 8)]
+            + [(f'packed-raw slab{s}', make_packed_raw(s)) for s in (None, 8)]
+        )
         for name, fn in cases:
             dt, _ = measure(fn, p)
             total = float(np.asarray(fn(p)).sum())
