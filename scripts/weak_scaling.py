@@ -118,9 +118,11 @@ def run_one(spec: str) -> dict:
         'samples': b * n,
         'samples_per_device': b * n // n_dev,
         'step_ms': round(dt * 1e3, 2),
-        'ms_per_Msample_per_device': round(
-            dt * 1e3 / (b * n / n_dev / 1e6), 2
-        ),
+        # virtual devices all run on ONE host core, so total host work
+        # is serialized: the flat-under-weak-scaling signal is cost per
+        # TOTAL sample (per-device wall time trivially grows with the
+        # device count on this host and means nothing)
+        'ms_per_Msample_total': round(dt * 1e3 / (b * n / 1e6), 2),
         'collectives': counts,
     }
 
@@ -153,15 +155,15 @@ def main():
         print(row, flush=True)
 
     if rows:
-        base = rows[0]['ms_per_Msample_per_device']
-        print('\nweak scaling (per-device time, 1-device = 1.0):')
+        base = rows[0]['ms_per_Msample_total']
+        print('\nweak scaling (host cost per total Msample, 1-device = 1.0):')
         for r in rows:
-            rel = r['ms_per_Msample_per_device'] / base
+            rel = r['ms_per_Msample_total'] / base
             c = r['collectives']
             print(
                 f"  {r['mesh']:>5} ({r['devices']:2d} dev): "
                 f"{r['step_ms']:8.2f} ms/step, "
-                f"{r['ms_per_Msample_per_device']:6.2f} ms/MS/dev "
+                f"{r['ms_per_Msample_total']:7.2f} ms/MS total "
                 f"({rel:.2f}x)  permutes={c['collective-permute']} "
                 f"reduces={c['all-reduce']}"
             )
