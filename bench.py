@@ -484,7 +484,75 @@ def bench_channelize64():
     return 'channelize64_stats_1chip', B * n_use / dt / 1e6, []
 
 
+def bench_disk_to_chip():
+    """sustained disk->chip ingest-inclusive throughput (VERDICT r3 #3):
+    runs examples/disk_to_chip.py (SigMF ci16 capture -> CapturePrefetcher
+    -> H2D -> persistence+APD folds) and reports the end-to-end MS/s,
+    plus the pipeline's component rates as extras so the binding stage
+    is explicit. On the axon tunnel the H2D link (~18 MB/s measured)
+    binds ~200x below the device fold rate — the number measures the
+    tunnel, not the library (docs/BENCH_notes.md "Disk->chip
+    sustained"); on local PCIe hardware the same pipeline is bound by
+    min(disk, host deinterleave, H2D, compute)."""
+    import re
+    import subprocess
+
+    import jax
+    import jax.numpy as jnp
+
+    out_dir = '/tmp/iqwaveform_d2c_bench'
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, EXAMPLE_ON_TPU='1')
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(here, 'examples', 'disk_to_chip.py'),
+            '--gigasamples', '0.05', '--out-dir', out_dir,
+        ],
+        env=env, capture_output=True, text=True, timeout=1500,
+    )
+    sys.stderr.write(res.stderr[-1000:])
+    m = re.search(r'sustained (\d+(?:\.\d+)?) MS/s', res.stdout)
+    if res.returncode != 0 or not m:
+        raise RuntimeError(
+            f'disk_to_chip failed rc={res.returncode}: {res.stdout[-500:]!r}'
+        )
+    msps = float(m.group(1))
+
+    # component rate 1: tunnel H2D bandwidth (one 134 MB f32 transfer)
+    x = np.random.default_rng(0).standard_normal((2, 1 << 24)).astype(
+        'float32'
+    )
+    f = jax.jit(lambda v: v.sum(keepdims=True))
+    np.asarray(f(jnp.ones((8, 8), jnp.float32)))  # init + warm
+    t0 = time.perf_counter()
+    np.asarray(f(jnp.asarray(x)))
+    h2d_mbps = x.nbytes / (time.perf_counter() - t0) / 1e6
+
+    # component rate 2: prefetcher disk -> host f32 planes (no device)
+    from iqwaveform_tpu import io as iqio
+
+    path = os.path.join(out_dir, 'capture.sigmf-data')
+    t0 = time.perf_counter()
+    done = 0
+    for _ in range(3):  # the 0.05 GS file is short; steady the estimate
+        with iqio.CapturePrefetcher(
+            path, 2**24, 'ci16_le', planes=True
+        ) as ch:
+            for planes in ch:
+                float(planes[0][0])
+                done += 1
+    disk_msps = done * 2**24 / (time.perf_counter() - t0) / 1e6
+
+    extras = [
+        ('disk_to_chip_h2d_tunnel', h2d_mbps, 'MB/s'),
+        ('disk_to_host_prefetcher', disk_msps, 'MS/s'),
+    ]
+    return 'disk_to_chip_sustained_1chip', msps, extras
+
+
 CONFIGS = {
+    'disk2chip': bench_disk_to_chip,
     'monitor8192p': lambda: bench_monitor(8192, ola_kernel='pallas', fft_precision='high', apd_kernel='pallas', chan_kernel='pallas'),
     'monitor_default': bench_monitor_default,
     # opt-in bf16 frame-storage tier (~4e-3 rel; see MonitorDesign)
@@ -527,7 +595,7 @@ def run_matrix():
         'monitor8192p': 1800, 'monitor_default': 1500, 'monitor8192': 1500,
         'spectrogram': 1200, 'monitorRx4': 1500, 'streaming1gs': 1600,
         'channelize64': 1500, 'monitor8192bf16': 1500,
-        'monitor8192i16': 1500, 'psd': 1800,
+        'monitor8192i16': 1500, 'psd': 1800, 'disk2chip': 1800,
     }
     lines = []
     for name, budget in budgets.items():
