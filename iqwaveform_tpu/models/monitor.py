@@ -589,9 +589,15 @@ class WidebandMonitor:
             # (round-4 probe, docs/BENCH_notes.md "APD kernel choice");
             # the binned sample count is static at trace time, so
             # resolve per program
+            # threshold 2^31: the flagship operating point (0.5M binned
+            # x 2049 bins = 1.07e9) measures FASTER on edge-compare
+            # in-pipeline (3.30 vs 3.77 ms full step) even though the
+            # standalone probe favors packed-raw there — the crossover
+            # sits near n*B = 2^30-2^31 within tunnel spread, while at
+            # 8.4M x 2049 packed-raw wins 8.5x (1.59 vs 13.5 ms)
             kernel = (
                 'packed'
-                if p.shape[0] * (self.design.apd_bins + 1) >= (1 << 30)
+                if p.shape[0] * (self.design.apd_bins + 1) >= (1 << 31)
                 else 'pallas'
             )
         if kernel == 'packed':
