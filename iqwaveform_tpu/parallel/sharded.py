@@ -568,6 +568,184 @@ def columnwise_histogram(vals, edges):
     return counts.astype(jnp.int32)
 
 
+def _exact_q_collect_body(
+    x_local,
+    *,
+    w,
+    nperseg,
+    noverlap,
+    axis_name,
+    lo,
+    hi,
+    invw,
+    b2_lo,
+    b2_hi,
+    C,
+):
+    """pass-2 shard body of the sharded exact-quantile refinement:
+    re-compute the local spectrogram (the same expression as
+    _psd_stats_body), keep each shard's C smallest in-bracket values,
+    then merge losslessly across shards — each shard's local in-bracket
+    count is bounded by the GLOBAL capacity C, so the all-gathered union
+    contains every value the global top-C needs. Below-bracket counts
+    psum exactly, giving each quantile's rank within the merged buffer.
+
+    Collectives: one psum of (nq, F) int32 + one all-gather of
+    (nq, C, F) float32 — C is O(1) after narrowing, so the gather is
+    small and explicitly opt-in (this body only runs for
+    exact_quantiles=True)."""
+    from .streaming import _sub_idx_fn
+
+    spg = _sharded_stft_local(
+        x_local, w=w, nperseg=nperseg, noverlap=noverlap, norm='power',
+        axis_name=axis_name,
+    )
+    spg = spg.real * spg.real + spg.imag * spg.imag
+    spg_dB = 10.0 * jnp.log10(spg + 1e-25)
+
+    lo_j, hi_j, invw_j = jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(invw)
+    b2_lo_j = jnp.asarray(b2_lo)
+    b2_hi_j = jnp.asarray(b2_hi)
+    idx = _sub_idx_fn(lo_j, hi_j, invw_j)(spg_dB)
+    keep = (idx >= b2_lo_j[:, None, :]) & (idx <= b2_hi_j[:, None, :])
+    cand = jnp.where(keep, spg_dB[None], jnp.inf)
+    below_local = (
+        (spg_dB[None] < lo_j[:, None, :]) | (idx < b2_lo_j[:, None, :])
+    ).sum(axis=1, dtype=jnp.int32)
+    buf_local = jnp.sort(cand, axis=1)[:, :C]  # (nq, C, F)
+    if buf_local.shape[1] < C:  # fewer local frames than C
+        padding = jnp.full(
+            (buf_local.shape[0], C - buf_local.shape[1], buf_local.shape[2]),
+            jnp.inf,
+            jnp.float32,
+        )
+        buf_local = jnp.concatenate([buf_local, padding], axis=1)
+
+    below = jax.lax.psum(below_local, axis_name)
+    bufs = jax.lax.all_gather(buf_local, axis_name)  # (n_dev, nq, C, F)
+    merged = jnp.moveaxis(bufs, 0, 1).reshape(
+        bufs.shape[1], -1, bufs.shape[3]
+    )
+    buf = jnp.sort(merged, axis=1)[:, :C]
+    return buf, below
+
+
+def _exact_q_subhist_body(
+    x_local, *, w, nperseg, noverlap, axis_name, lo, hi, invw
+):
+    """narrowing shard body: exact global sub-bin + below-bracket
+    counts (psum-merged)."""
+    from .streaming import _B_SUB, _columnwise_int_counts, _sub_idx_fn
+
+    spg = _sharded_stft_local(
+        x_local, w=w, nperseg=nperseg, noverlap=noverlap, norm='power',
+        axis_name=axis_name,
+    )
+    spg = spg.real * spg.real + spg.imag * spg.imag
+    spg_dB = 10.0 * jnp.log10(spg + 1e-25)
+
+    lo_j, hi_j, invw_j = jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(invw)
+    idx = _sub_idx_fn(lo_j, hi_j, invw_j)(spg_dB)
+    counts = jax.vmap(lambda ix: _columnwise_int_counts(ix, _B_SUB))(idx)
+    below2 = (spg_dB[None] < lo_j[:, None, :]).sum(axis=1, dtype=jnp.int32)
+    return (
+        jax.lax.psum(counts, axis_name),
+        jax.lax.psum(below2, axis_name),
+    )
+
+
+def _sharded_exact_quantiles(
+    x,
+    *,
+    mesh,
+    axis_name,
+    w,
+    nperseg,
+    noverlap,
+    qs,
+    hist,
+    pmin,
+    pmax,
+    edges_dB,
+):
+    """EXACT per-frequency quantiles of a time-sharded capture: the
+    sharded counterpart of the streaming two-pass refinement
+    (parallel/streaming.py _refine_quantiles_exact), matching
+    jnp.quantile of the full gathered spectrogram bit for bit while
+    only ever gathering O(C) values per frequency across the mesh.
+    Pass 1's psum-merged histogram brackets each order statistic; a
+    psum-merged sub-histogram narrowing pass runs when the coarse
+    capacity is large; the collect pass all-gathers the per-shard top-C
+    buffers. The reference's exact path (xp.quantile, fourier.py:1320)
+    requires the whole spectrogram on one device."""
+    from .streaming import (
+        _bracket_invw,
+        _bracket_plan,
+        _C_DIRECT,
+        _gather_order_stats,
+        _leaf_to_host,
+        _narrow_brackets,
+    )
+
+    hist_h = _leaf_to_host(hist).astype(np.int64)  # (F, B)
+    n = int(hist_h[0].sum())  # totals are exact per frequency
+    pmin_h = _leaf_to_host(pmin).astype('float32')
+    pmax_h = _leaf_to_host(pmax).astype('float32')
+    plan = _bracket_plan(
+        hist_h, np.asarray(edges_dB, 'float32'), n, qs, pmin_h, pmax_h
+    )
+    lo, hi, cap = plan['lo'], plan['hi'], plan['cap']
+    invw = _bracket_invw(lo, hi)
+    nq, F = lo.shape
+
+    from .streaming import _B_SUB
+
+    if int(cap.max()) > _C_DIRECT:
+        sub_fn = jax.shard_map(
+            functools.partial(
+                _exact_q_subhist_body,
+                w=w, nperseg=nperseg, noverlap=noverlap,
+                axis_name=axis_name, lo=lo, hi=hi, invw=invw,
+            ),
+            mesh=mesh,
+            in_specs=P(axis_name),
+            out_specs=(P(), P()),
+        )
+        sub_h_d, below2_d = sub_fn(x)
+        sub_h = _leaf_to_host(sub_h_d).astype(np.int64)
+        below2 = _leaf_to_host(below2_d).astype(np.int64)
+        b2_lo, b2_hi, C = _narrow_brackets(
+            sub_h, below2, plan['low'], plan['high']
+        )
+        b2_lo = b2_lo.astype(np.int32)
+        b2_hi = b2_hi.astype(np.int32)
+    else:
+        C = max(-(-int(cap.max()) // 8) * 8, 8)
+        b2_lo = np.zeros((nq, F), np.int32)
+        b2_hi = np.full((nq, F), _B_SUB - 1, np.int32)
+
+    collect_fn = jax.shard_map(
+        functools.partial(
+            _exact_q_collect_body,
+            w=w, nperseg=nperseg, noverlap=noverlap, axis_name=axis_name,
+            lo=lo, hi=hi, invw=invw, b2_lo=b2_lo, b2_hi=b2_hi, C=C,
+        ),
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=(P(), P()),
+        # buf is all-gathered + locally reduced, so it IS replicated in
+        # value, but the varying-axes inference cannot see through the
+        # gather+sort composition
+        check_vma=False,
+    )
+    buf, below = collect_fn(x)
+    buf_h = _leaf_to_host(buf)
+    below_h = _leaf_to_host(below).astype(np.int64)
+    return _gather_order_stats(
+        buf_h, below_h, plan['low'], plan['high'], plan['hw']
+    )
+
+
 def sharded_psd_stats(
     x,
     *,
@@ -580,6 +758,7 @@ def sharded_psd_stats(
     hist_range_dB=(-150.0, 50.0),
     hist_bins: int = 2048,
     axis_name: str = TIME_AXIS,
+    exact_quantiles: bool = False,
 ):
     """persistence-spectrum statistics of a time-sharded capture.
 
@@ -590,6 +769,15 @@ def sharded_psd_stats(
     from a psum-merged per-frequency dB histogram (resolution =
     hist range / hist_bins) instead of the exact sort, the
     streaming-scale replacement per SURVEY.md §7d.
+
+    ``exact_quantiles=True`` replaces the histogram-inverted quantiles
+    with EXACT order statistics matching jnp.quantile of the full
+    gathered spectrogram bit for bit, via the sharded two-pass
+    refinement (_sharded_exact_quantiles): the histogram brackets each
+    order statistic, shards re-scan their local frames keeping only
+    bracketed values, and the tiny per-shard buffers merge with one
+    all-gather — the reference's exact path (fourier.py:1320) needs the
+    whole spectrogram on one device.
 
     Returns:
         (stats, hist, edges_dB): stats[i] is statistics[i] per frequency
@@ -618,13 +806,18 @@ def sharded_psd_stats(
     )
     edges_dB = np.linspace(hist_range_dB[0], hist_range_dB[1], hist_bins + 1).astype('float32')
 
+    # the exact refinement needs the global per-frequency dB min/max to
+    # clamp its brackets finite; compute them in the same pass
+    named_internal = named
+    if exact_quantiles and quantiles:
+        named_internal = named + ('max', 'min')
     fn = jax.shard_map(
         functools.partial(
             _psd_stats_body,
             w=w,
             nperseg=nperseg,
             noverlap=noverlap,
-            statistics=named,
+            statistics=named_internal,
             edges_dB=edges_dB,
             axis_name=axis_name,
         ),
@@ -632,12 +825,30 @@ def sharded_psd_stats(
         in_specs=P(axis_name),
         out_specs=(P(), P()),
     )
-    stats_named, hist = fn(x)
+    stats_all, hist = fn(x)
+    stats_named = stats_all[: len(named)]
 
-    if quantiles:
+    if quantiles and exact_quantiles:
+        q_stats = jnp.asarray(
+            _sharded_exact_quantiles(
+                x,
+                mesh=mesh,
+                axis_name=axis_name,
+                w=w,
+                nperseg=nperseg,
+                noverlap=noverlap,
+                qs=quantiles,
+                hist=hist,
+                pmin=stats_all[len(named) + 1],
+                pmax=stats_all[len(named)],
+                edges_dB=edges_dB,
+            )
+        )
+    elif quantiles:
         q_stats = quantile_from_histogram(
             hist, edges_dB, jnp.asarray(quantiles, dtype='float32')
         )  # (Q, nfreq)
+    if quantiles:
         rows, named_i, q_i = [], 0, 0
         for is_q in isquantile:
             if is_q:

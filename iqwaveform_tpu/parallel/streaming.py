@@ -875,6 +875,174 @@ def _columnwise_int_counts(idx, n_bins: int):
     return jnp.diff(cum, axis=1).astype(jnp.int32)
 
 
+def _bracket_plan(hist_nat, edges, n, qs, pmin_nat, pmax_nat):
+    """host-side bracketing of each quantile's two order statistics
+    (stage A of the exact refinement, shared by the streaming and the
+    sharded variants). ``hist_nat`` (F, B) may carry the packed
+    counters' +-1-bin edge-tie slack; brackets absorb it with one extra
+    bin per side and the exact per-frequency min/max clamp them finite.
+
+    Returns a dict: low/high/hw (nq,) jnp.quantile 'linear' rank
+    arithmetic in float32; lo/hi (nq, F) float32 value brackets;
+    cap (nq, F) int64 in-bracket count bound.
+    """
+    F, B = hist_nat.shape
+    # jnp.quantile('linear') rank arithmetic, replicated in float32:
+    # pos = q*(n-1); low = floor(pos); high = ceil(pos);
+    # result = v_low*(1-g) + v_high*g with g = pos - low
+    q32 = np.asarray(qs, dtype=np.float32)
+    pos = q32 * np.float32(n - 1)
+    low_f = np.floor(pos)
+    high_f = np.ceil(pos)
+    hw = (pos - low_f).astype(np.float32)
+    low = np.clip(low_f, 0, n - 1).astype(np.int64)  # (nq,)
+    high = np.clip(high_f, 0, n - 1).astype(np.int64)
+
+    cum = hist_nat.cumsum(axis=1)  # (F, B)
+
+    def bin_of(r):
+        # counted bin of 0-indexed rank r: first b with cum[b] >= r+1
+        return (cum[None, :, :] < (r[:, None, None] + 1)).sum(axis=2)
+
+    # bracket: bins of both order statistics, +-1 bin of tie slack
+    b_lo = np.clip(np.minimum(bin_of(low), bin_of(high)) - 1, 0, B - 1)
+    b_hi = np.clip(bin_of(high) + 1, 0, B - 1)
+    # end bins are clipped catch-alls; the exact per-frequency min/max
+    # make every bracket finite (max of lower bounds / min of upper
+    # bounds — pmax is attained, so step one ulp past it)
+    lo_nat = np.where(b_lo == 0, -np.inf, edges[b_lo]).astype('float32')
+    hi_nat = np.where(b_hi == B - 1, np.inf, edges[b_hi + 1]).astype(
+        'float32'
+    )
+    lo_nat = np.maximum(lo_nat, pmin_nat[None, :]).astype('float32')
+    hi_nat = np.minimum(
+        hi_nat, np.nextafter(pmax_nat, np.float32(np.inf))[None, :]
+    ).astype('float32')
+    # capacity: a true-in-bracket sample was counted within one bin of
+    # its true bin, so pass-1 counts over [b_lo-1, b_hi+1] bound the
+    # true in-bracket count
+    csum = np.concatenate([np.zeros((F, 1), np.int64), cum], axis=1)
+    f_idx = np.arange(F)[None, :]
+    cap = (
+        csum[f_idx, np.clip(b_hi + 1, 0, B - 1) + 1]
+        - csum[f_idx, np.clip(b_lo - 1, 0, B - 1)]
+    )
+    return {
+        'low': low, 'high': high, 'hw': hw,
+        'lo': lo_nat, 'hi': hi_nat, 'cap': cap,
+    }
+
+
+def _bracket_invw(lo_nat, hi_nat):
+    """host-side inverse sub-bin width of each finite bracket."""
+    width = np.maximum(
+        np.asarray(hi_nat) - np.asarray(lo_nat), np.float32(1e-30)
+    )
+    return (np.float32(_B_SUB) / width).astype('float32')
+
+
+def _sub_idx_fn(lo_j, hi_j, invw_j):
+    """the sub-bin integer map idx = floor((v - lo) * invw), shared by
+    the narrowing and collect passes (and by the streaming and sharded
+    refiners) so membership is decided by IDENTICAL integer compares;
+    monotone in v, so order statistics land in cumulative-count order
+    even if the float map is not perfectly uniform. Out-of-bracket
+    values get the sentinel _B_SUB."""
+
+    def sub_idx(spg):
+        # (frames, F) -> (nq, frames, F) int32 sub-bin labels
+        in1 = (spg[None] >= lo_j[:, None, :]) & (
+            spg[None] < hi_j[:, None, :]
+        )
+        t = (spg[None] - lo_j[:, None, :]) * invw_j[:, None, :]
+        idx = jnp.clip(jnp.floor(t), 0, _B_SUB - 1).astype(jnp.int32)
+        return jnp.where(in1, idx, jnp.int32(_B_SUB))
+
+    return sub_idx
+
+
+def _narrow_brackets(sub_h, below2, low, high):
+    """locate each target rank's sub-bin from the narrowing pass's OWN
+    exact counts (below2 and sub_h come from the same spectrogram
+    values, so they are mutually consistent); +-1 sub-bin slack absorbs
+    last-ulp spectrogram drift vs the collect pass's compiled body.
+    Returns (b2_lo, b2_hi, C) with C the rounded-up collect capacity."""
+    cums2 = sub_h.cumsum(axis=2)  # (nq, F, B_SUB)
+    r2_lo = low[:, None] - below2
+    r2_hi = high[:, None] - below2
+    if (r2_lo < 0).any() or (r2_hi >= cums2[..., -1]).any():
+        raise RuntimeError(
+            'exact-quantile coarse bracket missed its order '
+            "statistic — the pass-1 histogram and the narrowing "
+            "pass's recount disagree by more than the one-bin tie "
+            'slack; re-run with quantile refinement disabled and '
+            'report this capture'
+        )
+
+    def sub_bin_of(r):
+        # first sub-bin with cumulative count >= r+1
+        return (cums2 < (r[..., None] + 1)).sum(axis=2)
+
+    b2_lo = np.clip(sub_bin_of(r2_lo) - 1, 0, _B_SUB - 1)
+    b2_hi = np.clip(sub_bin_of(r2_hi) + 1, 0, _B_SUB - 1)
+    # capacity: collect-pass values drift < 1 sub-bin from the
+    # narrowing counts, so counts over [b2_lo-1, b2_hi+1] bound the
+    # collected in-bracket total
+    nq, F = below2.shape
+    csum2 = np.concatenate(
+        [np.zeros((nq, F, 1), np.int64), cums2], axis=2
+    )
+    cap2 = (
+        np.take_along_axis(
+            csum2,
+            np.clip(b2_hi + 1, 0, _B_SUB - 1)[..., None] + 1,
+            axis=2,
+        )[..., 0]
+        - np.take_along_axis(
+            csum2, np.clip(b2_lo - 1, 0, _B_SUB - 1)[..., None], axis=2
+        )[..., 0]
+    )
+    C = max(-(-int(cap2.max()) // 8) * 8, 8)
+    return b2_lo, b2_hi, C
+
+
+def _gather_order_stats(buf_h, below_h, low, high, hw):
+    """stage E of the exact refinement: rank each target within the
+    collected buffer (exact below-bracket recounts), gather the two
+    order statistics, and interpolate by DELEGATING to jnp.quantile on
+    the two gathered values — quantile g of [v_lo, v_hi] evaluates the
+    IDENTICAL compiled expression (weight g*(2-1) = g), so the result
+    is bit-exact with jnp.quantile of the full column (re-deriving the
+    v_lo*(1-g) + v_hi*g arithmetic by hand differed by one ulp wherever
+    XLA contracted the mul+add differently). Returns (nq, F) f32."""
+    nq = buf_h.shape[0]
+    in_bracket = np.isfinite(buf_h).sum(axis=1)  # (nq, F)
+    r_lo = low[:, None] - below_h
+    r_hi = high[:, None] - below_h
+    if (r_lo < 0).any() or (r_hi >= in_bracket).any():
+        raise RuntimeError(
+            'exact-quantile bracket missed its order statistic — the '
+            "bracketing passes and the collect pass's recount disagree "
+            'by more than the tie slack; re-run with quantile '
+            'refinement disabled and report this capture'
+        )
+    v_lo = np.take_along_axis(
+        buf_h, r_lo[:, None, :].astype(np.int64), axis=1
+    )[:, 0]
+    v_hi = np.take_along_axis(
+        buf_h, r_hi[:, None, :].astype(np.int64), axis=1
+    )[:, 0]
+    rows = [
+        jnp.quantile(
+            jnp.asarray(np.stack([v_lo[qi], v_hi[qi]])),
+            jnp.float32(hw[qi]),
+            axis=0,
+        )
+        for qi in range(nq)
+    ]
+    return np.stack([_leaf_to_host(r) for r in rows]).astype(np.float32)
+
+
 def _refine_quantiles_exact(x_chunks, tail, design, carry, quantiles):
     """EXACT per-frequency quantiles of a chunked capture via bracketed
     re-scans (VERDICT r3 #4).
@@ -926,46 +1094,9 @@ def _refine_quantiles_exact(x_chunks, tail, design, carry, quantiles):
     pmin_nat = pmin_d if u is None else pmin_d[u]
     pmax_nat = pmax_d if u is None else pmax_d[u]
 
-    # jnp.quantile('linear') rank arithmetic, replicated in float32:
-    # pos = q*(n-1); low = floor(pos); high = ceil(pos);
-    # result = v_low*(1-g) + v_high*g with g = pos - low
-    q32 = np.asarray(qs, dtype=np.float32)
-    pos = q32 * np.float32(n - 1)
-    low_f = np.floor(pos)
-    high_f = np.ceil(pos)
-    hw = (pos - low_f).astype(np.float32)
-    low = np.clip(low_f, 0, n - 1).astype(np.int64)  # (nq,)
-    high = np.clip(high_f, 0, n - 1).astype(np.int64)
-
-    cum = hist_nat.cumsum(axis=1)  # (nfft, B)
-
-    def bin_of(r):
-        # counted bin of 0-indexed rank r: first b with cum[b] >= r+1
-        return (cum[None, :, :] < (r[:, None, None] + 1)).sum(axis=2)
-
-    # bracket: bins of both order statistics, +-1 bin of tie slack
-    b_lo = np.clip(np.minimum(bin_of(low), bin_of(high)) - 1, 0, B - 1)
-    b_hi = np.clip(bin_of(high) + 1, 0, B - 1)
-    # end bins are clipped catch-alls; the carry's exact per-frequency
-    # min/max make every bracket finite (max of lower bounds / min of
-    # upper bounds — pmax is attained, so step one ulp past it)
-    lo_nat = np.where(b_lo == 0, -np.inf, edges[b_lo]).astype('float32')
-    hi_nat = np.where(b_hi == B - 1, np.inf, edges[b_hi + 1]).astype(
-        'float32'
-    )
-    lo_nat = np.maximum(lo_nat, pmin_nat[None, :]).astype('float32')
-    hi_nat = np.minimum(
-        hi_nat, np.nextafter(pmax_nat, np.float32(np.inf))[None, :]
-    ).astype('float32')
-    # capacity: a true-in-bracket sample was counted within one bin of
-    # its true bin, so pass-1 counts over [b_lo-1, b_hi+1] bound the
-    # true in-bracket count
-    csum = np.concatenate([np.zeros((nfft, 1), np.int64), cum], axis=1)
-    f_idx = np.arange(nfft)[None, :]
-    cap = (
-        csum[f_idx, np.clip(b_hi + 1, 0, B - 1) + 1]
-        - csum[f_idx, np.clip(b_lo - 1, 0, B - 1)]
-    )
+    plan = _bracket_plan(hist_nat, edges, n, qs, pmin_nat, pmax_nat)
+    low, high, hw = plan['low'], plan['high'], plan['hw']
+    lo_nat, hi_nat, cap = plan['lo'], plan['hi'], plan['cap']
     nq = len(qs)
 
     # bracket arrays in the design's (possibly factored) bin order so
@@ -977,27 +1108,11 @@ def _refine_quantiles_exact(x_chunks, tail, design, carry, quantiles):
         a_d[:, u] = a_nat
         return a_d
 
-    lo_j = jnp.asarray(to_design(lo_nat))
-    hi_j = jnp.asarray(to_design(hi_nat))
-    # the sub-bin integer map: idx = floor((v - lo) * invw). Computed by
-    # the IDENTICAL expression in the narrowing and collect folds so
-    # membership is decided by integer compares; monotone in v, so order
-    # statistics land in cumulative-count order even if the float map is
-    # not perfectly uniform
-    width = np.maximum(
-        np.asarray(hi_j) - np.asarray(lo_j), np.float32(1e-30)
-    )
-    invw_j = jnp.asarray((np.float32(_B_SUB) / width).astype('float32'))
-
-    def sub_idx(spg):
-        # (frames, nfft) -> (nq, frames, nfft) int32 sub-bin labels;
-        # out-of-bracket values get the sentinel _B_SUB
-        in1 = (spg[None] >= lo_j[:, None, :]) & (
-            spg[None] < hi_j[:, None, :]
-        )
-        t = (spg[None] - lo_j[:, None, :]) * invw_j[:, None, :]
-        idx = jnp.clip(jnp.floor(t), 0, _B_SUB - 1).astype(jnp.int32)
-        return jnp.where(in1, idx, jnp.int32(_B_SUB))
+    lo_d, hi_d = to_design(lo_nat), to_design(hi_nat)
+    lo_j = jnp.asarray(lo_d)
+    hi_j = jnp.asarray(hi_d)
+    invw_j = jnp.asarray(_bracket_invw(lo_d, hi_d))
+    sub_idx = _sub_idx_fn(lo_j, hi_j, invw_j)
 
     if int(cap.max()) > _C_DIRECT:
         # ---- narrowing pass: exact sub-bin + below-bracket counts ----
@@ -1025,45 +1140,7 @@ def _refine_quantiles_exact(x_chunks, tail, design, carry, quantiles):
         sub_h = _leaf_to_host(sub_c[0]).astype(np.int64)  # (nq, nfft, B2)
         below2 = _leaf_to_host(sub_c[1]).astype(np.int64)  # (nq, nfft)
 
-        # sub-bin of each target rank, located with the narrowing pass's
-        # OWN exact counts (below2 and sub_h come from the same spg, so
-        # they are mutually consistent); +-1 sub-bin slack absorbs
-        # last-ulp spectrogram drift vs the collect fold's compiled body
-        cums2 = sub_h.cumsum(axis=2)  # (nq, nfft, B_SUB)
-        r2_lo = low[:, None] - below2
-        r2_hi = high[:, None] - below2
-        if (r2_lo < 0).any() or (r2_hi >= cums2[..., -1]).any():
-            raise RuntimeError(
-                'exact-quantile coarse bracket missed its order '
-                "statistic — the pass-1 histogram and the narrowing "
-                "pass's recount disagree by more than the one-bin tie "
-                'slack; re-run with quantile refinement disabled and '
-                'report this capture'
-            )
-
-        def sub_bin_of(r):
-            # first sub-bin with cumulative count >= r+1
-            return (cums2 < (r[..., None] + 1)).sum(axis=2)
-
-        b2_lo = np.clip(sub_bin_of(r2_lo) - 1, 0, _B_SUB - 1)
-        b2_hi = np.clip(sub_bin_of(r2_hi) + 1, 0, _B_SUB - 1)
-        # capacity: collect-fold values drift < 1 sub-bin from the
-        # narrowing counts, so counts over [b2_lo-1, b2_hi+1] bound the
-        # collected in-bracket total
-        csum2 = np.concatenate(
-            [np.zeros((nq, nfft, 1), np.int64), cums2], axis=2
-        )
-        cap2 = (
-            np.take_along_axis(
-                csum2,
-                np.clip(b2_hi + 1, 0, _B_SUB - 1)[..., None] + 1,
-                axis=2,
-            )[..., 0]
-            - np.take_along_axis(
-                csum2, np.clip(b2_lo - 1, 0, _B_SUB - 1)[..., None], axis=2
-            )[..., 0]
-        )
-        C = max(-(-int(cap2.max()) // 8) * 8, 8)
+        b2_lo, b2_hi, C = _narrow_brackets(sub_h, below2, low, high)
         b2_lo_j = jnp.asarray(b2_lo.astype(np.int32))
         b2_hi_j = jnp.asarray(b2_hi.astype(np.int32))
     else:
@@ -1100,33 +1177,7 @@ def _refine_quantiles_exact(x_chunks, tail, design, carry, quantiles):
 
     buf_h = _leaf_to_host(buf)  # (nq, C, nfft)
     below_h = _leaf_to_host(below).astype(np.int64)  # exact recount
-    in_bracket = np.isfinite(buf_h).sum(axis=1)  # (nq, nfft)
-    r_lo = low[:, None] - below_h
-    r_hi = high[:, None] - below_h
-    if (r_lo < 0).any() or (r_hi >= in_bracket).any():
-        raise RuntimeError(
-            'exact-quantile bracket missed its order statistic — the '
-            "bracketing passes and the collect pass's recount disagree "
-            'by more than the tie slack; re-run with quantile '
-            'refinement disabled and report this capture'
-        )
-    v_lo = np.take_along_axis(buf_h, r_lo[:, None, :].astype(np.int64), axis=1)[:, 0]
-    v_hi = np.take_along_axis(buf_h, r_hi[:, None, :].astype(np.int64), axis=1)[:, 0]
-    # delegate the interpolation to jnp.quantile itself on the two
-    # order statistics: quantile g of [v_lo, v_hi] evaluates the
-    # IDENTICAL compiled expression (weight g*(2-1) = g), so the result
-    # is bit-exact with jnp.quantile of the full column — re-deriving
-    # the v_lo*(1-g) + v_hi*g arithmetic by hand differed by one ulp
-    # wherever XLA contracted the mul+add differently
-    rows = [
-        jnp.quantile(
-            jnp.asarray(np.stack([v_lo[qi], v_hi[qi]])),
-            jnp.float32(hw[qi]),
-            axis=0,
-        )
-        for qi in range(nq)
-    ]
-    vals_d = np.stack([_leaf_to_host(r) for r in rows]).astype(np.float32)
+    vals_d = _gather_order_stats(buf_h, below_h, low, high, hw)
     return vals_d if u is None else vals_d[:, u]
 
 

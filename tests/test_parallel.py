@@ -211,6 +211,72 @@ def test_streaming_persistence_matches_direct():
     assert np.abs(np.asarray(res['quantiles_dB'])[0] - exact_median).max() <= 5 * bw
 
 
+@pytest.mark.parametrize('noverlap', [0, 256])
+@pytest.mark.parametrize('narrowed', [False, True])
+def test_sharded_psd_exact_quantiles(noverlap, narrowed, monkeypatch):
+    """sharded_psd_stats(exact_quantiles=True) matches jnp.quantile of
+    the full gathered spectrogram bit for bit — including the halo
+    frames of overlapped framing and the sub-histogram narrowing path —
+    while only all-gathering O(C) values per frequency (the sharded
+    counterpart of the streaming two-pass refinement, round 4)."""
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iqwaveform_tpu.ops.window_design import get_window
+    from iqwaveform_tpu.parallel import sharded as sh, streaming as S
+    from iqwaveform_tpu.parallel.mesh import TIME_AXIS
+
+    if narrowed:
+        monkeypatch.setattr(S, '_C_DIRECT', 8)
+
+    mesh = jax.make_mesh(
+        (8,), (TIME_AXIS,), axis_types=(jax.sharding.AxisType.Auto,)
+    )
+    rng = np.random.default_rng(5)
+    nperseg = 512
+    n = 8 * nperseg * 48
+    x = jnp.asarray(
+        (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            'complex64'
+        )
+    )
+    x = jax.device_put(x, NamedSharding(mesh, P(TIME_AXIS)))
+    qs = (0.5, 0.95, 0.99)
+
+    stats, hist, edges = sh.sharded_psd_stats(
+        x, mesh=mesh, fs=1e6, window='hann', nperseg=nperseg,
+        noverlap=noverlap, statistics=('mean',) + qs, hist_bins=512,
+        exact_quantiles=True,
+    )
+
+    w = get_window(
+        'hann', nperseg, xp=np, dtype='complex64', norm=True, fftshift=True
+    )
+
+    def body(xl):
+        spg = sh._sharded_stft_local(
+            xl, w=w, nperseg=nperseg, noverlap=noverlap, norm='power',
+            axis_name=TIME_AXIS,
+        )
+        spg = spg.real * spg.real + spg.imag * spg.imag
+        return 10.0 * jnp.log10(spg + 1e-25)
+
+    spg_all = jax.shard_map(
+        body, mesh=mesh, in_specs=P(TIME_AXIS), out_specs=P(TIME_AXIS)
+    )(x)
+    oracle = np.asarray(
+        jnp.quantile(spg_all, jnp.asarray(qs, dtype='float32'), axis=0)
+    )
+    np.testing.assert_array_equal(np.asarray(stats[1:]), oracle)
+    # the approximate inversion the refinement replaces differs
+    approx, _, _ = sh.sharded_psd_stats(
+        x, mesh=mesh, fs=1e6, window='hann', nperseg=nperseg,
+        noverlap=noverlap, statistics=qs, hist_bins=512,
+    )
+    assert np.abs(np.asarray(approx) - oracle).max() > 0
+
+
 def test_persistence_raw_carry_matches_per_chunk_extraction():
     """the packed-counter RAW tile carry (counts extracted once at
     flush/readout instead of per chunk — the round-4 streaming fold
