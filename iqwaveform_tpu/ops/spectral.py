@@ -239,6 +239,18 @@ def _resolve_psd_backend(
     return 'mxu'
 
 
+def _refined_exact_applies(named) -> bool:
+    """the bracketed exact-quantile refinement replaces the full device
+    sort only on TPU targets (where the sort is the dominant cost) and
+    only when every named statistic is one the persistence fold
+    delivers."""
+    from .pallas._common import on_tpu_like
+
+    return on_tpu_like() and all(
+        s in ('mean', 'max', 'peak', 'min', 'rms') for s in named
+    )
+
+
 def _psd_factored_fast(
     x, *, fs, bandwidth, window, nfft, noverlap, fractional_window,
     statistics, truncate, dB, axis, fft_backend, quantile_method,
@@ -322,6 +334,43 @@ def _psd_factored_fast(
         for s, is_q in zip(statistics, isquantile):
             if is_q:
                 rows.append(out['quantiles_dB'][qi])
+                qi += 1
+            else:
+                rows.append(stat_map[s])
+        stack = jnp.stack(rows, axis=0)
+    elif quantiles and n_frames >= 2048 and _refined_exact_applies(named):
+        # exact quantiles WITHOUT the full per-bin sort (which is the
+        # dominant cost on TPU at large frame counts — the reason
+        # quantile_method='histogram' exists): the bracketed two-pass
+        # refinement (parallel/streaming.py _refine_quantiles_exact)
+        # returns order statistics matching jnp.quantile of the chunked
+        # spectrogram bit for bit, at ~3 transform passes instead of a
+        # device sort. mxu backend: it folds every whole frame (the
+        # fused kernel's slab quantum would drop a sub-slab tail).
+        out = _streaming.streaming_persistence_spectrum(
+            x_trunc,
+            fs=fs,
+            window=window,
+            nfft=nfft,
+            chunk_frames=min(2048, n_frames),
+            hist_bins=1024,
+            quantiles=quantiles,
+            fft_backend='mxu',
+            fft_precision='highest',
+            exact_quantiles=True,
+        )
+        assert out.get('quantiles_exact') is True
+        stat_map = {
+            'mean': out['mean_dB'],
+            'rms': out['mean_dB'],  # 'rms' of POWER is its mean
+            'max': out['max_dB'],
+            'peak': out['max_dB'],
+            'min': out['min_dB'],
+        }
+        rows, qi = [], 0
+        for s, is_q in zip(statistics, isquantile):
+            if is_q:
+                rows.append(jnp.asarray(out['quantiles_dB'][qi]))
                 qi += 1
             else:
                 rows.append(stat_map[s])

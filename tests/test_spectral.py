@@ -376,3 +376,38 @@ def test_channelize_power_pallas_rejects_unsupported():
             x, 1e-6, 256, analysis_bins_per_channel=256, window='hann',
             channel_count=8, fft_backend='pallas',
         )  # 3 frames: not a multiple of 8
+
+
+def test_psd_refined_exact_quantiles_matches_sort():
+    """on TPU targets, quantile_method='exact' at large frame counts
+    replaces the full device sort with the bracketed two-pass
+    refinement (round 4); values must agree with the sort path to
+    float32 ulp (the refinement is bit-exact vs jnp.quantile of its
+    own chunked spectrogram — tests/test_exact_quantiles.py — and the
+    chunked-vs-one-shot transform differs at most at the last ulp)."""
+    import iqwaveform_tpu.ops.spectral as sp
+
+    rng = np.random.default_rng(2)
+    n = 2048 * 256
+    x = jnp.asarray(
+        (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            'complex64'
+        )
+    )
+    kw = dict(
+        fs=1e6, window='hann', resolution=1e6 / 256,
+        statistics=['mean', 0.5, 0.99, 'max'], fft_backend='mxu',
+    )
+
+    orig = sp._refined_exact_applies
+    sp._refined_exact_applies = lambda named: True
+    try:
+        refined = np.asarray(fourier.power_spectral_density(x, **kw))
+    finally:
+        sp._refined_exact_applies = orig
+    sp._refined_exact_applies = lambda named: False
+    try:
+        sorted_ = np.asarray(fourier.power_spectral_density(x, **kw))
+    finally:
+        sp._refined_exact_applies = orig
+    np.testing.assert_allclose(refined, sorted_, atol=1e-5)
