@@ -424,6 +424,116 @@ def fuzz_streaming_persistence(rng):
         )
 
 
+def fuzz_exact_quantiles(rng):
+    """streaming exact-quantile refinement vs np.quantile of the
+    one-shot spectrogram (round 4): the refinement returns true order
+    statistics of its own chunked transform, so agreement with the
+    independently-compiled oracle is at the float32-ulp level — far
+    inside the histogram inversion's bin-width error."""
+    from iqwaveform_tpu import fourier
+    from iqwaveform_tpu.parallel import streaming as S
+
+    fs = 1e6
+    nfft = int(rng.choice([64, 128, 256]))
+    chunk_frames = int(rng.choice([16, 32]))
+    nchunks = int(rng.integers(2, 5))
+    tail_frames = int(rng.integers(0, 3))
+    n = nfft * (chunk_frames * nchunks + tail_frames)
+    hist_bins = int(rng.choice([128, 512]))
+    qs = sorted(rng.choice([0.1, 0.25, 0.5, 0.9, 0.99], size=2, replace=False))
+    window = str(rng.choice(['hann', 'hamming']))
+    backend = str(rng.choice(['mxu', 'xla']))
+    narrowed = bool(rng.integers(0, 2))
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    params = dict(
+        nfft=nfft, chunk_frames=chunk_frames, nchunks=nchunks,
+        tail_frames=tail_frames, hist_bins=hist_bins, qs=qs,
+        window=window, backend=backend, narrowed=narrowed,
+    )
+    c_direct = S._C_DIRECT
+    if narrowed:
+        S._C_DIRECT = 8
+    try:
+        res = S.streaming_persistence_spectrum(
+            jnp.asarray(x), fs=fs, window=window, nfft=nfft,
+            chunk_frames=chunk_frames, quantiles=tuple(qs),
+            hist_bins=hist_bins, fft_backend=backend,
+            fft_precision='highest', exact_quantiles=True,
+        )
+    finally:
+        S._C_DIRECT = c_direct
+    assert res.get('quantiles_exact') is True, params
+    _, _, spg = fourier.spectrogram(x, fs=fs, window=window, nperseg=nfft)
+    spg_dB = 10 * np.log10(np.asarray(spg) + 1e-25)
+    oracle = np.quantile(spg_dB.astype('float32'), qs, axis=0).astype(
+        'float32'
+    )
+    _agree(
+        'exact_quantiles', params, oracle, res['quantiles_dB'],
+        rtol=0.0, atol=1e-3,
+    )
+
+
+def fuzz_sharded_exact_quantiles(rng):
+    """sharded_psd_stats(exact_quantiles=True) vs np.quantile of the
+    gathered spectrogram on the virtual mesh (round 4)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iqwaveform_tpu.ops.window_design import get_window
+    from iqwaveform_tpu.parallel import sharded as sh
+    from iqwaveform_tpu.parallel.mesh import TIME_AXIS, time_mesh
+
+    mesh = time_mesh()
+    n_dev = mesh.shape[TIME_AXIS]
+    nperseg = int(rng.choice([64, 128]))
+    hop_frames = int(rng.integers(4, 9))
+    noverlap = int(rng.choice([0, nperseg // 2]))
+    hop = nperseg - noverlap
+    n = n_dev * hop * hop_frames * 4
+    qs = sorted(rng.choice([0.1, 0.5, 0.9], size=2, replace=False))
+    window = str(rng.choice(['hann', 'hamming']))
+    x = (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype('complex64')
+    params = dict(
+        nperseg=nperseg, noverlap=noverlap, n=n, qs=qs, window=window
+    )
+    xd = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P(TIME_AXIS))
+    )
+    stats, hist, edges = sh.sharded_psd_stats(
+        xd, mesh=mesh, fs=1e6, window=window, nperseg=nperseg,
+        noverlap=noverlap, statistics=tuple(qs), hist_bins=256,
+        exact_quantiles=True,
+    )
+    w = get_window(
+        window, nperseg, xp=np, dtype='complex64', norm=True,
+        fftshift=True,
+    )
+
+    def body(xl):
+        spg = sh._sharded_stft_local(
+            xl, w=w, nperseg=nperseg, noverlap=noverlap, norm='power',
+            axis_name=TIME_AXIS,
+        )
+        spg = spg.real * spg.real + spg.imag * spg.imag
+        return 10.0 * jnp.log10(spg + 1e-25)
+
+    spg_all = np.asarray(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=P(TIME_AXIS), out_specs=P(TIME_AXIS)
+        )(xd)
+    )
+    oracle = np.quantile(spg_all, qs, axis=0).astype('float32')
+    _agree(
+        'sharded_exact_quantiles', params, oracle, np.asarray(stats),
+        rtol=0.0, atol=1e-3,
+    )
+
+
 def fuzz_streaming_apd(rng):
     from iqwaveform_tpu import parallel
 
@@ -626,6 +736,8 @@ FUZZERS = [
     fuzz_channelize,
     fuzz_cyclic_power,
     fuzz_streaming_persistence,
+    fuzz_exact_quantiles,
+    fuzz_sharded_exact_quantiles,
     fuzz_streaming_apd,
     fuzz_streaming_tail,
     fuzz_carry_checkpoint,
