@@ -601,12 +601,17 @@ def run_matrix():
     # budgets sized for a cold tunnel session: client init alone can
     # reach ~8 min when recent clients died holding chip grants, and
     # remote compiles take 2-4 min per config
+    # ordered most-important-first so a session cut short still refreshes
+    # the headline configs; the matrix file is rewritten after every
+    # config (lines measured so far), not only at the end
     budgets = {
-        'monitor8192p': 1800, 'monitor_default': 1500, 'monitor8192': 1500,
-        'spectrogram': 1200, 'monitorRx4': 1500, 'streaming1gs': 1600,
-        'channelize64': 1500, 'monitor8192bf16': 1500,
-        'monitor8192i16': 1500, 'psd': 1800, 'disk2chip': 1800,
+        'monitor8192p': 1800, 'streaming1gs': 1600, 'monitor_default': 1500,
+        'psd': 1800, 'spectrogram': 1200, 'channelize64': 1500,
+        'monitorRx4': 1500, 'monitor8192bf16': 1500,
+        'monitor8192i16': 1500, 'monitor8192': 1500, 'disk2chip': 1800,
     }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'docs', 'BENCH_matrix.json')
     lines = []
     for name, budget in budgets.items():
         _log(f'bench matrix: {name} (budget {budget}s)')
@@ -623,10 +628,10 @@ def run_matrix():
             for ln in result.stdout.strip().splitlines():
                 print(ln, flush=True)
                 lines.append(json.loads(ln))
+            with open(out_path, 'w') as f:
+                json.dump(lines, f, indent=1)
         else:
             _log(f'bench matrix: {name} rc={result.returncode}')
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            'docs', 'BENCH_matrix.json')
     with open(out_path, 'w') as f:
         json.dump(lines, f, indent=1)
     _log(f'bench matrix: wrote {out_path}')

@@ -161,7 +161,15 @@ def run(n_log2: int = 24, precision: str = 'high'):
         **common,
     )
     print(f'production config: fft_precision={precision}', flush=True)
-    design_oracle = design_wideband_monitor(122.88e6, 61.44e6, **common)
+    # the oracle must stay on the XLA/highest path: since round 4 the
+    # kernel knobs default to 'auto' and resolve against THIS process's
+    # platform (the TPU), which would hand the CPU-backend oracle jit a
+    # Pallas kernel ("Only interpret mode is supported on CPU backend")
+    design_oracle = design_wideband_monitor(
+        122.88e6, 61.44e6, fft_backend='xla', fft_precision='highest',
+        ola_kernel='matmul', apd_kernel='sort', chan_kernel='xla',
+        **common,
+    )
 
     mon_prod = WidebandMonitor(design_prod)
     mon_oracle = WidebandMonitor(design_oracle)
