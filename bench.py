@@ -449,6 +449,83 @@ def bench_psd():
     return 'psd_quantiles_1chip', n / dt_fast / 1e6, extras
 
 
+def bench_upfirdn():
+    """BASELINE config #2 as polyphase upfirdn (VERDICT r4 #3): FIR
+    lowpass + 2:1 decimation of a 100 Ms capture at 61.44 -> 30.72 MS/s
+    with a 4001-tap least-squares filter (design_fir_resampler +
+    design_fir_lpf), the workload behind the reference's one substantive
+    performance claim — cuSignal's O(N/P) polyphase over O(N*Q) direct
+    (reference cuda.py:483-486).
+
+    Measures the three TPU routes for the same deliverable:
+      * the XLA lhs-dilated/strided MXU conv (ops.resample_poly)
+      * the hand-scheduled Pallas block-Toeplitz kernel (upfirdn_pallas)
+      * the OLA frequency-domain route (ola_filter, the monitor's path)
+    plus a fractional up=2/down=3 point on the conv path (polyphase
+    dilation engaged). The headline is the best direct-upfirdn path;
+    fourier.upfirdn's backend='auto' crossover is set from these numbers
+    (ops/resample_poly.py::_resolve_upfirdn_backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.ops.filtering import (
+        design_fir_lpf,
+        design_fir_resampler,
+        ola_filter,
+    )
+    from iqwaveform_tpu.ops.resample_poly import upfirdn
+    from iqwaveform_tpu.utils import unpack_iq
+
+    fs, fs_out = 61.44e6, 30.72e6
+    _, fir_kw = design_fir_resampler(fs, fs_out)  # {'up': 1, 'down': 2}
+    h = np.asarray(design_fir_lpf(20e6, fs, numtaps=4001))
+
+    n = 100_000_000
+    # generate on device: H2D of 800 MB through the tunnel would dominate
+    key = jax.random.PRNGKey(0)
+    ri = jax.jit(
+        lambda k: jax.random.normal(k, (2, n), jnp.float32)
+    )(key)
+
+    def path(fn):
+        step = jax.jit(lambda p: jnp.abs(fn(unpack_iq(p))) ** 2)
+        return _measure(step, ri, trials=3)
+
+    dt_conv = path(lambda v: upfirdn(h, v, backend='xla', **fir_kw))
+    try:
+        dt_pl = path(lambda v: upfirdn(h, v, backend='pallas', **fir_kw))
+    except Exception as err:
+        _log(f'upfirdn pallas unavailable: {err!r:.150}')
+        dt_pl = float('inf')
+    # the OLA route delivering the same lowpass+2:1 resample
+    # (design_cola_resampler defaults: nfft=16384 -> 8192)
+    dt_ola = path(
+        lambda v: ola_filter(
+            v, fs=fs, nfft=16384, window='hamming',
+            passband=(-10e6, 10e6), nfft_out=8192,
+        )
+    )
+    # fractional pair: lhs_dilation actually engaged (up=2, down=3)
+    dt_frac = path(lambda v: upfirdn(h, v, up=2, down=3, backend='xla'))
+
+    best = min(dt_conv, dt_pl)
+    _log(
+        f'upfirdn 100Ms: conv {n / dt_conv / 1e6:.0f} MS/s, pallas '
+        f'{n / dt_pl / 1e6:.0f} MS/s, ola {n / dt_ola / 1e6:.0f} MS/s, '
+        f'frac2/3 conv {n / dt_frac / 1e6:.0f} MS/s'
+    )
+    extras = [
+        ('upfirdn_conv_100ms_1chip', n / dt_conv / 1e6, 'MS/s'),
+        ('upfirdn_ola_route_100ms_1chip', n / dt_ola / 1e6, 'MS/s'),
+        ('upfirdn_frac23_conv_100ms_1chip', n / dt_frac / 1e6, 'MS/s'),
+    ]
+    if np.isfinite(dt_pl):
+        extras.insert(
+            1, ('upfirdn_pallas_100ms_1chip', n / dt_pl / 1e6, 'MS/s')
+        )
+    return 'upfirdn_polyphase_100ms_1chip', n / best / 1e6, extras
+
+
 def bench_channelize64():
     """BASELINE config #4: batched 64-channel channelizer -> per-channel
     power series -> detector stats, 4 captures x 10 Ms per step.
@@ -575,6 +652,7 @@ CONFIGS = {
     'streaming1gs': bench_streaming,
     'channelize64': bench_channelize64,
     'psd': bench_psd,
+    'upfirdn100ms': bench_upfirdn,
 }
 
 
@@ -595,24 +673,123 @@ def run_config(name: str):
         print(json.dumps({'metric': em, 'value': round(ev, 1), 'unit': eu}))
 
 
-def run_matrix():
-    """run every benchmark config in its own subprocess; print all JSON
-    lines and save them to docs/BENCH_matrix.json."""
-    # budgets sized for a cold tunnel session: client init alone can
-    # reach ~8 min when recent clients died holding chip grants, and
-    # remote compiles take 2-4 min per config
-    # ordered most-important-first so a session cut short still refreshes
-    # the headline configs; the matrix file is rewritten after every
-    # config (lines measured so far), not only at the end
+# budgets sized for a cold tunnel session: client init alone can
+# reach ~8 min when recent clients died holding chip grants, and
+# remote compiles take 2-4 min per config.
+# ordered most-important-first so a session cut short still refreshes
+# the headline configs; results merge into docs/BENCH_matrix.json after
+# every config, so a cut-short session never deletes other metrics
+# (ADVICE r4: a partial session must not truncate the canonical record)
+MATRIX_BUDGETS = {
+    'monitor8192p': 1800, 'streaming1gs': 1600, 'monitor_default': 1500,
+    'psd': 1800, 'spectrogram': 1200, 'channelize64': 1500,
+    'upfirdn100ms': 1800, 'monitorRx4': 1500, 'monitor8192bf16': 1500,
+    'monitor8192i16': 1500, 'monitor8192': 1500, 'disk2chip': 1800,
+}
+
+# cross-session spread window (VERDICT r4 #2): matrix rows report the
+# median over the most recent HISTORY_WINDOW sessions of each metric,
+# plus n_sessions and spread_pct, so single-session tunnel jitter
+# (~10%) is visible instead of baked into a lone number
+HISTORY_WINDOW = 5
+
+_DOCS = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'docs')
+MATRIX_PATH = os.path.join(_DOCS, 'BENCH_matrix.json')
+HISTORY_PATH = os.path.join(_DOCS, 'BENCH_history.json')
+
+
+def _load_json(path, default):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return default
+
+
+def _merged_rows(history):
+    """render the per-metric history into matrix rows: median over the
+    last HISTORY_WINDOW sessions + spread. Row order follows the history
+    file (insertion order = first-measured order)."""
+    rows = []
+    for metric, entries in history.items():
+        if metric.startswith('_') or not entries:
+            continue
+        window = entries[-HISTORY_WINDOW:]
+        values = sorted(e['value'] for e in window)
+        median = float(np.median(values))
+        latest = window[-1]
+        row = {
+            'metric': metric,
+            'value': round(median, 1),
+            'unit': latest['unit'],
+        }
+        if any('vs_baseline' in e for e in window):
+            row['vs_baseline'] = round(median / PER_CHIP_TARGET_MSPS, 3)
+        row['n_sessions'] = len(window)
+        if len(window) > 1 and median:
+            row['spread_pct'] = round(
+                100.0 * (values[-1] - values[0]) / abs(median), 1
+            )
+        rows.append(row)
+    return rows
+
+
+def _record_session(history, session: str, rows):
+    for row in rows:
+        entry = {k: row[k] for k in ('value', 'unit') if k in row}
+        if 'vs_baseline' in row:
+            entry['vs_baseline'] = row['vs_baseline']
+        entry['session'] = session
+        history.setdefault(row['metric'], []).append(entry)
+
+
+def _write_matrix(history, session, failed):
+    """persist history + the merged matrix; failed configs are recorded
+    per session under history['_failures'] (visible, never silent)."""
+    out = dict(history)
+    if failed:
+        failures = [
+            e for e in out.get('_failures', []) if e.get('session') != session
+        ]
+        failures.append({'session': session, 'configs': dict(failed)})
+        out['_failures'] = failures
+    with open(HISTORY_PATH, 'w') as f:
+        json.dump(out, f, indent=1)
+    with open(MATRIX_PATH, 'w') as f:
+        json.dump(_merged_rows(history), f, indent=1)
+
+
+def run_matrix(config_names=None, session: str = None):
+    """run benchmark configs in their own subprocesses; merge results
+    by metric into docs/BENCH_matrix.json (median + spread over the
+    last HISTORY_WINDOW sessions, kept in docs/BENCH_history.json).
+
+    ``config_names`` restricts the run (comma list from the CLI) so
+    spread sessions can re-measure only the headline metrics without
+    paying for the full matrix. Configs that fail are recorded under
+    history['_failures'] and logged loudly — never silently dropped.
+    """
+    if session is None:
+        session = time.strftime('%Y%m%d-%H%M%S')
     budgets = {
-        'monitor8192p': 1800, 'streaming1gs': 1600, 'monitor_default': 1500,
-        'psd': 1800, 'spectrogram': 1200, 'channelize64': 1500,
-        'monitorRx4': 1500, 'monitor8192bf16': 1500,
-        'monitor8192i16': 1500, 'monitor8192': 1500, 'disk2chip': 1800,
+        k: v for k, v in MATRIX_BUDGETS.items()
+        if config_names is None or k in config_names
     }
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            'docs', 'BENCH_matrix.json')
-    lines = []
+    unknown = set(config_names or ()) - set(MATRIX_BUDGETS)
+    if unknown:
+        raise SystemExit(f'unknown matrix configs: {sorted(unknown)}')
+
+    history = _load_json(HISTORY_PATH, {})
+    # seed history from a pre-history matrix file so legacy single-value
+    # rows survive the migration as 1-session entries
+    legacy = _load_json(MATRIX_PATH, [])
+    for row in legacy:
+        if row.get('metric') not in history:
+            _record_session(
+                history, row.get('session', 'legacy-matrix'), [row]
+            )
+
+    failed = []
     for name, budget in budgets.items():
         _log(f'bench matrix: {name} (budget {budget}s)')
         try:
@@ -622,25 +799,38 @@ def run_matrix():
             )
         except subprocess.TimeoutExpired:
             _log(f'bench matrix: {name} TIMEOUT')
+            failed.append((name, 'timeout'))
             continue
         sys.stderr.write(result.stderr[-2000:])
         if result.returncode == 0:
+            rows = [
+                json.loads(ln)
+                for ln in result.stdout.strip().splitlines()
+            ]
             for ln in result.stdout.strip().splitlines():
                 print(ln, flush=True)
-                lines.append(json.loads(ln))
-            with open(out_path, 'w') as f:
-                json.dump(lines, f, indent=1)
+            _record_session(history, session, rows)
         else:
             _log(f'bench matrix: {name} rc={result.returncode}')
-    with open(out_path, 'w') as f:
-        json.dump(lines, f, indent=1)
-    _log(f'bench matrix: wrote {out_path}')
+            failed.append((name, f'rc={result.returncode}'))
+
+        _write_matrix(history, session, failed)
+
+    _write_matrix(history, session, failed)
+    _log(f'bench matrix: wrote {MATRIX_PATH} (+history {HISTORY_PATH})')
+    if failed:
+        _log(f'bench matrix: FAILED configs this session: {failed}')
+        sys.exit(2)
 
 
 def main():
-    # matrix mode: run and record every benchmark configuration
+    # matrix mode: run and record benchmark configurations; an optional
+    # comma list restricts to a subset (spread re-measurement sessions):
+    #   python bench.py --matrix
+    #   python bench.py --matrix monitor8192p,streaming1gs,psd
     if len(sys.argv) > 1 and sys.argv[1] == '--matrix':
-        run_matrix()
+        names = sys.argv[2].split(',') if len(sys.argv) > 2 else None
+        run_matrix(names)
         return
 
     # child mode: run one configuration in-process

@@ -3,7 +3,10 @@
 The matrix file is the ONLY quotable source of headline numbers
 (VERDICT r3 #2): this script renders it into the README between the
 BENCH_MATRIX_TABLE markers so the two can never drift. Run after every
-`python bench.py --matrix` refresh.
+`python bench.py --matrix` refresh — and CI enforces it:
+tests/test_readme.py::test_readme_bench_table_matches_matrix re-renders
+the matrix and asserts the README block matches byte-for-byte
+(VERDICT r4 #1).
 
 Usage: python scripts/render_results.py
 """
@@ -45,8 +48,14 @@ LABELS = {
     'channelize64_stats_1chip':
         '#4 64-channel channelizer + detector stats, 4x10 Ms (fused '
         'trim-aware single-pass kernel)',
+    'upfirdn_polyphase_100ms_1chip':
+        '#2 as direct polyphase `upfirdn` (4001-tap FIR + 2:1), 100 Ms '
+        '(best backend; component paths below)',
     'psd_quantiles_1chip':
         'one-shot PSD with quantiles (factored transform + histogram '
+        'quantiles)',
+    'psd_quantiles_default_1chip':
+        "one-shot PSD, no backend argument ('auto' fused path, exact "
         'quantiles)',
     'psd_quantiles_xla_1chip':
         '(reference point: the same PSD on the plain XLA path)',
@@ -59,6 +68,12 @@ LABELS = {
     'disk_to_host_prefetcher': '· CapturePrefetcher disk→host (1-core host)',
     'spectrogram_frames_per_s_1chip': '· #1 as frames/s',
     'psd_fast_vs_xla_speedup': '· PSD fast path vs its XLA path',
+    'upfirdn_conv_100ms_1chip': '· upfirdn via the XLA dilated MXU conv',
+    'upfirdn_pallas_100ms_1chip': '· upfirdn via the Pallas block-Toeplitz kernel',
+    'upfirdn_ola_route_100ms_1chip': '· the same deliverable via the OLA route (`ola_filter`)',
+    'upfirdn_frac23_conv_100ms_1chip': '· fractional up=2/down=3 conv (lhs dilation engaged)',
+    'ola_filter_public_api_1chip':
+        "public-API `ola_filter` at monitor shapes (fft_backend='auto')",
 }
 
 
@@ -69,12 +84,13 @@ def fmt_value(row):
     out = f'{s} {unit}'
     if 'vs_baseline' in row and row['unit'] == 'MS/s':
         out += f" ({row['vs_baseline']:.2f}x per-chip target)"
+    if row.get('n_sessions', 0) > 1:
+        out += f" · ±{row['spread_pct'] / 2:.0f}% over {row['n_sessions']} sessions"
     return out
 
 
-def main():
-    with open(MATRIX) as f:
-        rows = json.load(f)
+def render_table(rows) -> str:
+    """markdown table for the given matrix rows (list of row dicts)."""
     by_metric = {r['metric']: r for r in rows}
     lines = ['| configuration | result |', '|---|---|']
     for metric, label in LABELS.items():
@@ -83,7 +99,13 @@ def main():
     for r in rows:
         if r['metric'] not in LABELS:
             lines.append(f"| `{r['metric']}` | {fmt_value(r)} |")
-    table = '\n'.join(lines)
+    return '\n'.join(lines)
+
+
+def main():
+    with open(MATRIX) as f:
+        rows = json.load(f)
+    table = render_table(rows)
 
     with open(README) as f:
         text = f.read()
