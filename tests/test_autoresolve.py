@@ -197,6 +197,142 @@ def test_channelize_backend_resolution():
     )
 
 
+def test_fft_backend_resolution():
+    """ops.fft.resolve_fft_backend: the plain-transform 'auto' contract
+    (VERDICT r4 #4): mid-size composite jax transforms on TPU -> 'mxu',
+    everything else quietly 'xla'."""
+    from iqwaveform_tpu.ops.fft import MXU_AUTO_MAX_SIZE, resolve_fft_backend
+
+    x = jnp.zeros((4, 1024), jnp.complex64)
+    assert resolve_fft_backend(x, 1024, tpu=True) == 'mxu'
+    assert resolve_fft_backend(x, 16384, tpu=True) == 'mxu'
+    # CPU target, numpy input, prime size, or whole-capture size -> xla
+    assert resolve_fft_backend(x, 1024, tpu=False) == 'xla'
+    assert resolve_fft_backend(np.zeros(8), 1024, tpu=True) == 'xla'
+    assert resolve_fft_backend(x, 131101, tpu=True) == 'xla'
+    assert resolve_fft_backend(x, 2 * MXU_AUTO_MAX_SIZE, tpu=True) == 'xla'
+
+
+def test_ola_backend_resolution():
+    """ops.filtering._resolve_ola_backend: the fused factored OLA route
+    on TPU targets when the design qualifies, quietly 'xla' otherwise."""
+    from iqwaveform_tpu.ops.filtering import (
+        _ola_bin_bounds,
+        _resolve_ola_backend,
+    )
+    from iqwaveform_tpu.ops.window_design import equivalent_noise_bandwidth
+
+    fs, nfft, nfft_out = 122.88e6, 16384, 8192
+    enbw = equivalent_noise_bandwidth('hamming', nfft_out, fftbins=False)
+    zl, zh, bi, bo = _ola_bin_bounds(
+        nfft, nfft_out, fs, (-20e6, 20e6), enbw, True
+    )
+    x = jnp.zeros((8 * nfft,), jnp.complex64)
+    kw = dict(nfft=nfft, nfft_out=nfft_out, axis=0, bounds_in=bi, bounds_out=bo)
+    # the flagship monitor shape resolves to the Pallas kernel
+    assert _resolve_ola_backend(x, noverlap_in=8192, tpu=True, **kw) == 'pallas'
+    # CPU, numpy input, batched input, or no overlap -> xla
+    assert _resolve_ola_backend(x, noverlap_in=8192, tpu=False, **kw) == 'xla'
+    assert (
+        _resolve_ola_backend(
+            np.zeros(8 * nfft, 'complex64'), noverlap_in=8192, tpu=True, **kw
+        )
+        == 'xla'
+    )
+    assert (
+        _resolve_ola_backend(
+            jnp.zeros((2, 8 * nfft), jnp.complex64), noverlap_in=8192,
+            tpu=True, **kw,
+        )
+        == 'xla'
+    )
+    assert _resolve_ola_backend(x, noverlap_in=0, tpu=True, **kw) == 'xla'
+    # bounds the fused transform cannot align -> xla
+    assert (
+        _resolve_ola_backend(
+            x, nfft=nfft, nfft_out=nfft_out, noverlap_in=8192, axis=0,
+            bounds_in=(bi[0] + 1, bi[1] + 1), bounds_out=bo, tpu=True,
+        )
+        == 'xla'
+    )
+
+
+def test_stft_default_backend_matches_xla_on_cpu():
+    """stft/spectrogram fft_backend defaults are 'auto'; on CPU that
+    must be bit-identical to an explicit 'xla' call."""
+    import inspect
+
+    from iqwaveform_tpu.ops.stft import istft, spectrogram, stft
+
+    for fn in (stft, istft, spectrogram):
+        assert inspect.signature(fn).parameters['fft_backend'].default == 'auto'
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)).astype(
+            'complex64'
+        )
+    )
+    kw = dict(fs=1e6, window='hann', nperseg=256, noverlap=128,
+              return_axis_arrays=False)
+    np.testing.assert_array_equal(
+        np.asarray(stft(x, **kw)), np.asarray(stft(x, fft_backend='xla', **kw))
+    )
+
+
+def test_ola_filter_default_backend_matches_xla_on_cpu():
+    from iqwaveform_tpu.ops.filtering import ola_filter, oaresample, resample
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)).astype(
+            'complex64'
+        )
+    )
+    kw = dict(fs=1e6, nfft=1024, window='hamming', passband=(-2e5, 2e5),
+              nfft_out=512)
+    np.testing.assert_array_equal(
+        np.asarray(ola_filter(x, **kw)),
+        np.asarray(ola_filter(x, fft_backend='xla', **kw)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(oaresample(x, 512, 1024, 1e6, window='hamming', axis=0)),
+        np.asarray(
+            oaresample(
+                x, 512, 1024, 1e6, window='hamming', axis=0,
+                fft_backend='xla',
+            )
+        ),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resample(x, 4096)),
+        np.asarray(resample(x, 4096, fft_backend='xla')),
+    )
+
+
+def test_upfirdn_backend_resolution():
+    from iqwaveform_tpu.ops.resample_poly import (
+        _resolve_upfirdn_backend,
+        upfirdn,
+    )
+
+    x = jnp.zeros((4096,), jnp.complex64)
+    resolved = _resolve_upfirdn_backend(x, 4001, 1, 2, tpu=True)
+    assert resolved in ('xla', 'pallas')
+    # default 'auto' == the resolved backend's result, bit-identical here
+    h = np.hanning(63).astype('float32')
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(
+        (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)).astype(
+            'complex64'
+        )
+    )
+    np.testing.assert_array_equal(
+        np.asarray(upfirdn(h, xr, up=2, down=3)),
+        np.asarray(upfirdn(h, xr, up=2, down=3, backend='xla')),
+    )
+
+
 def test_persistence_backend_resolution():
     from iqwaveform_tpu.parallel.streaming import (
         _resolve_persistence_backend,

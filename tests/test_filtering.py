@@ -328,3 +328,104 @@ def test_istft_buffer_size():
         8192, window='hamming', nfft_out=None, nfft=512, extend=False
     )
     assert size >= 8192
+
+
+# --- fused factored OLA route (fft_backend='mxu'/'pallas', VERDICT r4 #4) ---
+
+
+def _fused_case(nfft=4096, nfft_out=2048, n_frames=6):
+    rng = np.random.default_rng(3)
+    n = nfft * n_frames
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        'complex64'
+    )
+    kw = dict(
+        fs=10e6, nfft=nfft, window='hamming',
+        passband=(-3e6, 3e6), nfft_out=nfft_out,
+    )
+    return jnp.asarray(x), kw
+
+
+@pytest.mark.parametrize('backend', ['mxu', 'pallas'])
+def test_ola_filter_fused_matches_xla(backend):
+    """the fused factored route (the monitor's production transform, on
+    the public frame set) must equal the stft->zero->trim->istft stage
+    chain at float32 tolerance."""
+    xj, kw = _fused_case()
+    y_xla = np.asarray(fourier.ola_filter(xj, fft_backend='xla', **kw))
+    y_f = np.asarray(
+        fourier.ola_filter(
+            xj, fft_backend=backend, fft_precision='highest', **kw
+        )
+    )
+    assert y_f.shape == y_xla.shape
+    scale = np.abs(y_xla).max()
+    assert np.abs(y_f - y_xla).max() / scale < 2e-6
+
+
+def test_ola_filter_fused_production_tier():
+    """fft_precision='high' (the 3-pass production tier) stays inside
+    the framework's 1e-5-class budget on the public route too."""
+    xj, kw = _fused_case()
+    y_xla = np.asarray(fourier.ola_filter(xj, fft_backend='xla', **kw))
+    y_f = np.asarray(
+        fourier.ola_filter(xj, fft_backend='pallas', fft_precision='high', **kw)
+    )
+    scale = np.abs(y_xla).max()
+    assert np.abs(y_f - y_xla).max() / scale < 5e-5
+
+
+def test_ola_filter_fused_no_resample():
+    """nfft_out == nfft (bandpass only): the fused route's full-width
+    copy window must reproduce the pure zeroing path."""
+    xj, kw = _fused_case(nfft_out=4096)
+    y_xla = np.asarray(fourier.ola_filter(xj, fft_backend='xla', **kw))
+    y_f = np.asarray(
+        fourier.ola_filter(
+            xj, fft_backend='mxu', fft_precision='highest', **kw
+        )
+    )
+    scale = np.abs(y_xla).max()
+    assert np.abs(y_f - y_xla).max() / scale < 2e-6
+
+
+def test_ola_filter_fused_unsupported_raises():
+    """explicit 'mxu' on a design the fused transform cannot align must
+    raise (only 'auto' falls back quietly)."""
+    xj, kw = _fused_case()
+    kw = dict(kw, nfft_out=kw['nfft'] // 2 - 2)  # breaks COLA/fused align
+    with pytest.raises(ValueError):
+        fourier.ola_filter(xj, fft_backend='mxu', **kw)
+
+
+def test_oaresample_fused_engages_via_auto(monkeypatch):
+    """with the platform forced TPU-like, oaresample's 'auto' must take
+    the fused route and match the XLA stage chain."""
+    from iqwaveform_tpu.ops.pallas import _common
+
+    xj, _ = _fused_case()
+    kw = dict(window='hamming', axis=0)
+    y_xla = np.asarray(
+        fourier.oaresample(xj, 2048, 4096, 10e6, fft_backend='xla', **kw)
+    )
+    monkeypatch.setattr(_common, 'on_tpu_like', lambda: True)
+    y_auto = np.asarray(fourier.oaresample(xj, 2048, 4096, 10e6, **kw))
+    scale = np.abs(y_xla).max()
+    assert np.abs(y_auto - y_xla).max() / scale < 5e-5
+
+
+def test_oaresample_fused_frequency_shift(monkeypatch):
+    """the fused route must reproduce the shifted copy window."""
+    from iqwaveform_tpu.ops.pallas import _common
+
+    xj, _ = _fused_case()
+    fs = 10e6
+    shift = 512 * fs / 4096  # 512 bins: a-aligned for the fused window
+    kw = dict(window='hamming', axis=0, frequency_shift=shift)
+    y_xla = np.asarray(
+        fourier.oaresample(xj, 2048, 4096, fs, fft_backend='xla', **kw)
+    )
+    monkeypatch.setattr(_common, 'on_tpu_like', lambda: True)
+    y_auto = np.asarray(fourier.oaresample(xj, 2048, 4096, fs, **kw))
+    scale = np.abs(y_xla).max()
+    assert np.abs(y_auto - y_xla).max() / scale < 5e-5
