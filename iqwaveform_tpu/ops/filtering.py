@@ -278,6 +278,11 @@ def _ola_filter_parameters(
     """validate and derive (nfft_out, noverlap, overlap_scale, pad_out)
     (reference fourier.py:652-694)."""
     nfft_out = nfft if nfft_out is None else nfft_out
+    if nfft < 1 or nfft_out < 1:
+        raise ValueError(
+            f'nfft and nfft_out must be positive integers, got '
+            f'nfft={nfft}, nfft_out={nfft_out}'
+        )
 
     divisor = _COLA_WINDOW_SIZE_DIVISOR.get(window)
     if divisor is None:

@@ -38,6 +38,7 @@ tests/test_pallas.py).
 from __future__ import annotations
 
 import functools
+from math import gcd
 
 import jax
 import jax.numpy as jnp
@@ -369,6 +370,27 @@ def fused_ola_pallas_supported(
     return b % _LANES == 0
 
 
+def _frame_block(M: int, a: int, frames_per_block: int):
+    """pick the per-grid-step frame count ``T`` and zero-frame ``pad``
+    for an (M*a, b) frame array so the Mosaic block rule holds: the
+    block's second-minor dim (T*a) must be divisible by 8 unless the
+    block spans the whole (padded) array. The kernel is strictly
+    per-frame, so when no divisor of M satisfies that (small public
+    nfft -> a < 8, odd M), pad with zero frames to the next admissible
+    multiple; the caller slices them back off. Invariants (pinned by
+    tests/test_pallas.py): (M+pad) % T == 0 and ((T*a) % 8 == 0 or
+    T == M+pad)."""
+    T = max(1, frames_per_block)
+    while M % T:
+        T //= 2
+    pad = 0
+    if (T * a) % 8 and T != M:
+        k = 8 // gcd(a, 8)  # smallest T with (T*a) % 8 == 0
+        T = max(k, max(1, frames_per_block) // k * k)
+        pad = (-M) % T
+    return T, pad
+
+
 def fused_ola_pallas(
     frames,
     *,
@@ -409,12 +431,13 @@ def fused_ola_pallas(
     )
 
     M = frames.shape[0]
-    T = max(1, frames_per_block)
-    while M % T:
-        T //= 2
+    T, pad = _frame_block(M, a, frames_per_block)
+    Mp = M + pad
+    if pad:
+        frames = jnp.pad(frames, ((0, pad), (0, 0)))
     sdt = _storage_dtype(precision)
-    fr = _to_storage(frames.real, sdt).reshape(M * a, b)
-    fi = _to_storage(frames.imag, sdt).reshape(M * a, b)
+    fr = _to_storage(frames.real, sdt).reshape(Mp * a, b)
+    fi = _to_storage(frames.imag, sdt).reshape(Mp * a, b)
 
     frame_spec = pl.BlockSpec((T * a, b), lambda m: (m, 0))
     out_spec = pl.BlockSpec((T * a, 2 * b2p), lambda m: (m, 0))
@@ -428,10 +451,10 @@ def fused_ola_pallas(
             T=T, a=a, b=b, b2p=b2p, passes=_pick_passes(precision),
             n_corr=n_corr,
         ),
-        grid=(M // T,),
+        grid=(Mp // T,),
         in_specs=[frame_spec, frame_spec] + [const_spec(c) for c in consts],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((M * a, 2 * b2p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Mp * a, 2 * b2p), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',),
         ),
@@ -439,7 +462,7 @@ def fused_ola_pallas(
     )(fr, fi, *consts)
 
     out = jax.lax.complex(packed[:, :b2], packed[:, b2p : b2p + b2])
-    return out.reshape(M, nfft_out)
+    return out.reshape(Mp, nfft_out)[:M]
 
 
 # ---- packed-planes variant: output rows ARE 128-sample time rows ----

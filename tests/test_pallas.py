@@ -422,3 +422,54 @@ def test_fused_ola_strided_vmap_matches_loop():
         y, t = fn(planes[r])
         np.testing.assert_allclose(np.asarray(yv[r]), np.asarray(y))
         np.testing.assert_allclose(np.asarray(tv[r]), np.asarray(t))
+
+
+def test_frame_block_mosaic_invariants():
+    """the (T, pad) selection must satisfy Mosaic's block rule for every
+    (M, a): (M+pad) % T == 0 and ((T*a) % 8 == 0 or T == M+pad). The
+    round-5 on-chip regression was nfft=512 (a=4) with M=63 odd frames:
+    T halved to 1 and the (T*a, b) = (4, 128) block violated the
+    8-divisibility rule. CPU interpret mode cannot catch Mosaic lowering
+    failures, so this pins the math host-side."""
+    from iqwaveform_tpu.ops.pallas.fused_ola_pallas import _frame_block
+
+    for a in (1, 2, 4, 8, 16, 32, 64, 128):
+        for M in list(range(1, 70)) + [252, 1023, 4096]:
+            for fpb in (1, 2, 4, 8, 16):
+                T, pad = _frame_block(M, a, fpb)
+                Mp = M + pad
+                assert Mp % T == 0, (a, M, fpb, T, pad)
+                assert (T * a) % 8 == 0 or T == Mp, (a, M, fpb, T, pad)
+
+
+def test_fused_ola_pallas_odd_frame_count_pad():
+    """odd frame counts at small nfft (a < 8) take the zero-frame pad
+    path; output must equal the MXU twin with the pad sliced off (the
+    round-5 validate_tpu ola_filter regression shape: 252 frames,
+    nfft=512)."""
+    from iqwaveform_tpu.ops.filtering import _ola_filter_fused
+
+    rng = np.random.default_rng(0)
+    for n, nfft in [(65023, 512), (16384, 512), (130000, 1024)]:
+        x = (
+            rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        ).astype('complex64')
+        kw = dict(
+            nfft=nfft, nfft_out=nfft, noverlap_in=nfft // 2,
+            noverlap_out=nfft // 2, window='hamming', zero_lo=10,
+            zero_hi=nfft - 10, bounds_in=(0, nfft), bounds_out=(0, nfft),
+        )
+        yp = np.asarray(
+            _ola_filter_fused(
+                jnp.asarray(x), kernel='pallas', fft_precision='highest',
+                **kw,
+            )
+        )
+        ym = np.asarray(
+            _ola_filter_fused(
+                jnp.asarray(x), kernel='mxu', fft_precision='highest',
+                **kw,
+            )
+        )
+        err = np.abs(yp - ym).max() / np.abs(ym).max()
+        assert err < 2e-5, (n, nfft, err)
