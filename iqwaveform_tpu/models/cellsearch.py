@@ -81,6 +81,13 @@ class CellSearch:
         self.sss_stride = 2 * (self.nfft + cp)
 
         self._pss_corr = jax.jit(self._pss_correlate)
+        # axon-safe orchestration cores: both return 2-D/1-D float32
+        # (the tunneled attachment cannot read back scalars or integer
+        # arrays; the argmax/indexing runs on host over these)
+        self._pss_score = jax.jit(
+            lambda v: self._normalized_corr(v, self._pss)
+        )
+        self._sss_scores_at = jax.jit(self._sss_correlate_at)
 
     # --- correlator cores (traceable) ---
 
@@ -110,13 +117,29 @@ class CellSearch:
         offset = flat % score.shape[1]
         return score, n_id2, offset
 
+    def _sss_correlate_at(self, x, start):
+        """normalized correlation of the SSS symbol at traced sample
+        offset ``start`` against ALL 1008 SSS candidates -> (1008,).
+        Correlating the full set keeps the program static in n_id2 (one
+        trace); the host selects the 336 candidates consistent with the
+        PSS decision afterwards."""
+        m = self._sss.shape[1]
+        segment = jax.lax.dynamic_slice(x, (start,), (m,))
+        return self._normalized_corr(
+            jnp.concatenate([segment, jnp.zeros(1, segment.dtype)]), self._sss
+        )[:, 0]
+
     # --- host orchestration ---
 
     def __call__(self, iq, search_sss: bool = True) -> CellSearchResult:
+        """run the search. Device work runs as two jit programs whose
+        outputs read back as float32 arrays; peak selection runs on the
+        host (scalar/integer readbacks hang tunneled TPU attachments, so
+        the orchestration never performs one)."""
         iq = jnp.asarray(iq, dtype='complex64')
-        score, n_id2, offset = self._pss_corr(iq)
-        n_id2 = int(n_id2)
-        offset = int(offset)
+        score = np.asarray(self._pss_score(iq))  # (3, L) float32
+        flat = int(score.argmax())
+        n_id2, offset = divmod(flat, score.shape[1])
         peak = float(score[n_id2, offset])
 
         result = CellSearchResult(n_id2=n_id2, offset=offset, peak=peak)
@@ -129,14 +152,13 @@ class CellSearch:
         if sss_start + m > iq.shape[0]:
             return result  # capture too short for the SSS symbol
 
-        segment = jax.lax.dynamic_slice(iq, (sss_start,), (m,))
+        all_scores = np.asarray(
+            self._sss_scores_at(iq, np.int32(sss_start))
+        )
         # candidates consistent with n_id2: N_id = 3*N_id1 + n_id2
         cand_ids = np.arange(336) * 3 + n_id2
-        templates = self._sss[cand_ids]
-        sss_score = self._normalized_corr(
-            jnp.concatenate([segment, jnp.zeros(1, segment.dtype)]), templates
-        )[:, 0]
-        best = int(jnp.argmax(sss_score))
+        sss_score = all_scores[cand_ids]
+        best = int(np.argmax(sss_score))
         result.n_id = int(cand_ids[best])
         result.sss_peak = float(sss_score[best])
         return result

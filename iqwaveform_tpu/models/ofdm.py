@@ -1014,10 +1014,54 @@ class BasebandClockSynchronizer:
 
         return fine_offset, float(fine_corr[n_fine]), noise_est
 
+    def _find_slot_start_offset_traced(self, x):
+        """traceable twin of _find_slot_start_offset: the coarse/fine CP
+        correlation grid search as one jit-compiled program, returning a
+        (3,) float32 [offset, weight, noise] vector (offsets are small
+        integers — exact in float32; scalar/int device->host transport
+        is unavailable on tunneled attachments, f32 vectors are)."""
+        coarse_corr = jnp.abs(self._cp_correlate(x, self.cp_indices_coarse))
+        n_coarse = jnp.argmax(coarse_corr)
+        coarse_offset = jnp.asarray(self.cp_offsets_coarse, jnp.int32)[n_coarse]
+
+        fine_inds = jnp.asarray(self.cp_indices_fine, jnp.int32) + coarse_offset
+        fine_corr = jnp.abs(self._cp_correlate(x, fine_inds))
+        n_fine = jnp.argmax(fine_corr)
+        fine_offset = (
+            coarse_offset + jnp.asarray(self.cp_offsets_fine, jnp.int32)[n_fine]
+        )
+        noise_est = jnp.median(jnp.sort(coarse_corr)[:-3])
+        return jnp.stack(
+            [fine_offset.astype(jnp.float32), fine_corr[n_fine], noise_est]
+        )
+
     def _offset_by_sync_period(self, x):
         """slot-start offsets for each sync_size chunk
-        (reference ofdm.py:893-910)."""
+        (reference ofdm.py:893-910).
+
+        jax input runs all windows in ONE jit dispatch (vmapped traced
+        grid search) — both the axon-safe transport path (a (n, 3) f32
+        readback) and fewer dispatches than the reference's per-chunk
+        host loop. numpy input keeps the host loop (scipy-matched
+        oracle)."""
         xp = array_namespace(x)
+
+        if xp is jnp:
+            if getattr(self, '_offsets_jit', None) is None:
+                vmapped = jax.vmap(self._find_slot_start_offset_traced)
+
+                def _windows(v):
+                    # framing inside the jit: tunneled attachments cannot
+                    # run eager reshapes (sizes are static per trace)
+                    n_win = v.shape[0] // self.sync_size
+                    return vmapped(
+                        v[: n_win * self.sync_size].reshape(
+                            n_win, self.sync_size
+                        )
+                    )
+
+                self._offsets_jit = jax.jit(_windows)
+            return np.asarray(self._offsets_jit(x)).astype('float64')
 
         splits = list(range(self.sync_size, x.shape[0], self.sync_size))
         input_chunks = xp.split(x, splits)
@@ -1091,6 +1135,7 @@ class BasebandClockSynchronizer:
             subsample_offset_correction: True for FFT subsample alignment;
                 False to round to the nearest whole-sample offset
         """
+        xp = array_namespace(x)
         total_sample_slip = 0
         for i in range(max_passes + 1):
             logger.info('baseband clock correction pass %d', i + 1)
@@ -1101,7 +1146,14 @@ class BasebandClockSynchronizer:
                 break
             else:
                 logger.info('resampling to correct %d slipped samples', sample_slip)
-                x = fourier.resample(x, x.size - sample_slip)
+                if xp is jnp:
+                    # each pass's size is data-dependent (host control
+                    # flow), but the resample itself runs as one jit
+                    # program — tunneled attachments cannot run eager ops
+                    num = int(x.size - sample_slip)
+                    x = jax.jit(lambda v, num=num: fourier.resample(v, num))(x)
+                else:
+                    x = fourier.resample(x, x.size - sample_slip)
         else:
             if on_fail == 'except':
                 raise ValueError(
@@ -1115,14 +1167,19 @@ class BasebandClockSynchronizer:
         )
 
         if subsample_offset_correction:
-            x = subsample_shift(x, -offset)
+            if xp is jnp:
+                x = jax.jit(lambda v, s=-float(offset): subsample_shift(v, s))(x)
+            else:
+                x = subsample_shift(x, -offset)
+            skip = 0
         else:
             skip = int(round(float(offset))) % self.phy.contiguous_size
-            x = x[skip:]
 
         # keep only an integer number of slot pairs
-        whole = x.size - x.size % (2 * self.phy.contiguous_size)
-        return x[:whole]
+        whole = (x.size - skip) - (x.size - skip) % (2 * self.phy.contiguous_size)
+        if xp is jnp:
+            return jax.jit(lambda v, a=skip, b=skip + whole: v[a:b])(x)
+        return x[skip : skip + whole]
 
 
 def _weighted_least_squares(t, y, w):
@@ -1205,7 +1262,31 @@ class SymbolDecoder:
 
         return symbols[tti_offset:]
 
+    def _decode_and_tti_traced(self, x):
+        """traceable decode + TTI-offset estimate: one jit program
+        returning (symbols, (1,) float32 tti offset) — the device path
+        of __call__ (scalar/int readback is unavailable on tunneled
+        attachments; a 1-element f32 vector is)."""
+        symbols = self._decode_symbols(x)
+        power = self.prb_power(symbols)
+        power_diff = jnp.diff(power, axis=0, append=0) / power
+        diff_peaks = jnp.abs(power_diff).max(axis=1)
+        diff_peak_by_symbol = to_blocks(
+            diff_peaks, Phy3GPP.FFT_PER_SLOT, truncate=True
+        )
+        tti_offset = jnp.argmax(diff_peak_by_symbol.max(axis=0)) + 1
+        return symbols, tti_offset.astype(jnp.float32).reshape(1)
+
     def __call__(self, x):
+        xp = array_namespace(x)
+        if xp is jnp:
+            # device path: decode + TTI estimation in one jit dispatch;
+            # only the data-dependent alignment slice runs per offset
+            if getattr(self, '_decode_jit', None) is None:
+                self._decode_jit = jax.jit(self._decode_and_tti_traced)
+            symbols, tti_vec = self._decode_jit(x)
+            tti_offset = int(np.asarray(tti_vec)[0])
+            return jax.jit(lambda s, t=tti_offset: s[t:])(symbols)
         symbols = self._decode_symbols(x)
         symbols = self._align_symbols_to_tti(symbols)
         return symbols

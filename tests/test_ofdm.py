@@ -380,3 +380,54 @@ def test_corr_at_indices_802_16():
     corr = np.abs(np.asarray(ofdm.corr_at_indices(inds, wave, phy.nfft)))
     assert corr.argmax() == 0
     assert corr[0] > 0.9
+
+
+def test_clock_synchronizer_device_path_matches_numpy():
+    """the jitted batched offset finder (the axon-safe device path) must
+    reproduce the host path's per-window estimates and converge through
+    the same end-to-end loop on jax input."""
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu import fourier
+
+    sync = ofdm.BasebandClockSynchronizer(1.4e6, correlation_subframes=8)
+    phy = sync.phy
+    x = make_cp_waveform(phy, n_slots=170)
+    slip = 24
+    y = np.asarray(fourier.resample(x, x.size - slip))
+
+    est_np = sync._offset_by_sync_period(y)
+    est_dev = sync._offset_by_sync_period(jnp.asarray(y))
+    assert est_dev.shape == est_np.shape
+    np.testing.assert_allclose(est_dev[:, 0], est_np[:, 0], atol=0)
+    np.testing.assert_allclose(est_dev[:, 1:], est_np[:, 1:], rtol=1e-4)
+
+    out = sync(jnp.asarray(y), subsample_offset_correction=False, max_passes=8)
+    assert sync._regression_info['slipped_samples'] == 0
+    out = np.asarray(out)
+    assert out.size % (2 * phy.contiguous_size) == 0 and out.size > 0
+
+
+def test_symbol_decoder_device_path_matches_numpy():
+    import jax.numpy as jnp
+
+    phy = ofdm.Phy3GPP(5e6)
+    rng = np.random.default_rng(1)
+    n_sym_total = 28 * 4
+    qpsk = (
+        rng.choice([1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j], size=(n_sym_total, phy.nfft))
+    ) / np.sqrt(2)
+    cps = np.asarray(phy.cp_sizes)
+    tdom = np.fft.ifft(np.fft.ifftshift(qpsk, axes=1), axis=1) * np.sqrt(
+        2 * phy.nfft
+    )
+    wave = []
+    for i, s in enumerate(tdom):
+        wave += [s[-cps[i % 14] :], s]
+    wave = np.concatenate(wave).astype('complex64')
+
+    dec = ofdm.SymbolDecoder(5e6)
+    sym_np = np.asarray(dec(wave))
+    sym_dev = np.asarray(dec(jnp.asarray(wave)))
+    assert sym_dev.shape == sym_np.shape
+    np.testing.assert_allclose(sym_dev, sym_np, atol=2e-4)
