@@ -127,30 +127,70 @@ def run_one(spec: str) -> dict:
     }
 
 
+def _run_spec_subprocess(spec: str):
+    n_dev = (lambda b_t: b_t[0] * b_t[1])(_parse_mesh(spec))
+    env = dict(os.environ)
+    env['XLA_FLAGS'] = (
+        ' '.join(
+            f for f in env.get('XLA_FLAGS', '').split()
+            if 'host_platform_device_count' not in f
+        )
+        + f' --xla_force_host_platform_device_count={n_dev}'
+    ).strip()
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), spec],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    if res.returncode != 0:
+        print(f'mesh={spec} FAILED:', res.stderr[-500:], file=sys.stderr)
+        return None
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
 def main():
+    # trials mode (VERDICT r4 #8): re-run one mesh shape N times in
+    # fresh subprocesses and report median + spread, to confirm or
+    # retract single-run outliers (host scheduling on the shared core):
+    #   python scripts/weak_scaling.py --trials 3 4x8 8x4
+    if len(sys.argv) > 2 and sys.argv[1] == '--trials':
+        n_trials = int(sys.argv[2])
+        for spec in sys.argv[3:] or ('4x8',):
+            vals = []
+            for t in range(n_trials):
+                row = _run_spec_subprocess(spec)
+                if row is not None:
+                    vals.append(row['ms_per_Msample_total'])
+                    print(f'{spec} trial {t + 1}: {row}', flush=True)
+            if vals:
+                vals.sort()
+                import numpy as _np
+
+                med = float(_np.median(vals))
+                print(
+                    json.dumps(
+                        {
+                            'mesh': spec,
+                            'n_trials': len(vals),
+                            'ms_per_Msample_total_median': round(med, 1),
+                            'spread_pct': round(
+                                100 * (vals[-1] - vals[0]) / med, 1
+                            ),
+                            'trials': vals,
+                        }
+                    ),
+                    flush=True,
+                )
+        return
+
     if len(sys.argv) > 1:
         print(json.dumps(run_one(sys.argv[1])))
         return
 
     rows = []
     for spec in MESHES:
-        n_dev = (lambda b_t: b_t[0] * b_t[1])(_parse_mesh(spec))
-        env = dict(os.environ)
-        env['XLA_FLAGS'] = (
-            ' '.join(
-                f for f in env.get('XLA_FLAGS', '').split()
-                if 'host_platform_device_count' not in f
-            )
-            + f' --xla_force_host_platform_device_count={n_dev}'
-        ).strip()
-        res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), spec],
-            env=env, capture_output=True, text=True, timeout=1200,
-        )
-        if res.returncode != 0:
-            print(f'mesh={spec} FAILED:', res.stderr[-500:], file=sys.stderr)
+        row = _run_spec_subprocess(spec)
+        if row is None:
             continue
-        row = json.loads(res.stdout.strip().splitlines()[-1])
         rows.append(row)
         print(row, flush=True)
 
