@@ -908,16 +908,28 @@ def _bracket_plan(hist_nat, edges, n, qs, pmin_nat, pmax_nat):
     b_lo = np.clip(np.minimum(bin_of(low), bin_of(high)) - 1, 0, B - 1)
     b_hi = np.clip(bin_of(high) + 1, 0, B - 1)
     # end bins are clipped catch-alls; the exact per-frequency min/max
-    # make every bracket finite (max of lower bounds / min of upper
-    # bounds — pmax is attained, so step one ulp past it)
+    # make every bracket finite. pmin/pmax come from the FOLD pass; the
+    # collect pass recomputes the spectrogram in a differently-fused
+    # compiled body whose values legally drift a few ulps, and the
+    # in-bracket test is half-open [lo, hi) — so pad several ulps below
+    # pmin and above pmax or the column extremes fall out of their own
+    # bracket (caught by the round-5 fuzz sweep: a max exactly 1 ulp
+    # above pmax landed ON the old nextafter(pmax) clamp and the strict
+    # < excluded it). Ulp-scale padding is harmless: the clamps only
+    # need to keep brackets finite, and the capacity bound comes from
+    # the bin counts, not the clamps.
     lo_nat = np.where(b_lo == 0, -np.inf, edges[b_lo]).astype('float32')
     hi_nat = np.where(b_hi == B - 1, np.inf, edges[b_hi + 1]).astype(
         'float32'
     )
-    lo_nat = np.maximum(lo_nat, pmin_nat[None, :]).astype('float32')
-    hi_nat = np.minimum(
-        hi_nat, np.nextafter(pmax_nat, np.float32(np.inf))[None, :]
+    pad_lo = (
+        pmin_nat - 32 * np.spacing(np.abs(pmin_nat), dtype=np.float32)
     ).astype('float32')
+    pad_hi = (
+        pmax_nat + 32 * np.spacing(np.abs(pmax_nat), dtype=np.float32)
+    ).astype('float32')
+    lo_nat = np.maximum(lo_nat, pad_lo[None, :]).astype('float32')
+    hi_nat = np.minimum(hi_nat, pad_hi[None, :]).astype('float32')
     # capacity: a true-in-bracket sample was counted within one bin of
     # its true bin, so pass-1 counts over [b_lo-1, b_hi+1] bound the
     # true in-bracket count

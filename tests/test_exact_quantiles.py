@@ -201,3 +201,62 @@ def test_exact_quantiles_rejects_resumed_carry():
         streaming_persistence_spectrum(
             jnp.asarray(x), init_carry=out, exact_quantiles=True, **kws
         )
+
+
+def test_bracket_plan_pads_extreme_clamps():
+    """the pmin/pmax clamps must sit several ulps OUTSIDE the fold
+    pass's recorded extremes: the collect pass recomputes the
+    spectrogram in a differently-fused compiled body whose values
+    legally drift ~1 ulp, and the in-bracket test is half-open
+    [lo, hi) — a max exactly 1 ulp above pmax fell ON the old
+    nextafter(pmax) clamp and out of its own bracket (round-5 fuzz
+    regression, fuzz_parity seed 5 case 20)."""
+    F, B = 4, 64
+    hist = np.zeros((F, B), np.int64)
+    hist[:, 0] = 17  # all mass in the end catch-all bins
+    hist[:, -1] = 17
+    edges = np.linspace(-150.0, 50.0, B + 1).astype('float32')
+    pmin = np.full(F, -54.18493, 'float32')
+    pmax = np.full(F, -11.920141, 'float32')
+    plan = streaming._bracket_plan(
+        hist, edges, 34, [0.0, 0.99, 1.0], pmin, pmax
+    )
+    ulp_lo = np.spacing(np.abs(pmin), dtype=np.float32)
+    ulp_hi = np.spacing(np.abs(pmax), dtype=np.float32)
+    # q=0.0 targets rank 0 in the catch-all first bin: its lower bound
+    # is the pmin clamp, which must sit >= 4 ulps below pmin. q=1.0
+    # targets rank n-1 in the catch-all last bin: its upper bound is
+    # the pmax clamp, >= 4 ulps above pmax. Every bracket finite.
+    assert (plan['lo'][0] <= pmin - 4 * ulp_lo).all()
+    assert (plan['hi'][2] >= pmax + 4 * ulp_hi).all()
+    assert np.isfinite(plan['lo']).all() and np.isfinite(plan['hi']).all()
+
+
+@pytest.mark.parametrize('narrowed', [False, True])
+def test_exact_quantiles_extreme_ranks(narrowed, monkeypatch):
+    """quantiles 0.0 and 1.0 target ranks 0 and n-1 — the exact column
+    extremes, whose brackets are clamped by pmin/pmax and which the
+    collect pass must retain despite recompile drift."""
+    if narrowed:
+        monkeypatch.setattr(streaming, '_C_DIRECT', 8)
+    nfft, cf = 256, 32
+    n = cf * nfft * 3 + 2 * nfft
+    x = _noise(n, 29)
+    qs = (0.0, 0.99, 1.0)
+    out = streaming_persistence_spectrum(
+        jnp.asarray(x),
+        fs=1e6,
+        window='hann',
+        nfft=nfft,
+        chunk_frames=cf,
+        hist_bins=128,
+        quantiles=qs,
+        fft_backend='xla',
+        fft_precision='highest',
+        exact_quantiles=True,
+    )
+    assert out.get('quantiles_exact') is True
+    oracle = _oracle_quantiles(
+        x, nfft=nfft, chunk_frames=cf, backend='xla', hist_bins=128, qs=qs
+    )
+    np.testing.assert_array_equal(np.asarray(out['quantiles_dB']), oracle)
