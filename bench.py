@@ -427,8 +427,13 @@ def bench_psd():
         )
     )
     # no backend argument: fft_backend='auto' resolves on-platform (the
-    # fused factored spectrogram here), quantiles stay EXACT
-    default = jax.jit(lambda p: power_spectral_density(unpack_iq(p), **kw))
+    # fused factored spectrogram here), quantiles stay EXACT. NOT
+    # wrapped in jit: the exact refinement is a host-orchestrated
+    # multi-pass (its folds are jitted internally), so the timing below
+    # includes its real host-side planning cost; under jit the library
+    # would fall back to the device-sort exact path instead.
+    _unp = jax.jit(unpack_iq)
+    default = lambda p: power_spectral_density(_unp(p), **kw)
     xla = jax.jit(
         lambda p: power_spectral_density(unpack_iq(p), fft_backend='xla', **kw)
     )

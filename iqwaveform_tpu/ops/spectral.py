@@ -22,6 +22,7 @@ from ..utils import (
     axis_slice,
     find_float_inds,
     get_input_domain,
+    is_traced,
     isroundmod,
     lazy_import,
     lru_cache,
@@ -263,6 +264,7 @@ def _psd_factored_fast(
     stack unscrambles once at the end — the transform's transposed
     readout and (with quantile_method='histogram') the full per-bin
     sort never run. Reference counterpart: fourier.py:1236-1327."""
+    import jax
     import jax.numpy as jnp
 
     xp = array_namespace(x)
@@ -296,8 +298,36 @@ def _psd_factored_fast(
     named = [s for s, q in zip(statistics, isquantile) if not q]
 
     n_frames = x.shape[0] // nfft
-    x_trunc = x[: n_frames * nfft]
     dtype_name = np.dtype(x.dtype).name
+    n_keep = n_frames * nfft
+
+    if truncate:
+        if bandwidth == INF:
+            bw_args = (None, None)
+        else:
+            bw_args = (-bandwidth / 2, +bandwidth / 2)
+        band = _freq_band_edges(nfft, 1.0 / fs, *bw_args)
+    else:
+        band = None
+
+    def _finish(rows, unscramble=None):
+        """stack + optional factored->natural unscramble + band trim in
+        ONE jitted program: the tunneled axon TPU backend executes only
+        compiled programs — eager stack/slice primitives raise
+        UNIMPLEMENTED (the round-4 psd matrix failure class). Host
+        numpy rows (the refined exact quantiles) ride in as ordinary
+        arguments; the fresh closure's tiny program hits the backend
+        compile cache by HLO hash on repeat calls."""
+
+        def _f(rs):
+            s = jnp.stack(list(rs), axis=0)
+            if unscramble is not None:
+                s = s[:, unscramble]
+            if band is not None:
+                s = axis_slice(s, band[0], band[1], axis=1)
+            return s.astype('float32')
+
+        return jax.jit(_f)(tuple(rows))
 
     if quantile_method == 'histogram':
         unsupported = {s for s in named if s not in ('mean', 'max', 'peak', 'min')}
@@ -318,9 +348,11 @@ def _psd_factored_fast(
             # streaming fold whose histogram bin dominates
             fft_precision='highest',
         )
-        carry = _streaming.persistence_fold(
-            _streaming.persistence_init(design), x_trunc, design
-        )
+        carry = jax.jit(
+            lambda v: _streaming.persistence_fold(
+                _streaming.persistence_init(design), v[:n_keep], design
+            )
+        )(x)
         out = _streaming.persistence_finalize(
             carry, design, fs=fs, quantiles=quantiles or (0.5,)
         )
@@ -337,8 +369,13 @@ def _psd_factored_fast(
                 qi += 1
             else:
                 rows.append(stat_map[s])
-        stack = jnp.stack(rows, axis=0)
-    elif quantiles and n_frames >= 2048 and _refined_exact_applies(named):
+        return _finish(rows)
+    elif (
+        quantiles
+        and n_frames >= 2048
+        and not is_traced(x)
+        and _refined_exact_applies(named)
+    ):
         # exact quantiles WITHOUT the full per-bin sort (which is the
         # dominant cost on TPU at large frame counts — the reason
         # quantile_method='histogram' exists): the bracketed two-pass
@@ -347,8 +384,14 @@ def _psd_factored_fast(
         # spectrogram bit for bit, at ~3 transform passes instead of a
         # device sort. mxu backend: it folds every whole frame (the
         # fused kernel's slab quantum would drop a sub-slab tail).
+        # Under jit (x is a tracer) the refinement's host-side bracket
+        # planning cannot run — the device-sort branch below delivers
+        # the same exact order statistics traceably.
+        # whole-frame truncation happens inside the streaming entry's
+        # jitted pipeline (it folds every whole trailing frame), so no
+        # eager slice is needed here
         out = _streaming.streaming_persistence_spectrum(
-            x_trunc,
+            x,
             fs=fs,
             window=window,
             nfft=nfft,
@@ -370,11 +413,11 @@ def _psd_factored_fast(
         rows, qi = [], 0
         for s, is_q in zip(statistics, isquantile):
             if is_q:
-                rows.append(jnp.asarray(out['quantiles_dB'][qi]))
+                rows.append(np.asarray(out['quantiles_dB'][qi]))
                 qi += 1
             else:
                 rows.append(stat_map[s])
-        stack = jnp.stack(rows, axis=0)
+        return _finish(rows)
     else:
         design = _streaming.design_persistence(
             nfft=nfft,
@@ -384,31 +427,32 @@ def _psd_factored_fast(
             fft_backend=backend,
             fft_precision='highest',
         )
-        spg_dB = _streaming._spectrogram_dB_chunk(x_trunc, design)
-        # one batched quantile call -> one sort, shared by all quantiles
-        if quantiles:
-            q_rows = jnp.quantile(
-                spg_dB, jnp.asarray(quantiles, dtype='float32'), axis=0
-            )
-        rows, qi = [], 0
-        for s, is_q in zip(statistics, isquantile):
-            if is_q:
-                rows.append(q_rows[qi])
-                qi += 1
-            else:
-                ufunc = power_analysis.stat_ufunc_from_shorthand(s, xp=jnp)
-                rows.append(ufunc(spg_dB, axis=0))
-        # factored (k1, k2) -> monotonic frequency order, once, at the end
-        stack = jnp.stack(rows, axis=0)[:, design['unscramble']]
+        def _sorted_stack(v):
+            spg_dB = _streaming._spectrogram_dB_chunk(v[:n_keep], design)
+            # one batched quantile call -> one sort, shared by all
+            # quantiles
+            if quantiles:
+                q_rows = jnp.quantile(
+                    spg_dB, jnp.asarray(quantiles, dtype='float32'), axis=0
+                )
+            rows, qi = [], 0
+            for s, is_q in zip(statistics, isquantile):
+                if is_q:
+                    rows.append(q_rows[qi])
+                    qi += 1
+                else:
+                    ufunc = power_analysis.stat_ufunc_from_shorthand(
+                        s, xp=jnp
+                    )
+                    rows.append(ufunc(spg_dB, axis=0))
+            # factored (k1, k2) -> monotonic frequency order, once, at
+            # the end
+            stack = jnp.stack(rows, axis=0)[:, design['unscramble']]
+            if band is not None:
+                stack = axis_slice(stack, band[0], band[1], axis=1)
+            return stack.astype('float32')
 
-    if truncate:
-        if bandwidth == INF:
-            bw_args = (None, None)
-        else:
-            bw_args = (-bandwidth / 2, +bandwidth / 2)
-        ilo, ihi = _freq_band_edges(nfft, 1.0 / fs, *bw_args)
-        stack = axis_slice(stack, ilo, ihi, axis=1)
-    return stack.astype('float32')
+        return jax.jit(_sorted_stack)(x)
 
 
 def channelize_power(

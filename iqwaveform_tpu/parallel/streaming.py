@@ -38,6 +38,36 @@ __all__ = [
 ]
 
 
+# module-level jitted transport splitters: a fresh jit lambda per call
+# would re-trace and re-lower on every leaf readback (the exact-quantile
+# refinement reads carries back each call)
+@jax.jit
+def _split_i32_planes(a):
+    return (
+        (a.reshape(-1) >> 12).astype(jnp.float32),
+        (a.reshape(-1) & 0xFFF).astype(jnp.float32),
+    )
+
+
+@jax.jit
+def _split_i64_planes(a):
+    return (
+        (a.reshape(-1) >> 40).astype(jnp.float32),
+        ((a.reshape(-1) >> 20) & 0xFFFFF).astype(jnp.float32),
+        (a.reshape(-1) & 0xFFFFF).astype(jnp.float32),
+    )
+
+
+@jax.jit
+def _split_c64_planes(a):
+    return a.reshape(-1).real, a.reshape(-1).imag
+
+
+@jax.jit
+def _flat_f32(a):
+    return a.reshape(-1).astype(jnp.float32)
+
+
 def _leaf_to_host(v):
     """exact host copy of a carry leaf through the axon-safe channel.
 
@@ -55,25 +85,14 @@ def _leaf_to_host(v):
     if jnp.issubdtype(dtype, jnp.integer):
         if jnp.iinfo(dtype).bits <= 32:
             # two planes: |hi| < 2^20 and lo < 2^12 are exact in float32
-            hi, lo = jax.jit(
-                lambda a: (
-                    (a.reshape(-1) >> 12).astype(jnp.float32),
-                    (a.reshape(-1) & 0xFFF).astype(jnp.float32),
-                )
-            )(v)
+            hi, lo = _split_i32_planes(v)
             out = np.asarray(hi).astype('int64') * 4096 + np.asarray(lo).astype(
                 'int64'
             )
         else:
             # int64 (jax_enable_x64): three 20-bit planes keep every
             # plane's magnitude under 2^24 so float32 carries it exactly
-            hi, mid, lo = jax.jit(
-                lambda a: (
-                    (a.reshape(-1) >> 40).astype(jnp.float32),
-                    ((a.reshape(-1) >> 20) & 0xFFFFF).astype(jnp.float32),
-                    (a.reshape(-1) & 0xFFFFF).astype(jnp.float32),
-                )
-            )(v)
+            hi, mid, lo = _split_i64_planes(v)
             out = (
                 np.asarray(hi).astype('int64') * (1 << 40)
                 + np.asarray(mid).astype('int64') * (1 << 20)
@@ -83,16 +102,13 @@ def _leaf_to_host(v):
     if jnp.issubdtype(dtype, jnp.complexfloating):
         if dtype != jnp.complex64:
             return np.asarray(v)
-        re, im = jax.jit(
-            lambda a: (a.reshape(-1).real, a.reshape(-1).imag)
-        )(v)
+        re, im = _split_c64_planes(v)
         out = np.asarray(re) + 1j * np.asarray(im)
         return out.reshape(shape).astype('complex64')
     if jnp.issubdtype(dtype, jnp.floating) and dtype != jnp.float32:
         # float64 etc. take the direct path (exactness over axon-safety)
         return np.asarray(v)
-    flat = jax.jit(lambda a: a.reshape(-1).astype(jnp.float32))(v)
-    return np.asarray(flat).reshape(shape).astype(np.dtype(dtype.name))
+    return np.asarray(_flat_f32(v)).reshape(shape).astype(np.dtype(dtype.name))
 
 
 def _carry_path(path: str) -> str:
@@ -695,6 +711,88 @@ def persistence_finalize(
     return out
 
 
+_PIPELINE_PROGRAMS: 'dict' = {}
+
+
+def _fold_pipeline_program(
+    design, *, n_samples, n_chunks, chunk, tail_keep, flush_every,
+    want_chunks,
+):
+    """jitted slice -> reshape -> scan-fold -> tail-fold -> flush
+    pipeline for streaming_persistence_spectrum, cached per static
+    configuration. Every device op of the eager entrypoint must live
+    inside one compiled program: the tunneled axon backend implements
+    only jit execution — an eager reshape/slice raises UNIMPLEMENTED
+    (the round-4 psd matrix config died on exactly that), and a fresh
+    jit closure per call would pay a remote retrace each call.
+
+    The program takes (x, init) where init=None materializes
+    persistence_init's zeros in-jit; a resumed raw-tile carry is
+    flushed up front (pending raw counts must fold into the int32
+    histogram before any cell can approach 2**24). Returns
+    (final_carry, x_chunks, tail): the reshaped chunks + device tail
+    feed the exact-quantile re-scan without further eager ops, and are
+    None/empty when want_chunks is False so the extra HBM copy is only
+    paid when the refinement will run."""
+    key = (
+        # fingerprint omits the input dtype and the raw-plan presence;
+        # the baked window dtype and a plan flag stand in for them (a
+        # cached program closes over its whole design)
+        design['fingerprint'], str(np.asarray(design['window']).dtype),
+        design.get('hist_raw_plan') is not None,
+        n_samples, n_chunks, chunk, tail_keep, flush_every, want_chunks,
+    )
+    prog = _PIPELINE_PROGRAMS.get(key)
+    if prog is not None:
+        return prog
+    plan = design.get('hist_raw_plan')
+
+    @jax.jit
+    def _run(x, init):
+        if init is None:
+            init = persistence_init(design)
+        elif plan is not None:
+            init = persistence_flush(init, design)
+        tail = x[n_chunks * chunk : n_chunks * chunk + tail_keep]
+        xc = x[: n_chunks * chunk].reshape(n_chunks, chunk)
+        if plan is None or n_chunks <= flush_every:
+            final, _ = jax.lax.scan(
+                lambda c, cx: (persistence_fold(c, cx, design), None),
+                init, xc,
+            )
+        else:
+            # raw-tile f32 counters are exact only to 2**24: flush into
+            # the int32 histogram every flush_every chunks
+            def _body(c, icx):
+                i, cx = icx
+                c = persistence_fold(c, cx, design)
+                c = jax.lax.cond(
+                    (i + 1) % flush_every == 0,
+                    lambda cc: persistence_flush(cc, design),
+                    lambda cc: cc,
+                    c,
+                )
+                return c, None
+
+            final, _ = jax.lax.scan(
+                _body, init, (jnp.arange(n_chunks, dtype=jnp.int32), xc)
+            )
+        if tail_keep:
+            final = persistence_fold(final, tail, design)
+        if plan is not None:
+            # hand downstream consumers (finalize, the exact-quantile
+            # refinement, the returned resume carry) a flushed carry
+            final = persistence_flush(final, design)
+        if not want_chunks:
+            return final, None, None
+        return final, xc, (tail if tail_keep else None)
+
+    if len(_PIPELINE_PROGRAMS) >= 64:
+        _PIPELINE_PROGRAMS.pop(next(iter(_PIPELINE_PROGRAMS)))
+    _PIPELINE_PROGRAMS[key] = _run
+    return _run
+
+
 def streaming_persistence_spectrum(
     x,
     *,
@@ -775,9 +873,6 @@ def streaming_persistence_spectrum(
             f'dropping {dropped} trailing samples '
             f'(shorter than one {"pallas slab" if fft_backend == "pallas" else "frame"})'
         )
-    tail = x[n_chunks * chunk : n_chunks * chunk + tail_keep]
-    x = x[: n_chunks * chunk].reshape(n_chunks, chunk)
-
     design = design_persistence(
         nfft=nfft,
         window=window,
@@ -788,7 +883,7 @@ def streaming_persistence_spectrum(
         fft_precision=fft_precision,
     )
     if init_carry is None:
-        init = persistence_init(design)
+        init = None  # persistence_init runs inside the jitted pipeline
     elif isinstance(init_carry, dict):
         if init_carry.get('_design') != design['fingerprint']:
             raise ValueError(
@@ -800,45 +895,38 @@ def streaming_persistence_spectrum(
     else:
         init = init_carry
 
-    plan = design.get('hist_raw_plan')
-    # raw-tile counts are exact-integer f32: flush into the int32
-    # histogram before any cell can approach 2**24 (a resumed carry may
-    # already hold pending raw counts, so flush it up front)
     flush_every = max(1, _FLUSH_FRAMES // chunk_frames)
-    if plan is not None and init_carry is not None:
-        init = persistence_flush(init, design)
-    if plan is None or n_chunks <= flush_every:
-        final, _ = jax.lax.scan(
-            lambda c, cx: (persistence_fold(c, cx, design), None), init, x
-        )
-    else:
-
-        def _body(c, icx):
-            i, cx = icx
-            c = persistence_fold(c, cx, design)
-            c = jax.lax.cond(
-                (i + 1) % flush_every == 0,
-                lambda cc: persistence_flush(cc, design),
-                lambda cc: cc,
-                c,
-            )
-            return c, None
-
-        final, _ = jax.lax.scan(
-            _body, init, (jnp.arange(n_chunks, dtype=jnp.int32), x)
-        )
-    if tail_keep:
-        final = persistence_fold(final, tail, design)
-    if plan is not None:
-        # hand downstream consumers (finalize, the exact-quantile
-        # refinement, the returned resume carry) a flushed carry
-        final = persistence_flush(final, design)
+    want_chunks = bool(
+        exact_quantiles
+        and quantiles
+        and hist_bins > 0
+        and init_carry is None
+        and not isinstance(x, jax.core.Tracer)
+    )
+    prog = _fold_pipeline_program(
+        design,
+        n_samples=int(x.shape[0]),
+        n_chunks=n_chunks,
+        chunk=chunk,
+        tail_keep=tail_keep,
+        flush_every=flush_every,
+        want_chunks=want_chunks,
+    )
+    final, x_chunks, tail = prog(x, init)
 
     out = persistence_finalize(final, design, fs=fs, quantiles=quantiles)
     out['_carry'] = final
     out['_design'] = design['fingerprint']
 
     if exact_quantiles:
+        if isinstance(x, jax.core.Tracer):
+            raise ValueError(
+                'exact_quantiles=True runs a host-orchestrated multi-pass '
+                'refinement (bracket planning reads device results '
+                'between passes) and cannot execute under jit/vmap/grad. '
+                'Call outside jit — the folds inside are jitted — or use '
+                'the histogram quantiles from the base result.'
+            )
         if hist_bins == 0:
             raise ValueError(
                 'exact_quantiles needs the histogram pass (hist_bins > 0) '
@@ -850,7 +938,7 @@ def streaming_persistence_spectrum(
                 "earlier capture's samples are not available to re-scan"
             )
         refined = _refine_quantiles_exact(
-            x, tail if tail_keep else None, design, final, quantiles
+            x_chunks, tail, design, final, quantiles
         )
         if refined is not None:
             out['quantiles_dB'] = refined
@@ -953,22 +1041,32 @@ def _bracket_invw(lo_nat, hi_nat):
     return (np.float32(_B_SUB) / width).astype('float32')
 
 
-def _sub_idx_fn(lo_j, hi_j, invw_j):
+def _sub_idx_map(spg, lo, hi, invw):
     """the sub-bin integer map idx = floor((v - lo) * invw), shared by
     the narrowing and collect passes (and by the streaming and sharded
     refiners) so membership is decided by IDENTICAL integer compares;
     monotone in v, so order statistics land in cumulative-count order
     even if the float map is not perfectly uniform. Out-of-bracket
-    values get the sentinel _B_SUB."""
+    values get the sentinel _B_SUB.
+
+    (frames, F) -> (nq, frames, F) int32 sub-bin labels. The bracket
+    arrays are RUNTIME ARGUMENTS, never closure captures: a captured
+    device array embeds as an HLO constant, so every call with fresh
+    bracket values would lower (and remote-compile) a brand-new
+    program — the round-5 finding that made the eager exact-quantile
+    path pay ~12 s/call through the tunnel."""
+    in1 = (spg[None] >= lo[:, None, :]) & (spg[None] < hi[:, None, :])
+    t = (spg[None] - lo[:, None, :]) * invw[:, None, :]
+    idx = jnp.clip(jnp.floor(t), 0, _B_SUB - 1).astype(jnp.int32)
+    return jnp.where(in1, idx, jnp.int32(_B_SUB))
+
+
+def _sub_idx_fn(lo_j, hi_j, invw_j):
+    """closure form of :func:`_sub_idx_map` for callers already inside
+    a single jit trace (the sharded refiner), where capture is free."""
 
     def sub_idx(spg):
-        # (frames, F) -> (nq, frames, F) int32 sub-bin labels
-        in1 = (spg[None] >= lo_j[:, None, :]) & (
-            spg[None] < hi_j[:, None, :]
-        )
-        t = (spg[None] - lo_j[:, None, :]) * invw_j[:, None, :]
-        idx = jnp.clip(jnp.floor(t), 0, _B_SUB - 1).astype(jnp.int32)
-        return jnp.where(in1, idx, jnp.int32(_B_SUB))
+        return _sub_idx_map(spg, lo_j, hi_j, invw_j)
 
     return sub_idx
 
@@ -1120,57 +1218,117 @@ def _refine_quantiles_exact(x_chunks, tail, design, carry, quantiles):
         a_d[:, u] = a_nat
         return a_d
 
+    # bracket arrays stay HOST numpy here and cross to the device as
+    # jit ARGUMENTS of module-cached programs: a fresh jit closure per
+    # call would retrace, and captured device brackets would embed as
+    # HLO constants — both force a remote re-compile per call through
+    # the tunnel (measured at ~12 s/call before this was fixed)
     lo_d, hi_d = to_design(lo_nat), to_design(hi_nat)
-    lo_j = jnp.asarray(lo_d)
-    hi_j = jnp.asarray(hi_d)
-    invw_j = jnp.asarray(_bracket_invw(lo_d, hi_d))
-    sub_idx = _sub_idx_fn(lo_j, hi_j, invw_j)
+    invw_d = _bracket_invw(lo_d, hi_d)
+    tail_len = 0 if tail is None else int(tail.shape[0])
+    chunks_shape = tuple(int(v) for v in x_chunks.shape)
 
     if int(cap.max()) > _C_DIRECT:
         # ---- narrowing pass: exact sub-bin + below-bracket counts ----
-        def fold_sub(carry2, chunk):
-            subhist, below2 = carry2
-            spg = _spectrogram_dB_chunk(chunk, design)  # (frames, nfft)
-            idx = sub_idx(spg)
-            counts = jax.vmap(
-                lambda ix: _columnwise_int_counts(ix, _B_SUB)
-            )(idx)  # (nq, nfft, B_SUB)
-            below2 = below2 + (spg[None] < lo_j[:, None, :]).sum(
-                axis=1, dtype=jnp.int32
-            )
-            return subhist + counts, below2
-
-        init_sub = (
-            jnp.zeros((nq, nfft, _B_SUB), jnp.int32),
-            jnp.zeros((nq, nfft), jnp.int32),
+        narrow = _narrow_program(
+            design, nq=nq, nfft=nfft, chunks_shape=chunks_shape,
+            tail_len=tail_len,
         )
-        sub_c = jax.jit(lambda c, xs: jax.lax.scan(
-            lambda cc, cx: (fold_sub(cc, cx), None), c, xs
-        )[0])(init_sub, x_chunks)
-        if tail is not None and tail.shape[0]:
-            sub_c = jax.jit(fold_sub)(sub_c, tail)
+        sub_c = narrow(x_chunks, tail, lo_d, hi_d, invw_d)
         sub_h = _leaf_to_host(sub_c[0]).astype(np.int64)  # (nq, nfft, B2)
         below2 = _leaf_to_host(sub_c[1]).astype(np.int64)  # (nq, nfft)
 
         b2_lo, b2_hi, C = _narrow_brackets(sub_h, below2, low, high)
-        b2_lo_j = jnp.asarray(b2_lo.astype(np.int32))
-        b2_hi_j = jnp.asarray(b2_hi.astype(np.int32))
+        b2_lo = b2_lo.astype(np.int32)
+        b2_hi = b2_hi.astype(np.int32)
     else:
         # coarse bracket small enough to collect directly: the fine
         # bracket degenerates to the whole sub-bin range
         C = max(-(-int(cap.max()) // 8) * 8, 8)
-        b2_lo_j = jnp.zeros((nq, nfft), jnp.int32)
-        b2_hi_j = jnp.full((nq, nfft), _B_SUB - 1, jnp.int32)
+        b2_lo = np.zeros((nq, nfft), np.int32)
+        b2_hi = np.full((nq, nfft), _B_SUB - 1, np.int32)
 
     # ---- collect pass: smallest-C in-bracket values + exact ranks ----
-    def fold(carry2, chunk):
+    collect = _collect_program(
+        design, nq=nq, nfft=nfft, C=C, chunks_shape=chunks_shape,
+        tail_len=tail_len,
+    )
+    buf, below = collect(x_chunks, tail, lo_d, hi_d, invw_d, b2_lo, b2_hi)
+
+    buf_h = _leaf_to_host(buf)  # (nq, C, nfft)
+    below_h = _leaf_to_host(below).astype(np.int64)  # exact recount
+    vals_d = _gather_order_stats(buf_h, below_h, low, high, hw)
+    return vals_d if u is None else vals_d[:, u]
+
+
+def _narrow_program(design, *, nq, nfft, chunks_shape, tail_len):
+    """module-cached jitted narrowing pass (see _sub_idx_map's note on
+    why brackets are arguments): (x_chunks, tail, lo, hi, invw) ->
+    (sub-bin counts (nq, nfft, _B_SUB), below-bracket counts)."""
+    key = (
+        'narrow', design['fingerprint'],
+        str(np.asarray(design['window']).dtype),
+        design.get('hist_raw_plan') is not None,
+        nq, nfft, chunks_shape, tail_len,
+    )
+    prog = _PIPELINE_PROGRAMS.get(key)
+    if prog is not None:
+        return prog
+
+    def fold_sub(carry2, chunk, lo, hi, invw):
+        subhist, below2 = carry2
+        spg = _spectrogram_dB_chunk(chunk, design)  # (frames, nfft)
+        idx = _sub_idx_map(spg, lo, hi, invw)
+        counts = jax.vmap(
+            lambda ix: _columnwise_int_counts(ix, _B_SUB)
+        )(idx)  # (nq, nfft, B_SUB)
+        below2 = below2 + (spg[None] < lo[:, None, :]).sum(
+            axis=1, dtype=jnp.int32
+        )
+        return subhist + counts, below2
+
+    @jax.jit
+    def _run(xs, tail, lo, hi, invw):
+        init = (
+            jnp.zeros((nq, nfft, _B_SUB), jnp.int32),
+            jnp.zeros((nq, nfft), jnp.int32),
+        )
+        c, _ = jax.lax.scan(
+            lambda cc, cx: (fold_sub(cc, cx, lo, hi, invw), None), init, xs
+        )
+        if tail_len:
+            c = fold_sub(c, tail, lo, hi, invw)
+        return c
+
+    if len(_PIPELINE_PROGRAMS) >= 64:
+        _PIPELINE_PROGRAMS.pop(next(iter(_PIPELINE_PROGRAMS)))
+    _PIPELINE_PROGRAMS[key] = _run
+    return _run
+
+
+def _collect_program(design, *, nq, nfft, C, chunks_shape, tail_len):
+    """module-cached jitted collect pass: keep the smallest C
+    in-bracket values per (quantile, frequency) plus the exact
+    below-bracket recount. Brackets are runtime arguments (see
+    _sub_idx_map)."""
+    key = (
+        'collect', design['fingerprint'],
+        str(np.asarray(design['window']).dtype),
+        design.get('hist_raw_plan') is not None,
+        nq, nfft, C, chunks_shape, tail_len,
+    )
+    prog = _PIPELINE_PROGRAMS.get(key)
+    if prog is not None:
+        return prog
+
+    def fold(carry2, chunk, lo, hi, invw, b2_lo, b2_hi):
         buf, below = carry2
         spg = _spectrogram_dB_chunk(chunk, design)  # (frames, nfft)
-        idx = sub_idx(spg)  # sentinel _B_SUB outside the coarse bracket
-        keep = (idx >= b2_lo_j[:, None, :]) & (idx <= b2_hi_j[:, None, :])
+        idx = _sub_idx_map(spg, lo, hi, invw)  # sentinel _B_SUB outside
+        keep = (idx >= b2_lo[:, None, :]) & (idx <= b2_hi[:, None, :])
         cand = jnp.where(keep, spg[None], jnp.inf)
         below = below + (
-            (spg[None] < lo_j[:, None, :]) | (idx < b2_lo_j[:, None, :])
+            (spg[None] < lo[:, None, :]) | (idx < b2_lo[:, None, :])
         ).sum(axis=1, dtype=jnp.int32)
         # the C smallest of a union always lie within (the C smallest of
         # the prefix) ∪ (the new chunk), so per-chunk truncation to the
@@ -1178,19 +1336,24 @@ def _refine_quantiles_exact(x_chunks, tail, design, carry, quantiles):
         buf = jnp.sort(jnp.concatenate([buf, cand], axis=1), axis=1)[:, :C]
         return buf, below
 
-    buf = jnp.full((nq, C, nfft), jnp.inf, jnp.float32)
-    below = jnp.zeros((nq, nfft), jnp.int32)
-    step = jax.jit(lambda c, xs: jax.lax.scan(
-        lambda cc, cx: (fold(cc, cx), None), c, xs
-    )[0])
-    buf, below = step((buf, below), x_chunks)
-    if tail is not None and tail.shape[0]:
-        buf, below = jax.jit(fold)((buf, below), tail)
+    @jax.jit
+    def _run(xs, tail, lo, hi, invw, b2_lo, b2_hi):
+        init = (
+            jnp.full((nq, C, nfft), jnp.inf, jnp.float32),
+            jnp.zeros((nq, nfft), jnp.int32),
+        )
+        out, _ = jax.lax.scan(
+            lambda cc, cx: (fold(cc, cx, lo, hi, invw, b2_lo, b2_hi), None),
+            init, xs,
+        )
+        if tail_len:
+            out = fold(out, tail, lo, hi, invw, b2_lo, b2_hi)
+        return out
 
-    buf_h = _leaf_to_host(buf)  # (nq, C, nfft)
-    below_h = _leaf_to_host(below).astype(np.int64)  # exact recount
-    vals_d = _gather_order_stats(buf_h, below_h, low, high, hw)
-    return vals_d if u is None else vals_d[:, u]
+    if len(_PIPELINE_PROGRAMS) >= 64:
+        _PIPELINE_PROGRAMS.pop(next(iter(_PIPELINE_PROGRAMS)))
+    _PIPELINE_PROGRAMS[key] = _run
+    return _run
 
 
 def apd_fold(counts, chunk, *, edges, navg: int = 1, kernel: str = 'auto'):

@@ -9,6 +9,7 @@ from .dispatch import (
     is_cupy_array,
     is_jax_array,
     is_numpy_array,
+    is_traced,
     pack_iq_f32,
     to_device_array,
     to_host_array,
@@ -66,6 +67,7 @@ __all__ = [
     'is_cupy_array',
     'is_jax_array',
     'is_numpy_array',
+    'is_traced',
     'isclosetoint',
     'isroundmod',
     'iter_along_axes',

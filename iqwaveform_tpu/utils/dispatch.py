@@ -25,6 +25,17 @@ def is_jax_array(x) -> bool:
     return isinstance(x, (jax.Array, jax.core.Tracer))
 
 
+def is_traced(x) -> bool:
+    """True only for tracers (the caller is inside jit/vmap/grad).
+
+    Host-orchestrated multi-pass algorithms (the exact-quantile
+    refinement's bracket planning reads device results between passes)
+    cannot run under trace; they use this to pick a traceable
+    equivalent or raise a clear error instead of a deep
+    TracerArrayConversionError."""
+    return isinstance(x, jax.core.Tracer)
+
+
 def is_numpy_array(x) -> bool:
     return isinstance(x, np.ndarray)
 

@@ -493,7 +493,7 @@ def main():
     else:
         # 1) BasebandClockSynchronizer: recover a known sample slip on a
         # synthetic LTE-like capture (reference ofdm.py:978-1045)
-        try:
+        def _clock_sync_gate():
             t_ofdm = time.time()
             sync = ofdm.BasebandClockSynchronizer(
                 1.4e6, correlation_subframes=8
@@ -521,10 +521,22 @@ def main():
                 f'{status}',
                 flush=True,
             )
-        except Exception as e:
-            failures.append('clock sync e2e')
-            print('clock sync e2e (tpu)            EXCEPTION:',
-                  f'{type(e).__name__}: {str(e)[:120]}', flush=True)
+
+        # one retry: the tunnel's remote compiler intermittently
+        # returns HTTP 500 on a fresh program (observed r05b; the same
+        # gate passed standalone minutes later)
+        for attempt in (1, 2):
+            try:
+                _clock_sync_gate()
+                break
+            except Exception as e:
+                print(f'clock sync e2e (tpu)            EXCEPTION '
+                      f'(attempt {attempt}):',
+                      f'{type(e).__name__}: {str(e)[:120]}', flush=True)
+                if attempt == 2:
+                    failures.append('clock sync e2e')
+                else:
+                    time.sleep(30)
 
         # 2) SymbolDecoder: QPSK round-trip through the full __call__
         # device path (decode + TTI alignment; reference ofdm.py:1048-1117)

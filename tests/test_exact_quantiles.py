@@ -260,3 +260,19 @@ def test_exact_quantiles_extreme_ranks(narrowed, monkeypatch):
         x, nfft=nfft, chunk_frames=cf, backend='xla', hist_bins=128, qs=qs
     )
     np.testing.assert_array_equal(np.asarray(out['quantiles_dB']), oracle)
+
+
+def test_exact_quantiles_raises_clearly_under_jit():
+    """exact_quantiles=True is a host-orchestrated multi-pass and must
+    fail at TRACE time with an actionable message, not a deep
+    TracerArrayConversionError from the refinement's D2H (the round-4
+    psd matrix config crashed exactly that way, matrix_r04)."""
+    nfft, cf = 256, 32
+    x = _noise(cf * nfft, 7)
+    kws = dict(
+        fs=1e6, window='hann', nfft=nfft, chunk_frames=cf,
+        hist_bins=64, fft_backend='xla', exact_quantiles=True,
+    )
+    fn = jax.jit(lambda v: streaming_persistence_spectrum(v, **kws))
+    with pytest.raises(ValueError, match='cannot execute under jit'):
+        fn(jnp.asarray(x))

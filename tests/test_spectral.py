@@ -1,5 +1,6 @@
 """power_spectral_density / channelize_power / iq_to_stft_spectrogram tests."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -411,3 +412,37 @@ def test_psd_refined_exact_quantiles_matches_sort():
     finally:
         sp._refined_exact_applies = orig
     np.testing.assert_allclose(refined, sorted_, atol=1e-5)
+
+
+def test_psd_exact_quantiles_traceable_under_jit():
+    """quantile_method='exact' under jax.jit must trace: the bracketed
+    refinement (host-orchestrated) steps aside for the device-sort
+    exact path, so reference-style jitted callers get the same exact
+    order statistics instead of a TracerArrayConversionError (the
+    round-4 psd matrix failure)."""
+    import iqwaveform_tpu.ops.spectral as sp
+
+    rng = np.random.default_rng(3)
+    n = 2048 * 256
+    x = jnp.asarray(
+        (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            'complex64'
+        )
+    )
+    kw = dict(
+        fs=1e6, window='hann', resolution=1e6 / 256,
+        statistics=['mean', 0.5, 0.99, 'max'], fft_backend='mxu',
+    )
+
+    orig = sp._refined_exact_applies
+    sp._refined_exact_applies = lambda named: True
+    try:
+        eager = np.asarray(fourier.power_spectral_density(x, **kw))
+        jitted = np.asarray(
+            jax.jit(
+                lambda v: fourier.power_spectral_density(v, **kw)
+            )(x)
+        )
+    finally:
+        sp._refined_exact_applies = orig
+    np.testing.assert_allclose(jitted, eager, atol=1e-5)
