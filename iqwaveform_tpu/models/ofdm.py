@@ -93,13 +93,21 @@ def call_by_block(func, x, size, *args, **kws):
 
 
 def subsample_shift(x, shift):
-    """FFT-based subsample shift (reference ofdm.py:53-61)."""
+    """FFT-based subsample shift (reference ofdm.py:53-61).
+
+    The transforms go through ops.fft's wrappers, which route non-pow2
+    device sizes on TPU through the Bluestein transform (ops.czt) —
+    XLA:TPU would otherwise lower a whole-capture odd-size FFT as a
+    dense N x N DFT matmul that cannot even compile at capture sizes.
+    """
+    from ..ops import fft as _fft
+
     xp = array_namespace(x)
 
     N = x.shape[0]
     f = xp.fft.fftshift(xp.arange(N))
     z = xp.exp((-2j * np.pi * shift / N) * f)
-    return xp.fft.ifft(xp.fft.fft(x) * z.astype('complex64'))
+    return _fft.ifft(_fft.fft(x) * z.astype('complex64'))
 
 
 def to_blocks(y, size, truncate=False):

@@ -89,6 +89,22 @@ def _chunked_host_transform(func, x, axis, workers):
 MXU_AUTO_MAX_SIZE = 32768
 
 
+def _tpu_needs_bluestein(n: int, tpu: bool = None) -> bool:
+    """True when jnp.fft at size ``n`` must route through the Bluestein
+    transform (ops.czt): XLA:TPU lowers non-power-of-two FFTs as a dense
+    n x n DFT matmul, which exceeds HBM at compile time for whole-capture
+    sizes (f32[326376, 326376] = 426 GB in the round-5 clock-sync
+    failure) and is O(n^2) even when it fits. Power-of-two sizes lower
+    natively; CPU/GPU backends handle any size."""
+    if n <= 1 or (n & (n - 1)) == 0:
+        return False
+    if tpu is None:
+        from .pallas._common import on_tpu_like
+
+        tpu = on_tpu_like()
+    return tpu
+
+
 def resolve_fft_backend(x, n: int, *, tpu: bool = None) -> str:
     """fft_backend='auto' resolution for the plain transforms: 'mxu'
     (four-step DFT matmuls at HIGHEST precision, matching jnp.fft to
@@ -128,6 +144,10 @@ def fft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None, backen
             from .mxu_fft import fft_mxu
 
             return fft_mxu(x, axis=axis)
+        if _tpu_needs_bluestein(int(x.shape[axis])):
+            from .czt import fft_bluestein
+
+            return fft_bluestein(x, axis=axis)
         return jnp.fft.fft(x, axis=axis)
     if workers is None:
         workers = max(CPU_COUNT // 2, 1)
@@ -147,6 +167,10 @@ def ifft(x, axis=-1, out=None, overwrite_x=False, plan=None, workers=None, backe
             from .mxu_fft import ifft_mxu
 
             return ifft_mxu(x, axis=axis)
+        if _tpu_needs_bluestein(int(x.shape[axis])):
+            from .czt import ifft_bluestein
+
+            return ifft_bluestein(x, axis=axis)
         return jnp.fft.ifft(x, axis=axis)
     if workers is None:
         workers = max(CPU_COUNT // 2, 1)

@@ -108,7 +108,10 @@ def main():
 
     # --- CP correlation ---
     phy = ofdm.Phy3GPP(1.4e6)
-    from test_ofdm import make_cp_waveform
+    # NEVER import test modules here: test_ofdm pulls in conftest, whose
+    # import flips jax_platforms to 'cpu' and sets STRICT_KERNELS mid-
+    # chip-session (the round-5 poisoned-gate bug). _synth is import-clean.
+    from _synth import make_cp_waveform
 
     wave = make_cp_waveform(phy, n_slots=3)
     inds = phy.index_cyclic_prefix(slots=(0,))
@@ -135,6 +138,24 @@ def main():
         else:
             failures.append('corr pallas')
             print('corr_at_indices pallas (tpu)    EXCEPTION:', msg, flush=True)
+
+    # --- Bluestein arbitrary-size FFT (ops/czt.py) ---
+    # XLA:TPU lowers non-pow2 FFTs as a dense n x n DFT matmul; at
+    # capture sizes the compile itself OOMs HBM (f32[326376, 326376] =
+    # 426 GB, the round-5 clock-sync failure). ops.fft routes those
+    # through Bluestein; gate it directly at the failing size class.
+    n_cz = 3 * 1511  # prime factor forces the dense lowering without czt
+    x_cz = (
+        rng.standard_normal(n_cz) + 1j * rng.standard_normal(n_cz)
+    ).astype('complex64')
+    exp_cz = np.fft.fft(x_cz.astype('complex128')).astype('complex64')
+    cz_fn = complex_out(lambda v: fourier.fft(v))
+    check(
+        'bluestein fft 4533 (tpu)',
+        cz_fn(jnp.asarray(pack_iq_f32(x_cz))),
+        exp_cz,
+        2e-4 * float(np.abs(exp_cz).max()),
+    )
 
     # --- fused OLA pallas kernel (compiles on this host) ---
     from iqwaveform_tpu.models import WidebandMonitor, design_wideband_monitor
@@ -522,9 +543,12 @@ def main():
                 flush=True,
             )
 
-        # one retry: the tunnel's remote compiler intermittently
-        # returns HTTP 500 on a fresh program (observed r05b; the same
-        # gate passed standalone minutes later)
+        # one retry for genuine remote-compile transients. (The r05b/c
+        # deterministic HTTP 500 here was NOT transient: the per-pass
+        # device resample's non-pow2 FFT lowered as a dense n x n DFT
+        # matmul whose compile-time HBM check failed at 426 GB — fixed
+        # by the Bluestein routing in ops/fft.py + ops/czt.py, gated
+        # above at 'bluestein fft 4533'.)
         for attempt in (1, 2):
             try:
                 _clock_sync_gate()

@@ -33,14 +33,7 @@ def rng():
     return np.random.default_rng(0)
 
 
-def make_tone_noise(n, fs=1e6, f_tone=1e5, snr_db=10, seed=0, dtype='complex64'):
-    """complex tone + noise test waveform."""
-    rng = np.random.default_rng(seed)
-    t = np.arange(n) / fs
-    tone = np.exp(2j * np.pi * f_tone * t)
-    noise_amp = 10 ** (-snr_db / 20) / np.sqrt(2)
-    noise = noise_amp * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
-    return (tone + noise).astype(dtype)
+from _synth import make_cp_waveform, make_tone_noise  # noqa: E402 (re-export)
 
 
 @pytest.fixture

@@ -13,6 +13,7 @@ import pytest
 from iqwaveform_tpu import ofdm
 
 from conftest import make_tone_noise
+from _synth import make_cp_waveform
 
 
 def oracle_corr_at_indices(flat_inds, x, nfft, ncp, norm):
@@ -33,20 +34,6 @@ def oracle_corr_at_indices(flat_inds, x, nfft, ncp, norm):
             corr /= flat_inds.shape[0]
         out[j] = corr
     return out
-
-
-def make_cp_waveform(phy, n_slots=4, seed=0):
-    """synthesize a waveform with the CP structure of `phy`."""
-    rng = np.random.default_rng(seed)
-    cps = np.asarray(phy.cp_sizes)
-    wave = []
-    for k in range(n_slots):
-        for i in range(len(cps)):
-            s = (
-                rng.standard_normal(phy.nfft) + 1j * rng.standard_normal(phy.nfft)
-            ) / np.sqrt(2)
-            wave += [s[-cps[i] :], s]
-    return np.concatenate(wave).astype('complex64')
 
 
 # --- sequences ---
