@@ -462,31 +462,57 @@ def bench_upfirdn():
     performance claim — cuSignal's O(N/P) polyphase over O(N*Q) direct
     (reference cuda.py:483-486).
 
-    Measures the three TPU routes for the same deliverable:
+    Measures the two DIRECT upfirdn routes for the deliverable:
       * the XLA lhs-dilated/strided MXU conv (ops.resample_poly)
       * the hand-scheduled Pallas block-Toeplitz kernel (upfirdn_pallas)
-      * the OLA frequency-domain route (ola_filter, the monitor's path)
-    plus a fractional up=2/down=3 point on the conv path (polyphase
-    dilation engaged). The headline is the best direct-upfirdn path;
-    fourier.upfirdn's backend='auto' crossover is set from these numbers
-    (ops/resample_poly.py::_resolve_upfirdn_backend)."""
-    import jax
-    import jax.numpy as jnp
-
+    The headline is the best direct path; fourier.upfirdn's
+    backend='auto' crossover is set from these numbers
+    (ops/resample_poly.py::_resolve_upfirdn_backend). The OLA route and
+    the fractional up/down point live in the companion
+    `upfirdn_routes100ms` config — the four variants together were 4
+    cold remote compiles and overran the session budget (round-5
+    session-1 timeout), so each config carries two."""
+    n, path = _upfirdn_setup()
     from iqwaveform_tpu.ops.filtering import (
         design_fir_lpf,
         design_fir_resampler,
-        ola_filter,
     )
     from iqwaveform_tpu.ops.resample_poly import upfirdn
-    from iqwaveform_tpu.utils import unpack_iq
 
     fs, fs_out = 61.44e6, 30.72e6
     _, fir_kw = design_fir_resampler(fs, fs_out)  # {'up': 1, 'down': 2}
     h = np.asarray(design_fir_lpf(20e6, fs, numtaps=4001))
 
+    dt_conv = path(lambda v: upfirdn(h, v, backend='xla', **fir_kw))
+    try:
+        dt_pl = path(lambda v: upfirdn(h, v, backend='pallas', **fir_kw))
+    except Exception as err:
+        _log(f'upfirdn pallas unavailable: {err!r:.150}')
+        dt_pl = float('inf')
+
+    best = min(dt_conv, dt_pl)
+    _log(
+        f'upfirdn 100Ms: conv {n / dt_conv / 1e6:.0f} MS/s, pallas '
+        f'{n / dt_pl / 1e6:.0f} MS/s'
+    )
+    extras = [('upfirdn_conv_100ms_1chip', n / dt_conv / 1e6, 'MS/s')]
+    if np.isfinite(dt_pl):
+        extras.append(
+            ('upfirdn_pallas_100ms_1chip', n / dt_pl / 1e6, 'MS/s')
+        )
+    return 'upfirdn_polyphase_100ms_1chip', n / best / 1e6, extras
+
+
+def _upfirdn_setup():
+    """shared workload for the two upfirdn configs: a 100 Ms capture
+    generated ON the device (H2D of 800 MB through the tunnel would
+    dominate) and a 3-trial difference-timing closure."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqwaveform_tpu.utils import unpack_iq
+
     n = 100_000_000
-    # generate on device: H2D of 800 MB through the tunnel would dominate
     key = jax.random.PRNGKey(0)
     ri = jax.jit(
         lambda k: jax.random.normal(k, (2, n), jnp.float32)
@@ -496,39 +522,37 @@ def bench_upfirdn():
         step = jax.jit(lambda p: jnp.abs(fn(unpack_iq(p))) ** 2)
         return _measure(step, ri, trials=3)
 
-    dt_conv = path(lambda v: upfirdn(h, v, backend='xla', **fir_kw))
-    try:
-        dt_pl = path(lambda v: upfirdn(h, v, backend='pallas', **fir_kw))
-    except Exception as err:
-        _log(f'upfirdn pallas unavailable: {err!r:.150}')
-        dt_pl = float('inf')
-    # the OLA route delivering the same lowpass+2:1 resample
-    # (design_cola_resampler defaults: nfft=16384 -> 8192)
+    return n, path
+
+
+def bench_upfirdn_routes():
+    """companion to `upfirdn100ms` (see its docstring): the OLA
+    frequency-domain route delivering the same lowpass+2:1 resample
+    (design_cola_resampler defaults: nfft=16384 -> 8192, the monitor's
+    path) and a fractional up=2/down=3 point on the conv path with
+    lhs_dilation actually engaged."""
+    n, path = _upfirdn_setup()
+    from iqwaveform_tpu.ops.filtering import design_fir_lpf, ola_filter
+    from iqwaveform_tpu.ops.resample_poly import upfirdn
+
+    fs = 61.44e6
+    h = np.asarray(design_fir_lpf(20e6, fs, numtaps=4001))
+
     dt_ola = path(
         lambda v: ola_filter(
             v, fs=fs, nfft=16384, window='hamming',
             passband=(-10e6, 10e6), nfft_out=8192,
         )
     )
-    # fractional pair: lhs_dilation actually engaged (up=2, down=3)
     dt_frac = path(lambda v: upfirdn(h, v, up=2, down=3, backend='xla'))
-
-    best = min(dt_conv, dt_pl)
     _log(
-        f'upfirdn 100Ms: conv {n / dt_conv / 1e6:.0f} MS/s, pallas '
-        f'{n / dt_pl / 1e6:.0f} MS/s, ola {n / dt_ola / 1e6:.0f} MS/s, '
+        f'upfirdn routes 100Ms: ola {n / dt_ola / 1e6:.0f} MS/s, '
         f'frac2/3 conv {n / dt_frac / 1e6:.0f} MS/s'
     )
     extras = [
-        ('upfirdn_conv_100ms_1chip', n / dt_conv / 1e6, 'MS/s'),
-        ('upfirdn_ola_route_100ms_1chip', n / dt_ola / 1e6, 'MS/s'),
         ('upfirdn_frac23_conv_100ms_1chip', n / dt_frac / 1e6, 'MS/s'),
     ]
-    if np.isfinite(dt_pl):
-        extras.insert(
-            1, ('upfirdn_pallas_100ms_1chip', n / dt_pl / 1e6, 'MS/s')
-        )
-    return 'upfirdn_polyphase_100ms_1chip', n / best / 1e6, extras
+    return 'upfirdn_ola_route_100ms_1chip', n / dt_ola / 1e6, extras
 
 
 def bench_channelize64():
@@ -658,6 +682,7 @@ CONFIGS = {
     'channelize64': bench_channelize64,
     'psd': bench_psd,
     'upfirdn100ms': bench_upfirdn,
+    'upfirdn_routes100ms': bench_upfirdn_routes,
 }
 
 
@@ -688,7 +713,8 @@ def run_config(name: str):
 MATRIX_BUDGETS = {
     'monitor8192p': 1800, 'streaming1gs': 1600, 'monitor_default': 1500,
     'psd': 1800, 'spectrogram': 1200, 'channelize64': 1500,
-    'upfirdn100ms': 1800, 'monitorRx4': 1500, 'monitor8192bf16': 1500,
+    'upfirdn100ms': 1800, 'upfirdn_routes100ms': 1800,
+    'monitorRx4': 1500, 'monitor8192bf16': 1500,
     'monitor8192i16': 1500, 'monitor8192': 1500, 'disk2chip': 1800,
 }
 

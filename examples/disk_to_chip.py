@@ -106,6 +106,14 @@ def run_persistence(path: str, n_chunks: int) -> float:
         jnp.zeros((apd_edges.shape[0] + 1,), jnp.int32),
     )
 
+    # compile OUTSIDE the sustained window (the first call's remote
+    # compile is minutes on the axon tunnel and would swamp a short
+    # capture's rate — the round-5 session-1 `0.0 MS/s` artifact);
+    # fence on a jit-produced f32 (axon: block_until_ready returns at
+    # dispatch, int32 D2H is unimplemented)
+    warm = fold(carry, jnp.zeros((2, CHUNK), jnp.float32))
+    np.asarray(warm[0].psum)
+
     t0 = time.perf_counter()
     done = 0
     with io.CapturePrefetcher(
@@ -175,6 +183,10 @@ def run_monitor_i16(path: str, n_chunks: int) -> float:
         jnp.full((nfft_big,), -jnp.inf, jnp.float32),
         jnp.zeros((design.apd_bins + 1,), jnp.float32),
     )
+    # compile outside the sustained window (see run_persistence)
+    warm = step(acc, jnp.zeros((chunk, 2), jnp.int16))
+    np.asarray(warm[0])
+
     t0 = time.perf_counter()
     done = 0
     for k in range(min(n_chunks, raw_map.shape[0] // chunk)):
@@ -222,7 +234,7 @@ def main():
     rt = msps * 1e6 / FS
     print(
         f'disk->chip [{mode}]: {n / 1e9:.2f} GS sustained '
-        f'{msps:.0f} MS/s including ingest ({rt:.1f}x real time at '
+        f'{msps:.2f} MS/s including ingest ({rt:.1f}x real time at '
         f'{FS / 1e6:.2f} MS/s)',
         flush=True,
     )

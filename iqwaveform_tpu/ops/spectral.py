@@ -240,11 +240,22 @@ def _resolve_psd_backend(
     return 'mxu'
 
 
+# spectrogram size above which the one-shot exact-quantile path stops
+# materializing + sorting the full spectrogram on the device and
+# switches to the O(1)-memory bracketed refinement. Sorting needs a few
+# f32 copies resident, so 2 GiB (a 512 Ms capture at any nfft) leaves
+# ample headroom in 16 GB HBM; below it the single jitted
+# fold+sort program is far cheaper than the refinement's
+# host-orchestrated multi-pass (measured round 5: 9 MS/s refinement vs
+# ~1000 MS/s sorted at a 16.8 Ms capture through the axon tunnel).
+_REFINE_MIN_BYTES = 1 << 31
+
+
 def _refined_exact_applies(named) -> bool:
     """the bracketed exact-quantile refinement replaces the full device
-    sort only on TPU targets (where the sort is the dominant cost) and
-    only when every named statistic is one the persistence fold
-    delivers."""
+    sort only on TPU targets (where the out-of-memory sort is the
+    blocker) and only when every named statistic is one the persistence
+    fold delivers."""
     from .pallas._common import on_tpu_like
 
     return on_tpu_like() and all(
@@ -373,17 +384,21 @@ def _psd_factored_fast(
     elif (
         quantiles
         and n_frames >= 2048
+        and n_keep * 4 > _REFINE_MIN_BYTES
         and not is_traced(x)
         and _refined_exact_applies(named)
     ):
-        # exact quantiles WITHOUT the full per-bin sort (which is the
-        # dominant cost on TPU at large frame counts — the reason
-        # quantile_method='histogram' exists): the bracketed two-pass
-        # refinement (parallel/streaming.py _refine_quantiles_exact)
-        # returns order statistics matching jnp.quantile of the chunked
-        # spectrogram bit for bit, at ~3 transform passes instead of a
-        # device sort. mxu backend: it folds every whole frame (the
-        # fused kernel's slab quantum would drop a sub-slab tail).
+        # exact quantiles WITHOUT a resident spectrogram: for captures
+        # whose f32 spectrogram exceeds _REFINE_MIN_BYTES (too large to
+        # materialize + sort in HBM), the bracketed two-pass refinement
+        # (parallel/streaming.py _refine_quantiles_exact) returns order
+        # statistics matching jnp.quantile of the chunked spectrogram
+        # bit for bit, at ~3 transform passes and O(1) memory in
+        # capture length. Below the threshold the device-sort branch is
+        # both exact and much faster (one jitted program vs a
+        # host-orchestrated multi-pass). mxu backend: it folds every
+        # whole frame (the fused kernel's slab quantum would drop a
+        # sub-slab tail).
         # Under jit (x is a tracer) the refinement's host-side bracket
         # planning cannot run — the device-sort branch below delivers
         # the same exact order statistics traceably.

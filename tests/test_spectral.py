@@ -401,11 +401,14 @@ def test_psd_refined_exact_quantiles_matches_sort():
     )
 
     orig = sp._refined_exact_applies
+    orig_bytes = sp._REFINE_MIN_BYTES
     sp._refined_exact_applies = lambda named: True
+    sp._REFINE_MIN_BYTES = 0  # force past the spectrogram-size gate
     try:
         refined = np.asarray(fourier.power_spectral_density(x, **kw))
     finally:
         sp._refined_exact_applies = orig
+        sp._REFINE_MIN_BYTES = orig_bytes
     sp._refined_exact_applies = lambda named: False
     try:
         sorted_ = np.asarray(fourier.power_spectral_density(x, **kw))
@@ -435,7 +438,9 @@ def test_psd_exact_quantiles_traceable_under_jit():
     )
 
     orig = sp._refined_exact_applies
+    orig_bytes = sp._REFINE_MIN_BYTES
     sp._refined_exact_applies = lambda named: True
+    sp._REFINE_MIN_BYTES = 0  # force past the spectrogram-size gate
     try:
         eager = np.asarray(fourier.power_spectral_density(x, **kw))
         jitted = np.asarray(
@@ -445,4 +450,5 @@ def test_psd_exact_quantiles_traceable_under_jit():
         )
     finally:
         sp._refined_exact_applies = orig
+        sp._REFINE_MIN_BYTES = orig_bytes
     np.testing.assert_allclose(jitted, eager, atol=1e-5)
