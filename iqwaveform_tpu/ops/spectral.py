@@ -442,32 +442,70 @@ def _psd_factored_fast(
             fft_backend=backend,
             fft_precision='highest',
         )
-        def _sorted_stack(v):
-            spg_dB = _streaming._spectrogram_dB_chunk(v[:n_keep], design)
-            # one batched quantile call -> one sort, shared by all
-            # quantiles
-            if quantiles:
-                q_rows = jnp.quantile(
-                    spg_dB, jnp.asarray(quantiles, dtype='float32'), axis=0
-                )
-            rows, qi = [], 0
-            for s, is_q in zip(statistics, isquantile):
-                if is_q:
-                    rows.append(q_rows[qi])
-                    qi += 1
-                else:
-                    ufunc = power_analysis.stat_ufunc_from_shorthand(
-                        s, xp=jnp
-                    )
-                    rows.append(ufunc(spg_dB, axis=0))
-            # factored (k1, k2) -> monotonic frequency order, once, at
-            # the end
-            stack = jnp.stack(rows, axis=0)[:, design['unscramble']]
-            if band is not None:
-                stack = axis_slice(stack, band[0], band[1], axis=1)
-            return stack.astype('float32')
+        prog = _sorted_psd_program(
+            design, tuple(statistics), tuple(isquantile), quantiles,
+            band, n_keep,
+        )
+        return prog(x)
 
-        return jax.jit(_sorted_stack)(x)
+
+# cached fold+sort programs for the one-shot exact path: a fresh
+# jax.jit closure per call pays a full host retrace + lowering of the
+# factored-spectrogram program EVERY call (~4 s at 16.8 Ms — the round-5
+# session-A `psd_quantiles_default_1chip: 4.1 MS/s` reading), even when
+# the backend compile cache hits by HLO hash. Same pattern as
+# parallel/streaming.py's _fold_pipeline_program.
+_SORTED_PSD_PROGRAMS = {}
+
+
+def _sorted_psd_program(design, statistics, isquantile, quantiles, band, n_keep):
+    """jitted spectrogram -> batched jnp.quantile sort -> named stats ->
+    unscramble -> band-trim program, cached per static configuration
+    (design fingerprint + statistics layout + trim)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel import streaming as _streaming
+
+    key = (
+        design['fingerprint'],
+        str(np.asarray(design['window']).dtype),
+        statistics, quantiles, band, n_keep,
+    )
+    prog = _SORTED_PSD_PROGRAMS.get(key)
+    if prog is not None:
+        return prog
+
+    def _sorted_stack(v):
+        spg_dB = _streaming._spectrogram_dB_chunk(v[:n_keep], design)
+        # one batched quantile call -> one sort, shared by all
+        # quantiles
+        if quantiles:
+            q_rows = jnp.quantile(
+                spg_dB, jnp.asarray(quantiles, dtype='float32'), axis=0
+            )
+        rows, qi = [], 0
+        for s, is_q in zip(statistics, isquantile):
+            if is_q:
+                rows.append(q_rows[qi])
+                qi += 1
+            else:
+                ufunc = power_analysis.stat_ufunc_from_shorthand(
+                    s, xp=jnp
+                )
+                rows.append(ufunc(spg_dB, axis=0))
+        # factored (k1, k2) -> monotonic frequency order, once, at
+        # the end
+        stack = jnp.stack(rows, axis=0)[:, design['unscramble']]
+        if band is not None:
+            stack = axis_slice(stack, band[0], band[1], axis=1)
+        return stack.astype('float32')
+
+    prog = jax.jit(_sorted_stack)
+    if len(_SORTED_PSD_PROGRAMS) >= 64:
+        _SORTED_PSD_PROGRAMS.clear()
+    _SORTED_PSD_PROGRAMS[key] = prog
+    return prog
 
 
 def channelize_power(
